@@ -1,0 +1,79 @@
+"""Global scalar aggregates (A5, A6, A7, A10 kernels).
+
+All are algebraic (min/max/mean/count) and run as Ray Dataset aggregates
+— streaming partial aggregation per block, tiny final combine. The exact
+median follows the reference's exact semantics (`analysis.py:192,217`):
+for test/driver scales we collect the single float column; at 10^12-row
+scale the documented path is a t-digest sketch behind ``approx=True``
+(SURVEY.md §7.5.7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def summarize_column(ds, col: str, approx: bool = False) -> dict:
+    """{min, max, mean, median, count} of one numeric column."""
+    from ray.data.aggregate import Count, Max, Mean, Min
+
+    agg = ds.aggregate(Min(col), Max(col), Mean(col), Count(col))
+    out = {
+        "min": float(agg[f"min({col})"]),
+        "max": float(agg[f"max({col})"]),
+        "mean": float(agg[f"mean({col})"]),
+        "count": int(agg[f"count({col})"]),
+    }
+    if approx:
+        # Scale path: 1% sample median — flagged approximate.
+        vals = ds.select_columns([col]).random_sample(0.01, seed=7).to_pandas()[col].to_numpy()
+        out["median"] = float(np.median(vals)) if len(vals) else float("nan")
+    else:
+        vals = ds.select_columns([col]).to_pandas()[col].to_numpy()
+        out["median"] = float(np.median(vals))
+    return out
+
+
+def k_satisfaction(ds, min_k: int, col: str = "k_anonymity") -> float:
+    """round(count(k >= min_k) / count(k), 3) — `analysis.py:150-169`."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    def flag(batch: pa.Table) -> pa.Table:
+        sat = pc.cast(pc.greater_equal(batch.column(col), min_k), pa.int64())
+        return pa.table({"sat": sat})
+
+    agg = ds.map_batches(flag, batch_format="pyarrow").aggregate(Sum("sat"), Count("sat"))
+    return round(float(agg["sum(sat)"]) / float(agg["count(sat)"]), 3)
+
+
+def summarize_k(ds, col: str = "k_anonymity") -> dict:
+    """{k_min:int, k_max:int, k_med, k_mean} — `analysis.py:172-194`."""
+    s = summarize_column(ds, col)
+    return {
+        "k_min": int(s["min"]),
+        "k_max": int(s["max"]),
+        "k_med": round(s["median"], 2),
+        "k_mean": round(s["mean"], 2),
+    }
+
+
+def mean_center(ds, x_col: str = "x", y_col: str = "y") -> tuple[float, float]:
+    """Mean center of a point Dataset (dissolve().centroid of a MultiPoint
+    is the coordinate mean — `analysis.py:283-284`)."""
+    from ray.data.aggregate import Mean
+
+    agg = ds.aggregate(Mean(x_col), Mean(y_col))
+    return float(agg[f"mean({x_col})"]), float(agg[f"mean({y_col})"])
+
+
+def central_drift(ds, round_to: int = 6) -> float:
+    """Distance between the original and masked mean centers, round 6
+    (`analysis.py:266-285`). One pass: four Mean aggregates."""
+    from ray.data.aggregate import Mean
+
+    agg = ds.aggregate(Mean("x"), Mean("y"), Mean("mx"), Mean("my"))
+    dx = agg["mean(mx)"] - agg["mean(x)"]
+    dy = agg["mean(my)"] - agg["mean(y)"]
+    return round(float(np.hypot(dx, dy)), round_to)

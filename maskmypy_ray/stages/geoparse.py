@@ -1,0 +1,51 @@
+"""Geoparse stage: extract lat/lon from web-page text (graft-mandated
+stateless map over the input_hint table; no reference counterpart —
+SURVEY.md §2.5 "Per-record maps").
+
+Vectorized with ``pyarrow.compute.extract_regex`` (RE2, first match), the
+same regex DuckDB's ``regexp_extract`` uses in the oracle. ``text`` passes
+through untouched (byte-identity invariant).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..geokernels.geometry import latlon_to_xy
+
+# First "<±d{1,3}.dddddd>, <±d{1,3}.dddddd>" pair in the page text.
+COORD_PATTERN = r"(?P<glat>-?[0-9]{1,3}\.[0-9]{6}), (?P<glon>-?[0-9]{1,3}\.[0-9]{6})"
+
+
+def geoparse_batch(batch: pa.Table, drop_unparsed: bool = True) -> pa.Table:
+    """Add ``lat``, ``lon`` (degrees) and ``x``, ``y`` (planar meters).
+
+    Rows without a coordinate pair are dropped when ``drop_unparsed``
+    (reference masks operate on all-point layers; pages without
+    coordinates have no point to mask).
+    """
+    text = batch.column("text")
+    ext = pc.extract_regex(text, COORD_PATTERN)
+    valid = ext.is_valid()
+    if drop_unparsed:
+        batch = batch.filter(valid)
+        ext = ext.filter(valid)
+    lat = pc.cast(pc.struct_field(ext, "glat"), pa.float64())
+    lon = pc.cast(pc.struct_field(ext, "glon"), pa.float64())
+    lat_np = lat.to_numpy(zero_copy_only=False)
+    lon_np = lon.to_numpy(zero_copy_only=False)
+    x, y = latlon_to_xy(lat_np, lon_np)
+    batch = batch.append_column("lat", lat)
+    batch = batch.append_column("lon", lon)
+    batch = batch.append_column("x", pa.array(x, type=pa.float64()))
+    batch = batch.append_column("y", pa.array(y, type=pa.float64()))
+    return batch
+
+
+def geoparse(ds, drop_unparsed: bool = True):
+    """Apply the geoparse stage to a webpages Dataset."""
+    return ds.map_batches(
+        lambda b: geoparse_batch(b, drop_unparsed=drop_unparsed),
+        batch_format="pyarrow",
+    )

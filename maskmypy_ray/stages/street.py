@@ -1,0 +1,205 @@
+"""Street mask (M3), snap-to-streets (M7), street_k (M4).
+
+Reference: `/root/reference/maskmypy/masks/street.py`. Semantics per point:
+
+1. snap to the nearest node that has >= 1 neighbor within ``max_length``
+   meters (`street.py:236-249`). The reference lazily deletes offending
+   nodes from a shared temp graph while iterating points — making snapping
+   order-dependent; we precompute the equivalent fixpoint (iterative peel
+   of nodes with no short edge to a remaining node) ONCE, so snapping is a
+   pure per-point lookup (SURVEY.md §7.5.2, documented divergence).
+2. draw ``target_node_count ~ randint[low, high)`` (`street.py:253`) from
+   the per-row counter RNG (stream 10).
+3. grow a Dijkstra ball from the snap node, doubling the cutoff from
+   ``max_length`` until >= target nodes found (`street.py:257-262`).
+4. target_distance = mean network distance of the first ``target`` nodes
+   in distance order (`street.py:264-278`).
+5. masked point = the node among those whose distance is closest to
+   target_distance, first-in-distance-order on ties (`street.py:280-286`).
+
+The graph (synthetic, :mod:`maskmypy_ray.sources.roadgraph` — osmnx is
+unavailable) is compiled once and broadcast; each actor holds it read-only.
+At web scale the design shards one graph per coarse cell routed by
+``groupby(coarse_cell)``; the single-region fixture uses one shard.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .. import rng
+from ..sources.roadgraph import RoadGraph
+
+
+def valid_snap_nodes(graph: RoadGraph, max_length: float) -> np.ndarray:
+    """Boolean mask of nodes remaining after iteratively peeling nodes
+    with no edge <= max_length to a remaining node."""
+    alive = np.ones(graph.n_nodes, dtype=bool)
+    while True:
+        removed = 0
+        for u in np.nonzero(alive)[0]:
+            nbrs, lens = graph.neighbors(u)
+            ok = alive[nbrs] & (lens <= max_length)
+            if not ok.any():
+                alive[u] = False
+                removed += 1
+        if not removed:
+            return alive
+
+
+class StreetMasker:
+    """Actor-pool stage: graph loaded once per actor in __init__."""
+
+    def __init__(self, graph_ref, low: int, high: int, max_length: float,
+                 seed: int, key_col: str = "doc_id"):
+        import ray
+
+        self.g: RoadGraph = (
+            ray.get(graph_ref) if not isinstance(graph_ref, RoadGraph) else graph_ref)
+        self.low, self.high = int(low), int(high)
+        self.max_length = float(max_length)
+        self.seed = seed
+        self.key_col = key_col
+        self.valid = valid_snap_nodes(self.g, self.max_length)
+
+    def _mask_one(self, x: float, y: float, target: int) -> tuple[float, float]:
+        node = self.g.nearest_node(x, y, allowed=self.valid)
+        if node < 0:  # no valid node anywhere: keep original
+            return x, y
+        cutoff = self.max_length
+        nodes, dists = self.g.dijkstra_ball(node, cutoff)
+        while len(nodes) < target:
+            cutoff *= 2
+            nodes, dists = self.g.dijkstra_ball(node, cutoff)
+        nodes, dists = nodes[:target], dists[:target]
+        target_distance = dists.sum() / target
+        pick = int(np.argmin(np.abs(dists - target_distance)))
+        t = nodes[pick]
+        return float(self.g.node_x[t]), float(self.g.node_y[t])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column(self.key_col).to_numpy(zero_copy_only=False) & 0xFFFFFFFF
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        u = rng.uniform01(keys, self.seed, 10)
+        targets = (self.low + np.floor(u * (self.high - self.low))).astype(np.int64)
+        mx = np.empty(len(x))
+        my = np.empty(len(x))
+        for i in range(len(x)):
+            mx[i], my[i] = self._mask_one(x[i], y[i], int(targets[i]))
+        batch = batch.append_column("mx", pa.array(mx, type=pa.float64()))
+        batch = batch.append_column("my", pa.array(my, type=pa.float64()))
+        return batch
+
+
+def street(ds, graph: RoadGraph, low: int, high: int, max_length: float = 1000.0,
+           seed: int = 42, key_col: str = "doc_id",
+           concurrency: int | tuple[int, int] | None = None, batch_size: int = 2048):
+    """Street-mask a geoparsed Dataset (actor pool, broadcast graph)."""
+    import ray
+
+    if low >= high:
+        raise ValueError("Low value must be less than high value.")
+    if concurrency is None:
+        from ..util import auto_concurrency
+
+        concurrency = auto_concurrency()
+    ref = ray.put(graph)
+    return ds.map_batches(
+        StreetMasker,
+        fn_constructor_kwargs=dict(graph_ref=ref, low=low, high=high,
+                                   max_length=max_length, seed=seed, key_col=key_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class StreetSnapper:
+    """Snap-to-nearest-node post-pass (M7, `tools.py:98-133`): plain
+    nearest node on the full graph, no validity filter."""
+
+    def __init__(self, graph_ref, x_col: str = "mx", y_col: str = "my"):
+        import ray
+
+        self.g: RoadGraph = (
+            ray.get(graph_ref) if not isinstance(graph_ref, RoadGraph) else graph_ref)
+        self.x_col, self.y_col = x_col, y_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch.column(self.x_col).to_numpy(zero_copy_only=False)
+        y = batch.column(self.y_col).to_numpy(zero_copy_only=False)
+        sx = np.empty(len(x))
+        sy = np.empty(len(x))
+        for i in range(len(x)):
+            n = self.g.nearest_node(x[i], y[i])
+            sx[i], sy[i] = self.g.node_x[n], self.g.node_y[n]
+        batch = batch.set_column(batch.schema.get_field_index(self.x_col),
+                                 self.x_col, pa.array(sx, type=pa.float64()))
+        batch = batch.set_column(batch.schema.get_field_index(self.y_col),
+                                 self.y_col, pa.array(sy, type=pa.float64()))
+        return batch
+
+
+def snap_to_streets(ds, graph: RoadGraph, x_col: str = "mx", y_col: str = "my",
+                    concurrency: int | tuple[int, int] | None = None, batch_size: int = 4096):
+    import ray
+
+    if concurrency is None:
+        from ..util import auto_concurrency
+
+        concurrency = auto_concurrency()
+    ref = ray.put(graph)
+    return ds.map_batches(
+        StreetSnapper,
+        fn_constructor_kwargs=dict(graph_ref=ref, x_col=x_col, y_col=y_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def street_k(ds, graph: RoadGraph, addresses_ds, min_k: int = 30, start: int = 10,
+             stop: int = 60, spread: int = 2, increment: int = 2,
+             suppression: float = 0.99, max_length: float = 1000.0,
+             seed: int = 42, key_col: str = "doc_id"):
+    """Iterative street masking until k-satisfaction (M4,
+    `street.py:165-192`): driver-level loop over full Ray pipelines with a
+    scalar k-satisfaction barrier per iteration; the same seed is reused
+    each retry exactly like the reference (`street.py:178`)."""
+    from ..analysis.aggregates import k_satisfaction
+    from ..analysis.displacement import displacement
+    from ..analysis.k_anonymity import calculate_k
+    from .suppress import suppress
+
+    import pyarrow as pa
+
+    addresses_ds = addresses_ds.materialize()
+    ds = ds.materialize()
+    k_sat = 0.0
+    while k_sat < suppression:
+        if start > stop:
+            raise RuntimeError(
+                "Reached maximum network depth (stop value). Unable to achieve min_k.")
+        masked = displacement(
+            street(ds, graph, low=start, high=start + spread,
+                   max_length=max_length, seed=seed, key_col=key_col)).materialize()
+        k = calculate_k(masked, addresses_ds, key_col=key_col).materialize()
+        k_sat = k_satisfaction(k, min_k=min_k)
+        if k_sat >= suppression:
+            import ray
+
+            kdf = k.to_pandas()
+            kmap_ref = ray.put(dict(zip(kdf[key_col], kdf["k_anonymity"])))
+
+            def attach(b: pa.Table) -> pa.Table:
+                kmap = ray.get(kmap_ref)
+                ks = np.array([kmap.get(d, 1) for d in
+                               b.column(key_col).to_numpy(zero_copy_only=False)],
+                              dtype=np.int64)
+                return b.append_column("k_anonymity", pa.array(ks, type=pa.int64()))
+
+            with_k = masked.map_batches(attach, batch_format="pyarrow")
+            return suppress(with_k, min_k=min_k)
+        start += increment

@@ -1,0 +1,159 @@
+"""Voronoi mask (M6).
+
+Reference `/root/reference/maskmypy/masks/voronoi.py`: build the Voronoi
+diagram of the whole point set (edges only) and move each point to the
+nearest point on the nearest edge. Deterministic — no RNG, no seed
+(asserted by `tests/test_atlas.py:206-210`).
+
+From-scratch kernel (shapely unavailable): for each point p, its nearest
+point on the Voronoi diagram lies on the boundary of p's own Voronoi
+cell. The cell is computed by clipping a large box with the bisector
+half-planes of p's K nearest neighbors (Sutherland–Hodgman); the result
+is exact whenever the true cell is determined by those K neighbors, which
+is verified per point via the half-width bound (cell boundary distance
+<= |p - farthest considered neighbor| / 2); K doubles on failure.
+
+Distributed shape: the whole point set (just x, y — 16 bytes/point) is
+broadcast to an actor pool; each actor builds a KD-grid once and answers
+per-point queries vectorized over neighbors. At 10^12 scale the design
+switches to per-cell kNN with halo rings (SURVEY.md §2.1 M6) — the
+broadcast variant is exact and adequate up to ~10^8 points.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _clip_halfplane(poly: np.ndarray, a: float, b: float, c: float) -> np.ndarray:
+    """Clip polygon (n,2) to half-plane a*x + b*y <= c."""
+    if not len(poly):
+        return poly
+    vals = a * poly[:, 0] + b * poly[:, 1] - c
+    keep = vals <= 0
+    out = []
+    n = len(poly)
+    for i in range(n):
+        j = (i + 1) % n
+        if keep[i]:
+            out.append(poly[i])
+        if keep[i] != keep[j]:
+            t = vals[i] / (vals[i] - vals[j])
+            out.append(poly[i] + t * (poly[j] - poly[i]))
+    return np.asarray(out) if out else np.empty((0, 2))
+
+
+def voronoi_cell_nearest(px: float, py: float, nx: np.ndarray, ny: np.ndarray,
+                         box_half: float) -> tuple[float, float, float]:
+    """Nearest point on the boundary of p's Voronoi cell w.r.t. neighbor
+    sites (nx, ny). Returns (qx, qy, dist)."""
+    poly = np.array([
+        [px - box_half, py - box_half],
+        [px + box_half, py - box_half],
+        [px + box_half, py + box_half],
+        [px - box_half, py + box_half],
+    ])
+    for sx, sy in zip(nx, ny):
+        # bisector half-plane: points closer to p than to s
+        a = sx - px
+        b = sy - py
+        c = (sx * sx - px * px + sy * sy - py * py) / 2.0
+        poly = _clip_halfplane(poly, a, b, c)
+        if len(poly) < 3:
+            break
+    if len(poly) < 2:
+        return px, py, 0.0
+    from ..geokernels.geometry import nearest_point_on_segments
+
+    ax = poly[:, 0]
+    ay = poly[:, 1]
+    bx = np.roll(ax, -1)
+    by = np.roll(ay, -1)
+    qx, qy, d2 = nearest_point_on_segments(px, py, ax, ay, bx, by)
+    i = int(np.argmin(d2))
+    return float(qx[i]), float(qy[i]), float(np.sqrt(d2[i]))
+
+
+class VoronoiMasker:
+    """Actor-pool stage holding the broadcast point set + KD-grid."""
+
+    def __init__(self, points_ref, box_half: float = 1.0e5):
+        import ray
+
+        pts = ray.get(points_ref) if not isinstance(points_ref, tuple) else points_ref
+        self.all_x, self.all_y, self.all_key = pts
+        self.box_half = box_half
+        # simple sorted-by-x index for kNN candidate gather
+        self._order = np.argsort(self.all_x, kind="stable")
+        self._xs = self.all_x[self._order]
+
+    def _knn(self, px: float, py: float, key: int, k: int) -> tuple[np.ndarray, np.ndarray]:
+        """k nearest OTHER sites by expanding x-window search (exact)."""
+        n = len(self._xs)
+        k = min(k, n - 1)
+        # expand symmetric x-window until it holds >= k points whose x-gap
+        # exceeds the kth euclidean distance found
+        width = max(self.box_half / 1024.0, 1.0)
+        while True:
+            lo = np.searchsorted(self._xs, px - width)
+            hi = np.searchsorted(self._xs, px + width)
+            idx = self._order[lo:hi]
+            idx = idx[self.all_key[idx] != key]
+            if len(idx) >= k or (lo == 0 and hi == n):
+                if len(idx) == 0:
+                    return np.empty(0), np.empty(0)
+                d2 = (self.all_x[idx] - px) ** 2 + (self.all_y[idx] - py) ** 2
+                take = np.argsort(d2, kind="stable")[:k]
+                kth = np.sqrt(d2[take[-1]]) if len(take) else 0.0
+                if kth <= width or (lo == 0 and hi == n):
+                    return self.all_x[idx[take]], self.all_y[idx[take]]
+            width *= 2.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        keys = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mx = np.empty(len(x))
+        my = np.empty(len(x))
+        for i in range(len(x)):
+            k = 16
+            while True:
+                nx, ny = self._knn(x[i], y[i], keys[i], k)
+                if not len(nx):
+                    mx[i], my[i] = x[i], y[i]
+                    break
+                qx, qy, dist = voronoi_cell_nearest(x[i], y[i], nx, ny, self.box_half)
+                # exact iff boundary distance is certified by the kth
+                # neighbor: any unseen site is farther than the kth, so its
+                # bisector is farther than |p-kth|/2 from p.
+                kth = np.hypot(nx[-1] - x[i], ny[-1] - y[i])
+                if dist <= kth / 2.0 or k >= len(self.all_x) - 1:
+                    mx[i], my[i] = qx, qy
+                    break
+                k *= 2
+        batch = batch.append_column("mx", pa.array(mx, type=pa.float64()))
+        batch = batch.append_column("my", pa.array(my, type=pa.float64()))
+        return batch
+
+
+def voronoi(ds, key_col: str = "doc_id",
+            concurrency: int | tuple[int, int] | None = None, batch_size: int = 4096):
+    """Voronoi-mask a geoparsed Dataset. Global operator: collects the
+    (x, y, key) columns once (16 B/point), broadcasts via ``ray.put``."""
+    import ray
+
+    if concurrency is None:
+        from ..util import auto_concurrency
+
+        concurrency = auto_concurrency()
+    pts = ds.select_columns([key_col, "x", "y"]).to_pandas()
+    ref = ray.put((pts["x"].to_numpy(), pts["y"].to_numpy(),
+                   pts[key_col].to_numpy()))
+    return ds.map_batches(
+        VoronoiMasker,
+        fn_constructor_kwargs=dict(points_ref=ref),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
