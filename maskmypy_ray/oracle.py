@@ -191,3 +191,31 @@ addr_xy AS (
     (lat - {C.LAT0!r}) * {C.METERS_PER_DEG_LAT!r} AS ay
   FROM addresses
 )"""
+
+
+def locationswap_cte(seed: int, low: float, high: float) -> str:
+    """points + addresses -> swapped (mx, my, UNMASKED). Mirror of
+    stages.locationswap.LocationSwapper: exact-circle annulus
+    (low^2 < d^2 <= high^2), uniform pick = index floor(u9 * n) over
+    candidates sorted by addr_id, keep-original + UNMASKED when none."""
+    u9 = _u(seed, 9, "p.doc_id")
+    return f"""{points_cte(seed)},
+{addresses_cte(seed)},
+cand AS (
+  SELECT p.doc_id, a.addr_id, a.ax, a.ay,
+         row_number() OVER (PARTITION BY p.doc_id ORDER BY a.addr_id) - 1 AS rk,
+         count(*) OVER (PARTITION BY p.doc_id) AS n
+  FROM points p JOIN addr_xy a
+    ON (a.ax - p.x)*(a.ax - p.x) + (a.ay - p.y)*(a.ay - p.y) > {low!r} * {low!r}
+   AND (a.ax - p.x)*(a.ax - p.x) + (a.ay - p.y)*(a.ay - p.y) <= {high!r} * {high!r}
+),
+chosen AS (
+  SELECT c.doc_id, c.ax, c.ay FROM cand c
+  WHERE c.rk = CAST(floor({sql_uniform01('c.doc_id', seed, 9)} * c.n) AS BIGINT)
+),
+swapped AS (
+  SELECT p.doc_id, p.url, p.warc_ts, p.text, p.lang, p.x, p.y,
+         COALESCE(ch.ax, p.x) AS mx, COALESCE(ch.ay, p.y) AS my,
+         CAST(CASE WHEN ch.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS UNMASKED
+  FROM points p LEFT JOIN chosen ch ON p.doc_id = ch.doc_id
+)"""

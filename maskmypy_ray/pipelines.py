@@ -167,6 +167,40 @@ def q_suppress(sf_dir: str):
     return sup.select_columns(["url", "SUPPRESSED"])
 
 
+def q_locationswap(sf_dir: str):
+    from .sources.webpages import addresses_table
+    from .stages.locationswap import locationswap
+
+    addr = addresses_table(sf_dir, seed=SEED)
+    return locationswap(points_ds(sf_dir), addr, LOW, HIGH, SEED).select_columns(
+        ["url", "mx", "my", "UNMASKED"])
+
+
+def q_street(sf_dir: str):
+    """Street mask (rows-only oracle: bounded Dijkstra isn't SQL)."""
+    from .sources.roadgraph import synth_road_graph
+    from .stages.street import street
+
+    return street(points_ds(sf_dir), synth_road_graph(), low=5, high=10,
+                  seed=SEED).select_columns(["url", "mx", "my"])
+
+
+def q_snap_to_streets(sf_dir: str):
+    """Donut mask + snap-to-streets post-pass (rows-only oracle)."""
+    from .sources.roadgraph import synth_road_graph
+    from .stages.street import snap_to_streets
+
+    return snap_to_streets(masked_ds(sf_dir), synth_road_graph()).select_columns(
+        ["url", "mx", "my"])
+
+
+def q_voronoi(sf_dir: str):
+    """Voronoi mask (rows-only oracle: global geometric operator)."""
+    from .stages.voronoi import voronoi
+
+    return voronoi(points_ds(sf_dir)).select_columns(["url", "mx", "my"])
+
+
 QUERIES = {
     "webpages": q_webpages,
     "geoparse": q_geoparse,
@@ -184,6 +218,10 @@ QUERIES = {
     "nnd": q_nnd,
     "addresses": q_addresses,
     "suppress": q_suppress,
+    "locationswap": q_locationswap,
+    "street_mask": q_street,
+    "snap_to_streets": q_snap_to_streets,
+    "voronoi": q_voronoi,
 }
 
 
@@ -260,6 +298,9 @@ def oracle_queries() -> dict[str, str]:
             "round(avg(nnd), 6) AS nnd_mean FROM nn"),
         "addresses": (
             f"WITH {oracle.addresses_cte(SEED)} SELECT addr_id, lat, lon FROM addresses"),
+        "locationswap": (
+            f"WITH {oracle.locationswap_cte(SEED, LOW, HIGH)} "
+            "SELECT url, mx, my, UNMASKED FROM swapped"),
         "suppress": (
             f"WITH {_k_sql()} SELECT f.url, "
             "CASE WHEN k.k_anonymity < 50 THEN 'TRUE' ELSE 'FALSE' END AS SUPPRESSED "
