@@ -12,14 +12,13 @@ mathematically exact circle predicate ``dist <= d``; the ported golden
 tests carry exact-circle expectations and the DuckDB oracle uses the
 identical predicate, so engine/oracle agree bit-for-bit.
 
-Distributed shape (SURVEY.md §2.2 A3): both sides keyed by a planar grid
-cell; each point's circle is expanded to its covering cells (``flat_map``
-fan-out), addresses stay in their single cell, a ``groupby(cell)`` shuffle
-co-locates them, a vectorized per-group kernel counts within-radius pairs,
-and a second small ``groupby(doc_id)`` sums partial counts across cells.
-Each (point, address) pair coexists in exactly one group (the address's
-cell), so no dedup is needed. Optional address salting splits every cell
-into ``salt`` subgroups to cap skew from hot (downtown) cells.
+Distributed shape (SURVEY.md §2.2 A3), single-shuffle: the grid cell is
+sized >= the max displacement radius, addresses are replicated into their
+3x3 halo ring, points stay in their own cell, and ONE ``groupby(cell)``
+co-locates every point with all addresses it could possibly count — the
+per-group vectorized kernel emits final k values directly. Optional
+salting splits each cell's points into ``salt`` subgroups (addresses
+replicated per subgroup) to cap skew from hot (downtown) cells.
 
 A4 — polygon/areal ``estimate_k`` (`analysis.py:524-539,563-579`):
 k = floor(sum over polygons of pop * area(circle ∩ polygon)/area(polygon)).
@@ -34,34 +33,34 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..geokernels.cells import cell_of_xy, cover_circle_xy
+from ..geokernels.cells import cell_of_xy, neighbors_xy
 from ..geokernels.pip import PolygonSet
 
 DEFAULT_CELL_M = 500.0
 
 
-def _point_cover_batch(batch: pa.Table, cell_m: float, salt: int,
-                       key_col: str) -> pa.Table:
+def _point_cell_batch(batch: pa.Table, cell_m: float, salt: int,
+                      key_col: str) -> pa.Table:
     keys = batch.column(key_col).to_numpy(zero_copy_only=False)
     mx = batch.column("mx").to_numpy(zero_copy_only=False)
     my = batch.column("my").to_numpy(zero_copy_only=False)
     d = batch.column("_distance").to_numpy(zero_copy_only=False)
-    row, cell = cover_circle_xy(mx, my, d, cell_m)
-    n = len(row)
-    tables = []
-    for s in range(salt):
-        tables.append(pa.table({
-            "cell": pa.array(cell * salt + s, type=pa.int64()),
-            "is_addr": pa.array(np.zeros(n, dtype=np.int8)),
-            "key": pa.array(keys[row], type=pa.int64()),
-            "px": pa.array(mx[row], type=pa.float64()),
-            "py": pa.array(my[row], type=pa.float64()),
-            "d": pa.array(d[row], type=pa.float64()),
-        }))
-    return pa.concat_tables(tables)
+    if len(d) and float(np.max(d)) > cell_m:
+        raise ValueError(
+            f"displacement {float(np.max(d)):.1f} m exceeds cell size {cell_m} m; "
+            "pass a larger cell_m (or cell_m=None for auto)")
+    cell = cell_of_xy(mx, my, cell_m)
+    return pa.table({
+        "cell": pa.array(cell * salt + (keys % salt), type=pa.int64()),
+        "is_addr": pa.array(np.zeros(len(keys), dtype=np.int8)),
+        "key": pa.array(keys, type=pa.int64()),
+        "px": pa.array(mx, type=pa.float64()),
+        "py": pa.array(my, type=pa.float64()),
+        "d": pa.array(d, type=pa.float64()),
+    })
 
 
-def _addr_cell_batch(batch: pa.Table, cell_m: float, salt: int) -> pa.Table:
+def _addr_halo_batch(batch: pa.Table, cell_m: float, salt: int) -> pa.Table:
     if "ax" in batch.column_names:
         ax = batch.column("ax").to_numpy(zero_copy_only=False)
         ay = batch.column("ay").to_numpy(zero_copy_only=False)
@@ -70,22 +69,29 @@ def _addr_cell_batch(batch: pa.Table, cell_m: float, salt: int) -> pa.Table:
 
         ax, ay = latlon_to_xy(batch.column("lat").to_numpy(zero_copy_only=False),
                               batch.column("lon").to_numpy(zero_copy_only=False))
-    aid = batch.column("addr_id").to_numpy(zero_copy_only=False)
-    cell = cell_of_xy(ax, ay, cell_m)
-    return pa.table({
-        "cell": pa.array(cell * salt + (aid % salt), type=pa.int64()),
-        "is_addr": pa.array(np.ones(len(ax), dtype=np.int8)),
-        "key": pa.array(aid, type=pa.int64()),
-        "px": pa.array(ax, type=pa.float64()),
-        "py": pa.array(ay, type=pa.float64()),
-        "d": pa.array(np.zeros(len(ax)), type=pa.float64()),
-    })
+    own = cell_of_xy(ax, ay, cell_m)
+    halo = neighbors_xy(own, ring=1)  # (n, 9)
+    n, kk = halo.shape
+    rep = np.repeat(np.arange(n), kk)
+    cells = halo.ravel()
+    tables = []
+    for s in range(salt):
+        tables.append(pa.table({
+            "cell": pa.array(cells * salt + s, type=pa.int64()),
+            "is_addr": pa.array(np.ones(len(rep), dtype=np.int8)),
+            "key": pa.array(np.full(len(rep), -1, dtype=np.int64)),
+            "px": pa.array(ax[rep], type=pa.float64()),
+            "py": pa.array(ay[rep], type=pa.float64()),
+            "d": pa.array(np.zeros(len(rep)), type=pa.float64()),
+        }))
+    return pa.concat_tables(tables)
 
 
-def _count_group(g: pd.DataFrame) -> pd.DataFrame:
+def _count_group_final(g: pd.DataFrame) -> pd.DataFrame:
     pts = g[g["is_addr"] == 0]
     if not len(pts):
-        return pd.DataFrame({"key": [], "cnt": []}).astype({"key": "int64", "cnt": "int64"})
+        return pd.DataFrame({"key": pd.array([], dtype="int64"),
+                             "k_anonymity": pd.array([], dtype="int64")})
     addrs = g[g["is_addr"] == 1]
     px = pts["px"].to_numpy()
     py = pts["py"].to_numpy()
@@ -93,39 +99,180 @@ def _count_group(g: pd.DataFrame) -> pd.DataFrame:
     if len(addrs):
         ax = addrs["px"].to_numpy()
         ay = addrs["py"].to_numpy()
-        # P x A pairwise distances, chunked over points to bound memory.
         cnt = np.empty(len(px), dtype=np.int64)
         chunk = max(1, int(4_000_000 / max(1, len(ax))))
         for i in range(0, len(px), chunk):
-            sl = slice(i, i + chunk)
+            sl = slice(i, min(i + chunk, len(px)))
             dx = px[sl, None] - ax[None, :]
             dy = py[sl, None] - ay[None, :]
             cnt[sl] = (dx * dx + dy * dy <= (d[sl, None]) ** 2).sum(axis=1)
     else:
         cnt = np.zeros(len(px), dtype=np.int64)
-    return pd.DataFrame({"key": pts["key"].to_numpy(), "cnt": cnt})
+    return pd.DataFrame({"key": pts["key"].to_numpy(), "k_anonymity": cnt + 1})
 
 
-def calculate_k(masked_ds, addresses_ds, cell_m: float = DEFAULT_CELL_M,
-                salt: int = 1, key_col: str = "doc_id"):
+class _TableDS:
+    """Minimal Dataset-shim for a driver-side pyarrow address table."""
+
+    def __init__(self, table):
+        self.table = table
+
+    def to_pandas(self):
+        return self.table.to_pandas()
+
+    def map_batches(self, fn, **kwargs):
+        import ray.data
+
+        return ray.data.from_arrow(self.table).map_batches(fn, **kwargs)
+
+
+class BroadcastKCounter:
+    """Zero-shuffle k path: the cell-bucketed address index is broadcast
+    (``ray.put``) and each actor counts within-radius addresses per point
+    from its circle's cover cells. Right whenever the address side fits in
+    the object store (the common census/address case); the halo-shuffle
+    path below covers the both-sides-huge regime."""
+
+    def __init__(self, index_ref, key_col: str = "doc_id"):
+        import ray
+
+        self.idx = ray.get(index_ref) if not isinstance(index_ref, tuple) else index_ref
+        self.key_col = key_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..geokernels.cells import cover_circle_xy
+
+        cell_sorted, order, ax, ay, cell_m = self.idx
+        keys = batch.column(self.key_col).to_numpy(zero_copy_only=False)
+        mx = batch.column("mx").to_numpy(zero_copy_only=False)
+        my = batch.column("my").to_numpy(zero_copy_only=False)
+        d = batch.column("_distance").to_numpy(zero_copy_only=False)
+        row, cells = cover_circle_xy(mx, my, d, cell_m)
+        cnt = np.zeros(len(mx), dtype=np.int64)
+        # Group cover rows by cell: each occupied cell's address slice
+        # (order[lo:hi], contiguous) is tested once against ALL points
+        # covering that cell — small cache-resident P x A blocks instead of
+        # one giant random gather (the flat-gather variant was memory-bound
+        # and anti-scaled past ~8 cores).
+        sorter = np.argsort(cells, kind="stable")
+        cells_s = cells[sorter]
+        rows_s = row[sorter]
+        uniq, starts = np.unique(cells_s, return_index=True)
+        lo = np.searchsorted(cell_sorted, uniq, side="left")
+        hi = np.searchsorted(cell_sorted, uniq, side="right")
+        bounds = np.append(starts, len(cells_s))
+        for g in range(len(uniq)):
+            a, b = lo[g], hi[g]
+            if a == b:
+                continue
+            pr = rows_s[bounds[g]:bounds[g + 1]]
+            sel = order[a:b]
+            dx = ax[sel][None, :] - mx[pr][:, None]
+            dy = ay[sel][None, :] - my[pr][:, None]
+            hits = (dx * dx + dy * dy <= (d[pr] * d[pr])[:, None]).sum(axis=1)
+            cnt[pr] += hits
+        return pa.table({
+            self.key_col: pa.array(keys, type=pa.int64()),
+            "k_anonymity": pa.array(cnt + 1, type=pa.int64()),
+        })
+
+
+def _compile_address_index(addresses_ds, cell_m: float):
+    from ..geokernels.geometry import latlon_to_xy
+
+    df = addresses_ds.to_pandas()
+    if "ax" in df.columns:
+        ax = df["ax"].to_numpy()
+        ay = df["ay"].to_numpy()
+    else:
+        ax, ay = latlon_to_xy(df["lat"].to_numpy(), df["lon"].to_numpy())
+    # A finer index cell than the join cell keeps the circle's bbox cover
+    # tight, shrinking the candidate set ~2-3x in dense (downtown) tiles.
+    index_cell = max(cell_m / 4.0, 50.0)
+    cells = cell_of_xy(ax, ay, index_cell)
+    order = np.argsort(cells, kind="stable")
+    return (cells[order], order.astype(np.int64), ax, ay, index_cell)
+
+
+BROADCAST_ADDR_LIMIT = 5_000_000
+
+
+def calculate_k(masked_ds, addresses_ds, cell_m: float | None = None,
+                salt: int = 1, key_col: str = "doc_id", mode: str = "auto"):
     """Address-based k-anonymity -> Dataset[(doc_id, k_anonymity)].
 
     ``masked_ds`` must carry mx, my, _distance (run displacement() first).
-    """
-    from ray.data.aggregate import Sum
 
+    Two physical plans, same exact predicate:
+
+    * ``broadcast`` (zero shuffle) — when the address side is small
+      enough to broadcast (< BROADCAST_ADDR_LIMIT rows), a cell-bucketed
+      index is ``ray.put`` once and a stateless actor pool counts per
+      point from the circle's cover cells.
+    * ``shuffle`` — ONE groupby(cell): the cell size is >= the max
+      displacement radius (auto: one Max aggregate), so every address
+      within a point's circle lies in the 3x3 halo of the point's own
+      cell; addresses replicate into their halo (9x [x salt]), points
+      stay in one (cell [, salt]) group, and k completes per group.
+      (The earlier two-shuffle variant — point-circle cover expansion +
+      groupby(key) re-aggregation — spent ~80% of its wall time in the
+      second aggregate.)
+
+    ``mode="auto"`` picks broadcast when the address count is known small.
+    """
+    import pyarrow as _pa
+
+    if isinstance(addresses_ds, _pa.Table):
+        # Small side handed directly as an Arrow table: skip the Ray
+        # count/collect passes entirely.
+        if mode == "auto":
+            mode = "broadcast"
+        addresses_ds = _TableDS(addresses_ds)
+    elif mode == "auto":
+        n_addr = addresses_ds.count()
+        mode = "broadcast" if n_addr <= BROADCAST_ADDR_LIMIT else "shuffle"
+    if cell_m is None:
+        from ray.data.aggregate import Max
+
+        dmax = masked_ds.aggregate(Max("_distance"))["max(_distance)"] or 0.0
+        cell_m = max(DEFAULT_CELL_M, float(dmax))
+    if mode == "broadcast":
+        import ray
+
+        ref = ray.put(_compile_address_index(addresses_ds, cell_m))
+
+        # Stateless tasks, not an actor pool: the broadcast index lives in
+        # the object store and each task's ray.get is a zero-copy mmap of
+        # the shared numpy arrays, so there is no per-actor state to
+        # amortize — and task pools scale to every free CPU instantly
+        # (the autoscaling actor pool ramped too slowly to matter).
+        def count(batch: pa.Table) -> pa.Table:
+            return BroadcastKCounter(ref, key_col=key_col)(batch)
+
+        # Chunking happens INSIDE the function (4096-row zero-copy
+        # slices keep per-call allocations in reused malloc pools — this
+        # sandbox's first-touch page faults are slow). Never via Ray's
+        # batch_size here: on a fused lazy chain Ray bundles tasks by
+        # PRE-expansion input rows, which once serialized this stage
+        # into two giant tasks.
+        def count_chunked(batch: pa.Table) -> pa.Table:
+            if batch.num_rows <= 4096:
+                return count(batch)
+            outs = [count(batch.slice(i, 4096))
+                    for i in range(0, batch.num_rows, 4096)]
+            return pa.concat_tables(outs)
+
+        return masked_ds.map_batches(count_chunked, batch_format="pyarrow")
     pts = masked_ds.map_batches(
-        lambda b: _point_cover_batch(b, cell_m, salt, key_col), batch_format="pyarrow")
+        lambda b: _point_cell_batch(b, cell_m, salt, key_col), batch_format="pyarrow")
     adr = addresses_ds.map_batches(
-        lambda b: _addr_cell_batch(b, cell_m, salt), batch_format="pyarrow")
-    unioned = pts.union(adr)
-    counts = unioned.groupby("cell").map_groups(_count_group, batch_format="pandas")
-    k = counts.groupby("key").aggregate(Sum("cnt", alias_name="cnt_sum"))
-    return k.map_batches(
+        lambda b: _addr_halo_batch(b, cell_m, salt), batch_format="pyarrow")
+    counts = pts.union(adr).groupby("cell").map_groups(
+        _count_group_final, batch_format="pandas")
+    return counts.map_batches(
         lambda b: pa.table({
             key_col: b.column("key"),
-            "k_anonymity": pa.array(
-                b.column("cnt_sum").to_numpy(zero_copy_only=False) + 1, type=pa.int64()),
+            "k_anonymity": b.column("k_anonymity"),
         }),
         batch_format="pyarrow",
     )
@@ -247,24 +394,18 @@ class ArealKEstimator:
         })
 
 
-def estimate_k(masked_ds, polygons: PolygonSet, key_col: str = "doc_id",
-               concurrency: int | tuple[int, int] | None = None, batch_size: int = 4096):
+def estimate_k(masked_ds, polygons: PolygonSet, key_col: str = "doc_id"):
     """Areal k-anonymity -> Dataset[(doc_id, k_anonymity)] (broadcast side,
     no shuffle)."""
     import ray
 
-    if concurrency is None:
-        from ..util import auto_concurrency
-
-        concurrency = auto_concurrency()
     ref = ray.put(polygons)
-    return masked_ds.map_batches(
-        ArealKEstimator,
-        fn_constructor_kwargs=dict(polygons_ref=ref, key_col=key_col),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+
+    # Stateless tasks over broadcast polygons (see stages/donut.py note).
+    def estimate(batch: pa.Table) -> pa.Table:
+        return ArealKEstimator(ref, key_col=key_col)(batch)
+
+    return masked_ds.map_batches(estimate, batch_format="pyarrow")
 
 
 def k_anonymity(masked_ds, population, population_column: str = "pop",

@@ -71,7 +71,7 @@ def nnd_per_point(ds, cell_m: float = DEFAULT_NND_CELL_M, x_col: str = "x",
     nn = halo.groupby("cell").map_groups(_nn_group, batch_format="pandas")
     nn = nn.materialize()
     # Exactness check: results > cell_m may have a true NN outside the halo.
-    unresolved = nn.filter(lambda r: r["nnd"] > cell_m).to_pandas()
+    unresolved = nn.filter(expr=f"nnd > {cell_m!r}").to_pandas()
     if len(unresolved):
         resolved = _brute_force_nn(ds, unresolved, x_col, y_col, key_col)
         fix = dict(zip(resolved["key"], resolved["nnd"]))

@@ -78,35 +78,21 @@ def cover_circle_xy(
     gx1 = np.floor((x + radius) / cell_m).astype(np.int64) + _GRID_OFFSET
     gy0 = np.floor((y - radius) / cell_m).astype(np.int64) + _GRID_OFFSET
     gy1 = np.floor((y + radius) / cell_m).astype(np.int64) + _GRID_OFFSET
-    counts = (gx1 - gx0 + 1) * (gy1 - gy0 + 1)
-    row_idx = np.repeat(np.arange(len(x), dtype=np.int64), counts)
-    # Vectorized per-row meshgrid expansion.
-    out = np.empty(int(counts.sum()), dtype=np.int64)
-    pos = 0
-    # Group rows by identical (w, h) to vectorize: typical covers are tiny
-    # (1-9 cells), so a small Python loop over distinct shapes is cheap.
     w = (gx1 - gx0 + 1).astype(np.int64)
     h = (gy1 - gy0 + 1).astype(np.int64)
-    order = np.argsort(counts, kind="stable")
-    # Fallback simple loop when few rows; vectorized path for uniform shapes.
-    if len(x) and (w.max() * h.max() <= 64):
-        # offsets per row: for each row r, cells = (gy0[r]+j)*S + gx0[r]+i
-        idx = 0
-        out_list = []
-        row_list = []
-        for shape_w in np.unique(w):
-            for shape_h in np.unique(h[w == shape_w]):
-                sel = np.nonzero((w == shape_w) & (h == shape_h))[0]
-                if not len(sel):
-                    continue
-                di = np.tile(np.arange(shape_w, dtype=np.int64), shape_h)
-                dj = np.repeat(np.arange(shape_h, dtype=np.int64), shape_w)
-                base = (gy0[sel, None] + dj[None, :]) * _GRID_STRIDE + (gx0[sel, None] + di[None, :])
-                out_list.append(base.ravel())
-                row_list.append(np.repeat(sel, shape_w * shape_h))
-        out = np.concatenate(out_list) if out_list else np.empty(0, dtype=np.int64)
-        row_idx = np.concatenate(row_list) if row_list else np.empty(0, dtype=np.int64)
-        return row_idx, out
+    # Padded-grid vectorization: every point gets a wmax x hmax candidate
+    # grid in ONE (n, K) array; cells beyond the point's own (w, h) are
+    # masked out. Single pass, no per-shape loops.
+    if len(x) and int(w.max() * h.max()) <= 4096:
+        wmax = int(w.max())
+        hmax = int(h.max())
+        di = np.tile(np.arange(wmax, dtype=np.int64), hmax)  # (K,)
+        dj = np.repeat(np.arange(hmax, dtype=np.int64), wmax)
+        cells_full = (gy0[:, None] + dj[None, :]) * _GRID_STRIDE \
+            + (gx0[:, None] + di[None, :])
+        valid = (di[None, :] < w[:, None]) & (dj[None, :] < h[:, None])
+        row_idx, col = np.nonzero(valid)
+        return row_idx, cells_full[row_idx, col]
     # Degenerate huge-radius path: plain loop.
     cells = []
     rows = []

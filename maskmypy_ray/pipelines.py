@@ -306,3 +306,208 @@ def oracle_queries() -> dict[str, str]:
             "CASE WHEN k.k_anonymity < 50 THEN 'TRUE' ELSE 'FALSE' END AS SUPPRESSED "
             "FROM flag f JOIN kvals k ON f.doc_id = k.doc_id"),
     }
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators (text analysis, dedup, similarity, multimodal)
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE_SQL = "[a-z0-9]+"
+_STOP_RE_SQL = r"\b(the|a|and|of|to)\b"
+
+
+def _docs_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+
+def _emb_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+
+
+def q_token_stats(sf_dir: str):
+    from .text.quality import token_stats
+
+    return token_stats(_docs_ds(sf_dir))
+
+
+def q_quality_score(sf_dir: str):
+    from .text.quality import quality_score
+
+    return quality_score(_docs_ds(sf_dir))
+
+
+def q_lang_id(sf_dir: str):
+    from .text.quality import lang_id
+
+    return lang_id(_docs_ds(sf_dir))
+
+
+def q_fingerprint(sf_dir: str):
+    from .text.quality import fingerprint
+
+    return fingerprint(_docs_ds(sf_dir))
+
+
+def q_dedup_exact(sf_dir: str):
+    from .text.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_docs_ds(sf_dir))
+
+
+def q_dedup_jaccard(sf_dir: str):
+    from .text.dedup import jaccard_pairs_exact
+
+    return jaccard_pairs_exact(_docs_ds(sf_dir), threshold=0.9)
+
+
+def q_dedup_minhash(sf_dir: str):
+    """MinHash+LSH near-dup pairs over the corpus + mutated copies
+    (rows-only oracle; recall vs exact is pytest-checked)."""
+    from .text.dedup import minhash_lsh_pairs, with_mutated_copies
+
+    return minhash_lsh_pairs(with_mutated_copies(_docs_ds(sf_dir)),
+                             threshold=0.8)
+
+
+def q_dedup_simhash(sf_dir: str):
+    """SimHash hamming<=3 pairs (rows-only oracle)."""
+    from .text.dedup import simhash_pairs, with_mutated_copies
+
+    return simhash_pairs(with_mutated_copies(_docs_ds(sf_dir)))
+
+
+def q_embedding_pairs(sf_dir: str):
+    from .sim.ann import cosine_pairs
+
+    return cosine_pairs(_emb_ds(sf_dir), threshold=0.4)
+
+
+def q_ann_topk(sf_dir: str):
+    from .sim.ann import cosine_topk
+
+    out = cosine_topk(_emb_ds(sf_dir), query_ids=list(range(20)), k=10)
+    return out.select_columns(["query_id", "rank", "vec_id"])
+
+
+def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed approximate top-k (rows-only oracle; recall vs brute
+    force is pytest-checked)."""
+    from .sim.ann import lsh_topk
+
+    out = lsh_topk(_emb_ds(sf_dir), query_ids=list(range(20)), k=10)
+    return out.select_columns(["query_id", "rank", "vec_id"])
+
+
+def q_media_metadata(sf_dir: str):
+    from .multimodal.media import media_metadata
+
+    return media_metadata(read_webpages(sf_dir, seed=SEED, include_html=True))
+
+
+def q_media_decode(sf_dir: str):
+    """Decode-stub plumbing over the binary column (rows-only oracle)."""
+    from .multimodal.media import decode_media, resize_media
+
+    decoded = decode_media(read_webpages(sf_dir, seed=SEED, include_html=True),
+                           fake=True, height=8, width=8)
+    return resize_media(decoded, out_h=4, out_w=4).select_columns(
+        ["url", "height", "width"])
+
+
+QUERIES.update({
+    "token_stats": q_token_stats,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "embedding_pairs": q_embedding_pairs,
+    "ann_topk": q_ann_topk,
+    "ann_lsh": q_ann_lsh,
+    "media_metadata": q_media_metadata,
+    "media_decode": q_media_decode,
+})
+
+
+def _lang_sql() -> str:
+    from .text.quality import LANG_MARKERS
+
+    counts = ", ".join(
+        f"len(regexp_extract_all(lower(text), '{pat}')) AS c_{code}"
+        for code, pat in LANG_MARKERS)
+    codes = [code for code, _ in LANG_MARKERS]
+    whens = []
+    for i, code in enumerate(codes):
+        conds = " AND ".join(f"c_{code} >= c_{other}" for other in codes[i + 1:])
+        whens.append(f"WHEN {conds or 'TRUE'} THEN '{code}'")
+    case = ("CASE WHEN " + " + ".join(f"c_{c}" for c in codes) + " = 0 "
+            "THEN 'und' " + " ".join(whens) + " END")
+    return (f"WITH c AS (SELECT doc_id, {counts} FROM documents) "
+            f"SELECT doc_id, {case} AS lang_pred FROM c")
+
+
+def _training_oracles() -> dict[str, str]:
+    tok = f"regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')"
+    stop = f"regexp_extract_all(lower(text), '{_STOP_RE_SQL}')"
+    ratio = ("CASE WHEN len(" + tok + ") > 0 THEN len(" + stop
+             + ") / CAST(greatest(len(" + tok + "), 1) AS DOUBLE) ELSE 0.0 END")
+    return {
+        "token_stats": (
+            f"SELECT doc_id, CAST(len({tok}) AS BIGINT) AS n_tokens, "
+            f"CAST(len({stop}) AS BIGINT) AS n_stopwords, "
+            f"{ratio} AS stop_ratio FROM documents"),
+        "quality_score": (
+            f"SELECT doc_id, least(len({tok}) / 50.0, 1.0) * 0.5 "
+            f"+ least(({ratio}) * 5.0, 1.0) * 0.5 AS quality_score "
+            "FROM documents"),
+        "lang_id": _lang_sql(),
+        "fingerprint": (
+            f"SELECT doc_id, md5(array_to_string(list_sort(list_distinct({tok})), ' ')) "
+            "AS fingerprint FROM documents"),
+        "dedup_exact": (
+            "SELECT md5(text) AS h, min(doc_id) AS keeper FROM documents "
+            "GROUP BY md5(text)"),
+        "dedup_jaccard": (
+            f"WITH tk AS (SELECT doc_id, list_distinct({tok}) AS t FROM documents), "
+            "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "len(list_intersect(a.t, b.t)) AS i, len(a.t) AS la, len(b.t) AS lb "
+            "FROM tk a JOIN tk b ON a.doc_id < b.doc_id) "
+            "SELECT doc_a, doc_b, i / CAST(la + lb - i AS DOUBLE) AS sim FROM p "
+            "WHERE i / CAST(la + lb - i AS DOUBLE) >= 0.9"),
+        "embedding_pairs": (
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b FROM embeddings a "
+            "JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"),
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20), "
+            "s AS (SELECT q.vec_id AS query_id, e.vec_id, "
+            "list_cosine_similarity(q.embedding, e.embedding) AS sim "
+            "FROM q JOIN embeddings e ON e.vec_id <> q.vec_id), "
+            "r AS (SELECT query_id, vec_id, CAST(row_number() OVER "
+            "(PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank "
+            "FROM s) SELECT query_id, rank, vec_id FROM r WHERE rank <= 10"),
+        "media_metadata": None,  # filled in oracle_queries (needs pages CTE)
+    }
+
+
+_BASE_ORACLE_QUERIES = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends the base set
+    out = _BASE_ORACLE_QUERIES()
+    extra = _training_oracles()
+    extra["media_metadata"] = (
+        f"WITH {oracle.pages_cte(SEED)} SELECT url, "
+        "CAST(octet_length(encode('<html><body>' || text || '</body></html>')) AS BIGINT) "
+        "AS media_bytes, "
+        "md5('<html><body>' || text || '</body></html>') AS media_md5 FROM pages")
+    out.update(extra)
+    return out

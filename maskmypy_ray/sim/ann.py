@@ -1,0 +1,181 @@
+"""Similarity search over an embedding column (list<float>).
+
+* :func:`cosine_topk` — exact brute-force top-k: the query matrix is
+  L2-normalized once, broadcast via ``ray.put``, and every batch does one
+  float64 matmul against it. The baseline (and the oracle-checked path).
+* :func:`cosine_pairs` — exact all-pairs cosine >= threshold (dedup-style
+  similarity join; one side broadcast).
+* :func:`lsh_topk` — random-hyperplane LSH variant: vectors are bucketed
+  by sign-pattern; each query searches only its bucket and hamming-1
+  neighbors. The scale path (buckets shard the matmul); recall measured
+  against brute force in tests.
+
+Hyperplanes draw from the engine's counter RNG — deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..rng import uniform01
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    m = m.astype(np.float64)
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(n > 0, n, 1.0)
+
+
+def _embeddings_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+    emb = np.stack(batch.column("embedding").to_numpy(zero_copy_only=False))
+    return ids, emb
+
+
+class TopKScorer:
+    """Actor-pool stage: normalized query matrix fetched once per actor."""
+
+    def __init__(self, queries_ref, k: int):
+        import ray
+
+        self.q_ids, self.q = (
+            ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, emb = _embeddings_matrix(batch)
+        sims = _normalize(emb) @ self.q.T  # (batch, nq)
+        out_q, out_n, out_s = [], [], []
+        for j in range(len(self.q_ids)):
+            out_q.append(np.full(len(ids), self.q_ids[j], dtype=np.int64))
+            out_n.append(ids)
+            out_s.append(sims[:, j])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_n), type=pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
+        })
+
+
+def cosine_topk(ds, query_ids: list[int], k: int = 10, exclude_self: bool = True):
+    """Exact top-k cosine neighbors of the given vec_ids.
+
+    Per-batch partial top-k would cut the shuffle further; at driver
+    scales the full score table is tiny, so a ``groupby(query_id)``
+    head-k suffices.
+    """
+    import ray
+
+    from ..util import auto_concurrency
+
+    qdf = ds.map_batches(
+        lambda b: b.filter(pa.array(np.isin(
+            b.column("vec_id").to_numpy(zero_copy_only=False), query_ids))),
+        batch_format="pyarrow").to_pandas()
+    q_ids = qdf["vec_id"].to_numpy()
+    q = _normalize(np.stack(qdf["embedding"].to_numpy()))
+    ref = ray.put((q_ids, q))
+    scores = ds.map_batches(
+        TopKScorer,
+        fn_constructor_kwargs=dict(queries_ref=ref, k=k),
+        batch_format="pyarrow",
+        concurrency=auto_concurrency(),
+    )
+
+    def head_k(g: pd.DataFrame) -> pd.DataFrame:
+        if exclude_self:
+            g = g[g["vec_id"] != g["query_id"].iloc[0]]
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return scores.groupby("query_id").map_groups(head_k, batch_format="pandas")
+
+
+def cosine_pairs(ds, threshold: float = 0.4):
+    """Exact all-pairs cosine similarity join: (vec_a, vec_b) with
+    cosine >= threshold, vec_a < vec_b. One side broadcast; each batch
+    multiplies against the full normalized matrix."""
+    import ray
+
+    df = ds.select_columns(["vec_id", "embedding"]).to_pandas()
+    all_ids = df["vec_id"].to_numpy()
+    allm = _normalize(np.stack(df["embedding"].to_numpy()))
+    ref = ray.put((all_ids, allm))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids, emb = _embeddings_matrix(batch)
+        bids, bm = ray.get(ref)
+        sims = _normalize(emb) @ bm.T
+        ii, jj = np.nonzero(sims >= threshold)
+        a = ids[ii]
+        b = bids[jj]
+        keep = a < b
+        return pa.table({
+            "vec_a": pa.array(a[keep], type=pa.int64()),
+            "vec_b": pa.array(b[keep], type=pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def lsh_buckets_batch(batch: pa.Table, planes: np.ndarray) -> pa.Table:
+    ids, emb = _embeddings_matrix(batch)
+    signs = (_normalize(emb) @ planes.T) > 0  # (n, nbits)
+    keys = np.zeros(len(ids), dtype=np.int64)
+    for b in range(planes.shape[0]):
+        keys |= signs[:, b].astype(np.int64) << b
+    return pa.table({
+        "bucket": pa.array(keys, type=pa.int64()),
+        "vec_id": pa.array(ids, type=pa.int64()),
+    })
+
+
+def random_hyperplanes(dim: int, nbits: int = 8, seed: int = 42) -> np.ndarray:
+    """Deterministic hyperplanes from the counter RNG (Box-Muller)."""
+    idx = np.arange(dim * nbits, dtype=np.int64)
+    u = uniform01(idx, seed, 500)
+    v = uniform01(idx, seed, 501)
+    g = np.sqrt(-2.0 * np.log1p(-u)) * np.cos(2.0 * np.pi * v)
+    return g.reshape(nbits, dim)
+
+
+def lsh_topk(ds, query_ids: list[int], k: int = 10, nbits: int = 6, seed: int = 42,
+             probe_hamming: int = 2):
+    """LSH-bucketed approximate top-k: each query scans its own bucket plus
+    all buckets within ``probe_hamming`` sign flips (multi-probe). Returns
+    the same schema as cosine_topk. Recall depends on how concentrated
+    true neighbors are; on isotropic random vectors it is modest by
+    construction (measured in tests)."""
+    df = ds.select_columns(["vec_id", "embedding"]).to_pandas()
+    ids = df["vec_id"].to_numpy()
+    m = _normalize(np.stack(df["embedding"].to_numpy()))
+    planes = random_hyperplanes(m.shape[1], nbits, seed)
+    signs = (m @ planes.T) > 0
+    keys = np.zeros(len(ids), dtype=np.int64)
+    for b in range(nbits):
+        keys |= signs[:, b].astype(np.int64) << b
+    by_bucket: dict[int, np.ndarray] = {}
+    for kk in np.unique(keys):
+        by_bucket[int(kk)] = np.nonzero(keys == kk)[0]
+    pos = {int(v): i for i, v in enumerate(ids)}
+    rows = []
+    for qid in query_ids:
+        qi = pos[qid]
+        qkey = int(keys[qi])
+        cand_keys = [ck for ck in range(1 << nbits)
+                     if bin(ck ^ qkey).count("1") <= probe_hamming]
+        cand = np.concatenate([by_bucket.get(ck, np.empty(0, dtype=np.int64))
+                               for ck in cand_keys])
+        cand = cand[ids[cand] != qid]
+        sims = m[cand] @ m[qi]
+        order = np.lexsort((ids[cand], -sims))[:k]
+        for r, o in enumerate(order, 1):
+            rows.append((qid, int(ids[cand[o]]), float(sims[o]), r))
+    import ray
+
+    return ray.data.from_pandas(pd.DataFrame(
+        rows, columns=["query_id", "vec_id", "sim", "rank"]))

@@ -46,63 +46,100 @@ DT_LON_SPAN_MICRO = 20_000
 WARC_EPOCH_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
 
 
-def _coord_strings(keys: np.ndarray, seed: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(has_coord, lat_str, lon_str) for each doc key. Streams 0/1/2."""
+def _coord_string_arrays(keys: np.ndarray, seed: int):
+    """(has_coord bool array, lat_str, lon_str pyarrow string arrays).
+
+    Fully vectorized: fixed-point micro-degree integers -> zero-padded
+    decimal strings via Arrow kernels (no per-row Python)."""
     u0 = rng.uniform01(keys, seed, 0)
     u1 = rng.uniform01(keys, seed, 1)
     u2 = rng.uniform01(keys, seed, 2)
     has = u0 < COORD_PROB
     lat_micro = LAT_BASE_MICRO + np.floor(u1 * LAT_SPAN_MICRO).astype(np.int64)
     lon_frac = LON_FRAC_BASE_MICRO + np.floor(u2 * LON_SPAN_MICRO).astype(np.int64)
-    lat_str = np.array([f"49.{m % 1_000_000:06d}" for m in lat_micro], dtype=object)
-    lon_str = np.array([f"-123.{f:06d}" for f in lon_frac], dtype=object)
+    lat_frac_s = pc.utf8_lpad(pc.cast(pa.array(lat_micro % 1_000_000), pa.string()),
+                              6, "0")
+    lon_frac_s = pc.utf8_lpad(pc.cast(pa.array(lon_frac), pa.string()), 6, "0")
+    n = len(keys)
+    lat_str = pc.binary_join_element_wise(
+        pa.array(["49."] * n), lat_frac_s, "")
+    lon_str = pc.binary_join_element_wise(
+        pa.array(["-123."] * n), lon_frac_s, "")
     return has, lat_str, lon_str
 
 
 def derive_webpages_batch(batch: pa.Table, seed: int = DEFAULT_SEED,
                           include_html: bool = True) -> pa.Table:
-    """documents batch -> input_hint-shaped webpages batch (plus doc_id key)."""
+    """documents batch -> input_hint-shaped webpages batch (plus doc_id key).
+
+    All column builds are Arrow compute kernels (zero-copy batch in,
+    vectorized string concat out) — this stage runs for every page at
+    10^12-row scale and must not loop in Python.
+    """
     doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
     keys = doc_id & 0xFFFFFFFF
-    has, lat_str, lon_str = _coord_strings(keys, seed)
-    text = batch.column("text").to_pylist()
-    out_text = [
-        (t + " Located at " + la + ", " + lo + ".") if h else t
-        for t, h, la, lo in zip(text, has, lat_str, lon_str)
-    ]
-    url = [f"https://{s}.example.org/page/{d}" for s, d in
-           zip(batch.column("source").to_pylist(), doc_id)]
+    has, lat_str, lon_str = _coord_string_arrays(keys, seed)
+    text = batch.column("text")
+    n = len(doc_id)
+    with_coord = pc.binary_join_element_wise(
+        text, pa.array([" Located at "] * n), lat_str,
+        pa.array([", "] * n), lon_str, pa.array(["."] * n), "")
+    out_text = pc.if_else(pa.array(has), with_coord, text)
+    url = pc.binary_join_element_wise(
+        pa.array(["https://"] * n), batch.column("source"),
+        pa.array([".example.org/page/"] * n),
+        pc.cast(batch.column("doc_id"), pa.string()), "")
     warc_ts = pa.array(WARC_EPOCH_US + doc_id * 1_000_000, type=pa.timestamp("us"))
     cols = {
         "doc_id": batch.column("doc_id"),
-        "url": pa.array(url, type=pa.string()),
+        "url": url,
         "warc_ts": warc_ts,
-        "text": pa.array(out_text, type=pa.string()),
+        "text": out_text,
         "lang": batch.column("lang"),
     }
     if include_html:
-        cols["html"] = pa.array(
-            [("<html><body>" + t + "</body></html>").encode("utf-8") for t in out_text],
-            type=pa.binary(),
-        )
+        html = pc.binary_join_element_wise(
+            pa.array(["<html><body>"] * n), out_text,
+            pa.array(["</body></html>"] * n), "")
+        cols["html"] = pc.cast(html, pa.binary())
     return pa.table(cols)
 
 
-def read_webpages(sf_dir: str, seed: int = DEFAULT_SEED, include_html: bool = True):
+def read_webpages(sf_dir: str, seed: int = DEFAULT_SEED, include_html: bool = True,
+                  replicate: int = 1):
     """Ray Dataset of input_hint-shaped webpages derived from documents.
 
     Column-pruned read (html is derived, n_chars never loaded); stateless
-    vectorized ``map_batches``.
+    vectorized ``map_batches``. ``replicate`` fans each document out into
+    that many pages with distinct doc_ids (+= r * 10^6) and therefore
+    distinct coordinates — the deterministic bench-scale corpus
+    (FIXTURES.md F6; the driver's documents table tops out at 5k rows).
     """
+    import ray
     import ray.data
 
+    # One small parquet file would otherwise become ~1 block and serialize
+    # the whole derive/geoparse/mask chain. A FIXED split (not CPU-derived)
+    # keeps per-task work identical across parallelism levels, so workers
+    # amortize their one-time allocation warm-up the same way at N and 4N.
+    nblocks = 64
     ds = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"],
+        override_num_blocks=nblocks,
     )
-    return ds.map_batches(
-        lambda b: derive_webpages_batch(b, seed=seed, include_html=include_html),
-        batch_format="pyarrow",
-    )
+
+    def derive(b: pa.Table) -> pa.Table:
+        if replicate == 1:
+            return derive_webpages_batch(b, seed=seed, include_html=include_html)
+        outs = []
+        doc_id = b.column("doc_id").to_numpy(zero_copy_only=False)
+        for r in range(replicate):
+            rb = b.set_column(b.schema.get_field_index("doc_id"), "doc_id",
+                              pa.array(doc_id + r * 1_000_000, type=pa.int64()))
+            outs.append(derive_webpages_batch(rb, seed=seed, include_html=include_html))
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(derive, batch_format="pyarrow")
 
 
 def synth_addresses_batch(batch: pa.Table, seed: int = DEFAULT_SEED) -> pa.Table:

@@ -164,23 +164,24 @@ class DonutContainedMasker:
 
 
 def donut_contained(ds, polygons: PolygonSet, low: float, high: float, seed: int,
-                    distribution: str = "uniform", key_col: str = "doc_id",
-                    concurrency: int | tuple[int, int] | None = None, batch_size: int = 8192):
+                    distribution: str = "uniform", key_col: str = "doc_id"):
     """Contained donut mask: broadcast polygons + vectorized rejection
     resampling in an actor pool."""
     import ray
 
     _validate(low, high, distribution)
-    if concurrency is None:
-        from ..util import auto_concurrency
-
-        concurrency = auto_concurrency()
     ref = ray.put(polygons)
-    return ds.map_batches(
-        DonutContainedMasker,
-        fn_constructor_kwargs=dict(polygons_ref=ref, low=low, high=high, seed=seed,
-                                   distribution=distribution, key_col=key_col),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+
+    # Stateless tasks over a broadcast PolygonSet: ray.get per task is a
+    # zero-copy object-store read, and task pools reach full parallelism
+    # instantly (an autoscaling actor pool spends seconds starting actor
+    # processes, which dominated fresh-run wall time).
+    def mask(batch: pa.Table) -> pa.Table:
+        return DonutContainedMasker(ref, low=low, high=high, seed=seed,
+                                    distribution=distribution, key_col=key_col)(batch)
+
+    # batch_size deliberately unset: the upstream derive stage EXPANDS
+    # small input blocks (replicate fan-out), and a row-count batch_size
+    # makes Ray bundle many input blocks into one task (input rows are
+    # counted pre-expansion), serializing the pipeline.
+    return ds.map_batches(mask, batch_format="pyarrow")

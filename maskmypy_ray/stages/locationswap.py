@@ -97,8 +97,7 @@ class LocationSwapper:
 
 
 def locationswap(ds, addresses: pa.Table, low: float, high: float, seed: int,
-                 key_col: str = "doc_id", concurrency: int | tuple[int, int] | None = None,
-                 batch_size: int = 8192):
+                 key_col: str = "doc_id"):
     """Location-swap a geoparsed Dataset against a broadcast address table
     (columns addr_id, ax/ay or lat/lon)."""
     import ray
@@ -115,16 +114,11 @@ def locationswap(ds, addresses: pa.Table, low: float, high: float, seed: int,
         ax, ay = latlon_to_xy(addresses.column("lat").to_numpy(zero_copy_only=False),
                               addresses.column("lon").to_numpy(zero_copy_only=False))
     idx = AddressIndex(addresses.column("addr_id").to_numpy(zero_copy_only=False), ax, ay)
-    if concurrency is None:
-        from ..util import auto_concurrency
-
-        concurrency = auto_concurrency()
     ref = ray.put(idx)
-    return ds.map_batches(
-        LocationSwapper,
-        fn_constructor_kwargs=dict(index_ref=ref, low=low, high=high, seed=seed,
-                                   key_col=key_col),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+
+    # Stateless tasks over the broadcast index (see stages/donut.py note).
+    def swap(batch: pa.Table) -> pa.Table:
+        return LocationSwapper(ref, low=low, high=high, seed=seed,
+                               key_col=key_col)(batch)
+
+    return ds.map_batches(swap, batch_format="pyarrow")

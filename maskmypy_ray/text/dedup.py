@@ -1,0 +1,312 @@
+"""Deduplication operators: exact, token-Jaccard, MinHash+LSH, SimHash,
+embedding-cosine. SURVEY.md §2.5 "Set ops / dedup" + graft additions.
+
+Scale shapes:
+
+* exact        — content hash per batch (vectorized), ``groupby(hash)``
+                 keep-first; the canonical hash-partition dedup.
+* jaccard      — exact all-pairs verification (validation-scale oracle
+                 twin of the LSH path; broadcast one side).
+* minhash_lsh  — word-5-gram shingles -> 64-perm MinHash -> 16 bands of 4
+                 -> ``groupby(band)`` bucket join -> candidate pairs ->
+                 exact-Jaccard verify. The scalable near-dup path.
+* simhash      — 64-bit simhash; hamming <= k via 4x16-bit band blocking
+                 (pigeonhole-complete for k <= 3).
+* embedding    — cosine >= threshold pairs over the embeddings table
+                 (exact blocked matmul; LSH-bucketed variant in sim.ann).
+
+MinHash permutations reuse the engine's mix32 avalanche: perm_i(shingle)
+= mix32(shingle_hash XOR mix32(SALT + i)) — deterministic everywhere.
+"""
+
+from __future__ import annotations
+
+import re
+from hashlib import md5
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..rng import mix32
+
+TOKEN_RE = re.compile(r"[a-z0-9]+")
+N_PERM = 64
+N_BANDS = 16
+ROWS_PER_BAND = 4
+_SALT = 0x5EED
+
+
+def text_md5_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    h = [md5(t.encode()).hexdigest() for t in batch.column(text_col).to_pylist()]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "h": pa.array(h, type=pa.string()),
+    })
+
+
+def exact_dedup_groups(ds, text_col: str = "text"):
+    """Dataset[(h, keeper)] — min doc_id per content hash."""
+    from ray.data.aggregate import Min
+
+    hashed = ds.map_batches(lambda b: text_md5_batch(b, text_col),
+                            batch_format="pyarrow")
+    return hashed.groupby("h").aggregate(Min("doc_id", alias_name="keeper"))
+
+
+def exact_dedup(ds, text_col: str = "text"):
+    """Surviving rows (the min-doc_id representative of each hash group)."""
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.nsmallest(1, "doc_id")
+
+    hashed = ds.map_batches(
+        lambda b: b.append_column("h", text_md5_batch(b, text_col).column("h")),
+        batch_format="pyarrow")
+    return hashed.groupby("h").map_groups(first, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# shingles + minhash
+# ---------------------------------------------------------------------------
+
+
+def _token_sets(texts: list[str]) -> list[set[str]]:
+    return [set(TOKEN_RE.findall(t.lower())) for t in texts]
+
+
+def _shingle_hashes(text: str, n: int = 5) -> np.ndarray:
+    toks = TOKEN_RE.findall(text.lower())
+    if len(toks) < n:
+        shingles = [" ".join(toks)] if toks else []
+    else:
+        shingles = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+    # stable 32-bit shingle hash from md5 (no PYTHONHASHSEED dependence)
+    return np.unique(np.array(
+        [int.from_bytes(md5(s.encode()).digest()[:4], "little") for s in shingles],
+        dtype=np.int64))
+
+
+def minhash_signature(shingles: np.ndarray) -> np.ndarray:
+    """64 mix32-permutation minima of the shingle hash set."""
+    if not len(shingles):
+        return np.full(N_PERM, 0xFFFFFFFF, dtype=np.int64)
+    perms = mix32(np.arange(N_PERM, dtype=np.int64) + _SALT)
+    # (n_shingle, n_perm) -> min over shingles
+    vals = mix32(np.bitwise_xor(shingles[:, None], perms[None, :]))
+    return vals.min(axis=0)
+
+
+def minhash_bands_batch(batch: pa.Table, text_col: str = "text",
+                        ngram: int = 5) -> pa.Table:
+    """Explode each doc into (band_id, band_hash, doc_id) rows — the LSH
+    bucket keys for the groupby shuffle."""
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = batch.column(text_col).to_pylist()
+    out_band, out_hash, out_doc = [], [], []
+    for d, t in zip(doc_ids, texts):
+        sig = minhash_signature(_shingle_hashes(t, ngram))
+        for b in range(N_BANDS):
+            seg = sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
+            bh = md5(seg.tobytes()).hexdigest()[:16]
+            out_band.append(b)
+            out_hash.append(bh)
+            out_doc.append(d)
+    return pa.table({
+        "band_id": pa.array(out_band, type=pa.int32()),
+        "band_hash": pa.array(out_hash, type=pa.string()),
+        "doc_id": pa.array(out_doc, type=pa.int64()),
+    })
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    i = len(a & b)
+    return i / (len(a) + len(b) - i)
+
+
+def minhash_lsh_pairs(ds, threshold: float = 0.8, text_col: str = "text",
+                      ngram: int = 5):
+    """Candidate pairs from LSH buckets, verified with exact shingle
+    Jaccard. Returns Dataset[(doc_a, doc_b, sim)] with doc_a < doc_b.
+
+    Verification fetches shingle sets for candidate docs via a broadcast
+    text lookup — fine while candidates are sparse; the full-scale path
+    co-shuffles (bucket, doc, shingles) instead.
+    """
+    import ray
+    from ray.data.aggregate import Min
+
+    bands = ds.map_batches(
+        lambda b: minhash_bands_batch(b, text_col, ngram), batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        docs = np.unique(g["doc_id"].to_numpy())
+        if len(docs) < 2:
+            return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                                 "doc_b": pd.array([], dtype="int64")})
+        a, b = np.triu_indices(len(docs), 1)
+        return pd.DataFrame({"doc_a": docs[a], "doc_b": docs[b]})
+
+    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    cand_df = cand.to_pandas().drop_duplicates()
+    if not len(cand_df):
+        return ray.data.from_items([]).map_batches(lambda b: b)
+    # broadcast texts of candidate docs, verify exact Jaccard
+    need = set(cand_df["doc_a"]) | set(cand_df["doc_b"])
+    texts = ds.map_batches(
+        lambda b: b.filter(pa.array(np.isin(
+            b.column("doc_id").to_numpy(zero_copy_only=False), list(need)))),
+        batch_format="pyarrow").select_columns(["doc_id", text_col]).to_pandas()
+    sh = {d: set(_shingle_hashes(t, ngram).tolist())
+          for d, t in zip(texts["doc_id"], texts[text_col])}
+    sims = [jaccard(sh[a], sh[b]) for a, b in zip(cand_df["doc_a"], cand_df["doc_b"])]
+    cand_df["sim"] = sims
+    out = cand_df[cand_df["sim"] >= threshold].reset_index(drop=True)
+    return ray.data.from_pandas(out) if len(out) else ray.data.from_pandas(
+        pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                      "doc_b": pd.array([], dtype="int64"),
+                      "sim": pd.array([], dtype="float64")}))
+
+
+def jaccard_pairs_exact(ds, threshold: float = 0.5, text_col: str = "text",
+                        use_shingles: bool = False, ngram: int = 5):
+    """Exact all-pairs token-set (or shingle) Jaccard >= threshold.
+
+    O(n^2) with one side broadcast — the validation twin of the LSH path
+    (Jaccard is an integer ratio, so thresholding is bit-exact vs SQL).
+    """
+    import ray
+
+    df = ds.select_columns(["doc_id", text_col]).to_pandas()
+    if use_shingles:
+        sets = [set(_shingle_hashes(t, ngram).tolist()) for t in df[text_col]]
+    else:
+        sets = _token_sets(df[text_col].tolist())
+    ids = df["doc_id"].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    sets = [sets[i] for i in order]
+    rows_a, rows_b, sims = [], [], []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            s = jaccard(sets[i], sets[j])
+            if s >= threshold:
+                rows_a.append(ids[i])
+                rows_b.append(ids[j])
+                sims.append(s)
+    return ray.data.from_pandas(pd.DataFrame({
+        "doc_a": pd.array(rows_a, dtype="int64"),
+        "doc_b": pd.array(rows_b, dtype="int64"),
+        "sim": pd.array(sims, dtype="float64"),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over token md5 hashes (unweighted)."""
+    toks = set(TOKEN_RE.findall(text.lower()))
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for t in toks:
+        h = np.uint64(int.from_bytes(md5(t.encode()).digest()[:8], "little"))
+        bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+        acc += 2 * bits - 1
+    out = 0
+    for b in range(64):
+        if acc[b] > 0:
+            out |= 1 << b
+    return out
+
+
+def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    hs = [simhash64(t) for t in batch.column(text_col).to_pylist()]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "simhash": pa.array(np.array(hs, dtype=np.uint64), type=pa.uint64()),
+    })
+
+
+def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text"):
+    """Near-dup pairs with hamming(simhash) <= max_hamming, via 4x16-bit
+    band blocking — pigeonhole-complete for max_hamming <= 3."""
+    import ray
+
+    sh = ds.map_batches(lambda b: simhash_batch(b, text_col),
+                        batch_format="pyarrow")
+
+    def explode(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        h = b.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bands, keys, docs, full = [], [], [], []
+        for band in range(4):
+            seg = (h >> np.uint64(16 * band)) & np.uint64(0xFFFF)
+            bands.extend([band] * len(d))
+            keys.extend(seg.tolist())
+            docs.extend(d.tolist())
+            full.extend(h.tolist())
+        return pa.table({
+            "band": pa.array(bands, type=pa.int32()),
+            "key": pa.array(keys, type=pa.int64()),
+            "doc_id": pa.array(docs, type=pa.int64()),
+            "simhash": pa.array(np.array(full, dtype=np.uint64), type=pa.uint64()),
+        })
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        d = g["doc_id"].to_numpy()
+        h = g["simhash"].to_numpy().astype(np.uint64)
+        if len(d) < 2:
+            return pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                                 "doc_b": pd.array([], dtype="int64"),
+                                 "hamming": pd.array([], dtype="int64")})
+        a, b = np.triu_indices(len(d), 1)
+        x = np.bitwise_xor(h[a], h[b])
+        ham = np.array([bin(v).count("1") for v in x.tolist()])
+        ok = ham <= 3
+        return pd.DataFrame({"doc_a": d[a][ok], "doc_b": d[b][ok],
+                             "hamming": ham[ok].astype(np.int64)})
+
+    pairs = sh.map_batches(explode, batch_format="pyarrow") \
+        .groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pandas")
+    df = pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"])
+    df = df[df["hamming"] <= max_hamming].reset_index(drop=True)
+    return ray.data.from_pandas(df) if len(df) else ray.data.from_pandas(
+        pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                      "doc_b": pd.array([], dtype="int64"),
+                      "hamming": pd.array([], dtype="int64")}))
+
+
+# ---------------------------------------------------------------------------
+# near-dup corpus helper (mutated copies for recall tests / demos)
+# ---------------------------------------------------------------------------
+
+
+def with_mutated_copies(ds, every: int = 10, id_offset: int = 1_000_000):
+    """Union the corpus with near-duplicate copies of every ``every``-th doc
+    (one trailing token appended) — deterministic; mirrored in SQL."""
+    def mutate(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = d % every == 0
+        sub = b.filter(pa.array(keep))
+        texts = [t + " zz9" for t in sub.column("text").to_pylist()]
+        cols = {}
+        for name in b.column_names:
+            if name == "doc_id":
+                cols[name] = pa.array(
+                    sub.column("doc_id").to_numpy(zero_copy_only=False) + id_offset,
+                    type=pa.int64())
+            elif name == "text":
+                cols[name] = pa.array(texts, type=pa.string())
+            else:
+                cols[name] = sub.column(name)
+        return pa.table(cols)
+
+    return ds.union(ds.map_batches(mutate, batch_format="pyarrow"))

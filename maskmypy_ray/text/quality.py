@@ -1,0 +1,108 @@
+"""Text analysis: token stats, language id, quality score, fingerprint.
+
+Core training-data operators over the ``documents`` table, all stateless
+vectorized ``map_batches`` stages (pyarrow compute / RE2 kernels — the
+same regex engine DuckDB uses, so counts are oracle-exact).
+"""
+
+from __future__ import annotations
+
+from hashlib import md5
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = r"[a-z0-9]+"
+STOPWORD_RE = r"\b(the|a|and|of|to)\b"
+
+# marker-word patterns per language; prediction = first max in this order
+LANG_MARKERS = [
+    ("de", r"\b(der|die|das|und|nicht)\b"),
+    ("en", r"\b(the|a|and|of|to)\b"),
+    ("es", r"\b(el|la|los|las|y)\b"),
+    ("fr", r"\b(le|les|des|et|est)\b"),
+    ("zh", r"[一-鿿]"),
+]
+
+
+def token_stats_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_tokens, n_stopwords, stop_ratio) — vectorized RE2 counts."""
+    lower = pc.utf8_lower(batch.column("text"))
+    n_tok = pc.count_substring_regex(lower, TOKEN_RE)
+    n_stop = pc.count_substring_regex(lower, STOPWORD_RE)
+    tok = n_tok.to_numpy(zero_copy_only=False).astype(np.int64)
+    stp = n_stop.to_numpy(zero_copy_only=False).astype(np.int64)
+    ratio = np.where(tok > 0, stp / np.maximum(tok, 1), 0.0)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens": pa.array(tok, type=pa.int64()),
+        "n_stopwords": pa.array(stp, type=pa.int64()),
+        "stop_ratio": pa.array(ratio, type=pa.float64()),
+    })
+
+
+def quality_score_batch(batch: pa.Table) -> pa.Table:
+    """Composite quality score in [0, 1]: length term + stopword term
+    (the classic Gopher/C4-style heuristics, simplified to oracle-exact
+    arithmetic)."""
+    stats = token_stats_batch(batch)
+    tok = stats.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.float64)
+    ratio = stats.column("stop_ratio").to_numpy(zero_copy_only=False)
+    # no rounding: both engine and oracle produce the identical raw double
+    score = np.minimum(tok / 50.0, 1.0) * 0.5 + np.minimum(ratio * 5.0, 1.0) * 0.5
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "quality_score": pa.array(score, type=pa.float64()),
+    })
+
+
+def lang_id_batch(batch: pa.Table) -> pa.Table:
+    """Marker-word language id; ties broken by LANG_MARKERS order, zero
+    matches everywhere -> 'und'."""
+    lower = pc.utf8_lower(batch.column("text"))
+    counts = np.stack([
+        pc.count_substring_regex(lower, pat).to_numpy(zero_copy_only=False)
+        for _, pat in LANG_MARKERS
+    ])
+    best = counts.argmax(axis=0)  # first max wins (argmax tie -> lowest index)
+    any_hit = counts.max(axis=0) > 0
+    langs = np.array([code for code, _ in LANG_MARKERS], dtype=object)
+    pred = np.where(any_hit, langs[best], "und")
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "lang_pred": pa.array(pred, type=pa.string()),
+    })
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """Document fingerprint: md5 of the sorted distinct lowercase tokens
+    joined by spaces (content-defined identity; robust to word order)."""
+    lower = pc.utf8_lower(batch.column("text")).to_pylist()
+    import re
+
+    tok_re = re.compile(TOKEN_RE)
+    fps = [
+        md5(" ".join(sorted(set(tok_re.findall(t)))).encode()).hexdigest()
+        for t in lower
+    ]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "fingerprint": pa.array(fps, type=pa.string()),
+    })
+
+
+def token_stats(ds):
+    return ds.map_batches(token_stats_batch, batch_format="pyarrow")
+
+
+def quality_score(ds):
+    return ds.map_batches(quality_score_batch, batch_format="pyarrow")
+
+
+def lang_id(ds):
+    return ds.map_batches(lang_id_batch, batch_format="pyarrow")
+
+
+def fingerprint(ds):
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")

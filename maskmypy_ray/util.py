@@ -3,7 +3,7 @@
 from __future__ import annotations
 
 
-def auto_concurrency(cap: int = 16) -> tuple[int, int]:
+def auto_concurrency(cap: int = 64) -> tuple[int, int]:
     """Autoscaling actor-pool bounds (min 1, max = CPUs - 2 capped).
 
     A FIXED pool equal to the CPU count reserves every slot and starves

@@ -90,7 +90,7 @@ def test_calculate_k_golden_line(ray_session):
     for (sx, sy), (mx, my), expected in cases:
         pts = ray.data.from_arrow(_points_with_mask([sx], [sy], [mx], [my]))
         k = calculate_k(displacement(pts), ray.data.from_arrow(addr),
-                        cell_m=4.0).to_pandas()
+                        cell_m=8.0).to_pandas()
         assert k["k_anonymity"].iloc[0] == expected, ((sx, mx), expected)
 
 

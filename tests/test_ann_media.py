@@ -1,0 +1,96 @@
+"""ANN similarity search + multimodal plumbing."""
+
+import numpy as np
+import pytest
+
+
+def test_cosine_topk_vs_numpy(ray_session, sf_dir):
+    """Brute-force top-k matches a direct numpy computation."""
+    import pyarrow.parquet as pq
+
+    from maskmypy_ray.pipelines import q_ann_topk
+
+    out = q_ann_topk(sf_dir).to_pandas()
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    E = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    E /= np.linalg.norm(E, axis=1, keepdims=True)
+    ids = emb["vec_id"].to_numpy()
+    pos = {v: i for i, v in enumerate(ids)}
+    for qid in (0, 7, 19):
+        sims = E @ E[pos[qid]]
+        sims[pos[qid]] = -np.inf
+        order = np.lexsort((ids, -sims))[:10]
+        expected = ids[order].tolist()
+        got = out[out["query_id"] == qid].sort_values("rank")["vec_id"].tolist()
+        assert got == expected, qid
+
+
+def test_lsh_topk_recall(ray_session, sf_dir):
+    """LSH-bucketed ANN achieves reasonable recall@10 vs brute force."""
+    from maskmypy_ray.pipelines import q_ann_lsh, q_ann_topk
+
+    exact = q_ann_topk(sf_dir).to_pandas()
+    approx = q_ann_lsh(sf_dir).to_pandas()
+    recalls = []
+    for qid in range(20):
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(e & a) / max(1, len(e)))
+    assert np.mean(recalls) > 0.25  # approximate by design on random vectors
+
+
+def test_embedding_pairs_symmetric_and_thresholded(ray_session, sf_dir):
+    import pyarrow.parquet as pq
+
+    from maskmypy_ray.pipelines import q_embedding_pairs
+
+    pairs = q_embedding_pairs(sf_dir).to_pandas()
+    assert (pairs["vec_a"] < pairs["vec_b"]).all()
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    E = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    E /= np.linalg.norm(E, axis=1, keepdims=True)
+    pos = {v: i for i, v in enumerate(emb["vec_id"].to_numpy())}
+    for _, r in pairs.head(20).iterrows():
+        assert E[pos[r["vec_a"]]] @ E[pos[r["vec_b"]]] >= 0.4
+
+
+def test_media_decode_stub_raises_without_fake(ray_session, sf_dir):
+    """The decode stub must refuse to pretend codecs exist."""
+    from maskmypy_ray.multimodal.media import MediaDecoder
+
+    with pytest.raises(NotImplementedError):
+        MediaDecoder(fake=False)._decode_one(b"\x00\x01")
+
+
+def test_media_fake_decode_deterministic_and_shaped():
+    import pyarrow as pa
+
+    from maskmypy_ray.multimodal.media import MediaDecoder, frame_sample_batch, resize_batch
+
+    batch = pa.table({
+        "url": pa.array(["u1", "u2"]),
+        "html": pa.array([b"payload-one", b"payload-two"], type=pa.binary()),
+    })
+    dec = MediaDecoder(fake=True, height=8, width=8)
+    out1 = dec(batch)
+    out2 = dec(batch)
+    assert out1.equals(out2)
+    assert len(out1.column("pixels")[0].as_py()) == 8 * 8 * 3
+    rs = resize_batch(out1, 4, 4)
+    assert len(rs.column("pixels")[0].as_py()) == 4 * 4 * 3
+    fr = frame_sample_batch(out1, every=2)
+    assert fr.num_rows == 2 * 4  # 8 rows / every-2 per image
+    assert set(fr.column("frame_idx").to_pylist()) == {0, 2, 4, 6}
+
+
+def test_media_metadata_matches_blob(ray_session, sf_dir):
+    from hashlib import md5
+
+    from maskmypy_ray.pipelines import q_media_metadata
+    from maskmypy_ray.sources.webpages import read_webpages
+
+    meta = q_media_metadata(sf_dir).to_pandas().set_index("url")
+    pages = read_webpages(sf_dir, include_html=True).limit(20).to_pandas()
+    for _, r in pages.iterrows():
+        assert meta.loc[r["url"], "media_bytes"] == len(r["html"])
+        assert meta.loc[r["url"], "media_md5"] == md5(r["html"]).hexdigest()
