@@ -511,3 +511,94 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends the base set
         "md5('<html><body>' || text || '</body></html>') AS media_md5 FROM pages")
     out.update(extra)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Remaining analysis queries (rows-only oracles: not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+
+def q_estimate_k_areal(sf_dir: str):
+    """Polygon-population (areal) k-anonymity over the boundary grid
+    (A4; exact circle∩polygon Green's-theorem kernel — rows-only)."""
+    from .analysis.k_anonymity import estimate_k
+
+    return estimate_k(flagship(sf_dir), boundary_polygon_set())
+
+
+def q_ripley(sf_dir: str):
+    """Ripley's K of the sensitive pattern (A11): support + K̂ + p-value
+    per band with 19 seeded CSR simulations (rows-only; flagged slow in
+    the reference, `analysis.py:40-43`)."""
+    from .analysis.ripley import ripleys_k
+
+    r = ripleys_k(points_ds(sf_dir), simulations=19, seed=SEED)
+    return pa.table({
+        "band": pa.array(np.arange(1, len(r.support) + 1), type=pa.int64()),
+        "support": pa.array(np.round(r.support, 6), type=pa.float64()),
+        "k_stat": pa.array(np.round(r.statistic, 6), type=pa.float64()),
+        "pvalue": pa.array(np.round(r.pvalue, 6), type=pa.float64()),
+    })
+
+
+def q_evaluate(sf_dir: str):
+    """Full evaluate() stats dict (A13) over the flagship mask + address
+    population — one row of scalars (rows-only)."""
+    from .analysis.evaluate import evaluate
+
+    stats = evaluate(contained_ds(sf_dir), population=read_addresses(sf_dir, seed=SEED))
+    return pa.table({k: pa.array([float(v)], type=pa.float64())
+                     for k, v in sorted(stats.items())})
+
+
+def q_checkpointed_flagship(sf_dir: str):
+    """Flagship via the per-shard checkpoint/resume runner (writes
+    partitioned parquet + manifests to /tmp, then reads back; rows-only).
+    Proves the resumable path produces the same rows as the direct one."""
+    import shutil
+    import tempfile
+
+    from .checkpoint import read_checkpointed, run_checkpointed
+
+    out = tempfile.mkdtemp(prefix="ckpt_flagship_")
+
+    def pipeline(ds):
+        from .analysis.displacement import displacement
+        from .stages.donut import donut_contained
+        from .stages.geoparse import geoparse
+
+        return displacement(donut_contained(geoparse(ds), boundary_polygon_set(),
+                                            LOW, HIGH, SEED))
+
+    run_checkpointed(sf_dir, pipeline, out, {"mask": "donut_contained",
+                                             "low": LOW, "high": HIGH},
+                     num_shards=4, seed=SEED)
+    res = read_checkpointed(out).select_columns(["url", "mx", "my"]).to_pandas()
+    shutil.rmtree(out, ignore_errors=True)
+    return res
+
+
+QUERIES.update({
+    "estimate_k_areal": q_estimate_k_areal,
+    "ripleys_k": q_ripley,
+    "evaluate": q_evaluate,
+    "checkpointed_flagship": q_checkpointed_flagship,
+})
+
+
+def _more_oracles() -> dict[str, str]:
+    # checkpointed_flagship == the direct contained mask: reuse its oracle.
+    return {
+        "checkpointed_flagship": (
+            f"WITH {oracle.donut_contained_cte(SEED, LOW, HIGH)} "
+            "SELECT url, mx, my FROM masked"),
+    }
+
+
+_BASE_ORACLE_QUERIES2 = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
+    out = _BASE_ORACLE_QUERIES2()
+    out.update(_more_oracles())
+    return out
