@@ -87,3 +87,66 @@ def ripley_rmse(sensitive_result: KtestResult, candidate_result: KtestResult) ->
     """RMSE between two K̂ vectors, round 3 (`analysis.py:339-368`)."""
     res = np.asarray(candidate_result.statistic) - np.asarray(sensitive_result.statistic)
     return round(float(np.sqrt(np.square(res).mean())), 3)
+
+
+def k_stat_distributed(ds, support: np.ndarray, cell_m: float | None = None,
+                       x_col: str = "x", y_col: str = "y",
+                       key_col: str = "doc_id") -> np.ndarray:
+    """Distributed K̂ band counts: cell+halo self-join (halo = max band
+    radius), per-group vectorized pair histograms, then one tiny Sum
+    aggregate — the 10^12-row path (pairwise distances never leave their
+    cell neighborhood; no O(n^2) collection).
+
+    Exact: every ordered pair within max(support) lies in the core
+    point's 3x3 halo when cell_m >= max(support); each pair is counted
+    once, at the core point's own cell.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from ..analysis.nnd import _halo_batch
+
+    support = np.asarray(support, dtype=np.float64)
+    if cell_m is None:
+        cell_m = float(support.max())
+    agg = ds.aggregate(Min(x_col), Max(x_col), Min(y_col), Max(y_col), Count(x_col))
+    n = int(agg[f"count({x_col})"])
+    area = (agg[f"max({x_col})"] - agg[f"min({x_col})"]) * \
+           (agg[f"max({y_col})"] - agg[f"min({y_col})"])
+    if n < 2:
+        return np.zeros(len(support))
+
+    halo = ds.map_batches(
+        lambda b: _halo_batch(b, cell_m, x_col, y_col, key_col),
+        batch_format="pyarrow")
+
+    sup2 = support * support
+
+    def band_counts(g: pd.DataFrame) -> pd.DataFrame:
+        core = g[g["core"]]
+        if not len(core):
+            return pd.DataFrame({"band": pd.array([], dtype="int64"),
+                                 "cnt": pd.array([], dtype="int64")})
+        px = g["px"].to_numpy()
+        py = g["py"].to_numpy()
+        gkey = g["key"].to_numpy()
+        cx = core["px"].to_numpy()
+        cy = core["py"].to_numpy()
+        ckey = core["key"].to_numpy()
+        out = np.zeros(len(support), dtype=np.int64)
+        chunk = max(1, int(4_000_000 / max(1, len(px))))
+        for i in range(0, len(cx), chunk):
+            sl = slice(i, min(i + chunk, len(cx)))
+            d2 = (cx[sl, None] - px[None, :]) ** 2 + (cy[sl, None] - py[None, :]) ** 2
+            d2[gkey[None, :] == ckey[sl, None]] = np.inf  # exclude self
+            for b, r2 in enumerate(sup2):
+                out[b] += int((d2 <= r2).sum())
+        return pd.DataFrame({"band": np.arange(len(support), dtype=np.int64),
+                             "cnt": out})
+
+    parts = halo.groupby("cell").map_groups(band_counts, batch_format="pandas")
+    totals = parts.groupby("band").aggregate(Sum("cnt", alias_name="total")) \
+        .to_pandas().set_index("band")["total"]
+    counts = np.array([totals.get(b, 0) for b in range(len(support))], dtype=np.float64)
+    return area * counts / (n * (n - 1))

@@ -178,3 +178,20 @@ def test_ripley_monotonic_with_mask_size(points_table):
     r2 = ripley_rmse(base, ripleys_k((m2.column("mx").to_numpy(),
                                       m2.column("my").to_numpy()), simulations=0))
     assert r1 < r2
+
+
+def test_ripley_distributed_matches_inmemory(ray_session, sf_dir):
+    """Distributed cell+halo band counts equal the in-memory kernel."""
+    import numpy as np
+
+    from maskmypy_ray.analysis.ripley import _k_stat, k_stat_distributed
+    from maskmypy_ray.pipelines import points_ds
+
+    ds = points_ds(sf_dir).materialize()
+    df = ds.select_columns(["x", "y"]).to_pandas()
+    x, y = df["x"].to_numpy(), df["y"].to_numpy()
+    max_dist = 0.25 * min(x.max() - x.min(), y.max() - y.min())
+    support = np.linspace(max_dist / 5, max_dist, 5)
+    mem = _k_stat(x, y, support)
+    dist = k_stat_distributed(ds, support)
+    assert np.allclose(mem, dist, rtol=1e-12)
