@@ -157,3 +157,95 @@ def voronoi(ds, key_col: str = "doc_id",
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def voronoi_celled(ds, cell_m: float, key_col: str = "doc_id", knn: int = 24):
+    """Per-cell voronoi mask with halo rings — the 10^12-row path.
+
+    Points are bucketed into ``cell_m`` cells and replicated to their 3x3
+    halo; each ``groupby(cell)`` group computes every core point's cell
+    boundary from its in-group neighbors. The per-point exactness
+    certificate still applies (boundary distance <= half the distance to
+    the farthest considered neighbor, which is itself certified when that
+    distance <= cell_m): certified points are exact; the (rare)
+    uncertified ones — isolated points whose nearest neighbors lie beyond
+    the halo — fall back to the broadcast kernel in a tiny second pass.
+
+    Choose ``cell_m`` >= a few times the typical nearest-neighbor
+    spacing; the fixture default in tests uses 1000 m.
+    """
+    import pandas as pd
+    import ray
+
+    from ..analysis.nnd import _halo_batch
+
+    halo = ds.map_batches(
+        lambda b: _halo_batch(b, cell_m, "x", "y", key_col),
+        batch_format="pyarrow")
+
+    def mask_group(g: pd.DataFrame) -> pd.DataFrame:
+        core = g[g["core"]]
+        if not len(core):
+            return pd.DataFrame({"key": pd.array([], dtype="int64"),
+                                 "mx": pd.array([], dtype="float64"),
+                                 "my": pd.array([], dtype="float64"),
+                                 "certified": pd.array([], dtype="bool")})
+        px = g["px"].to_numpy()
+        py = g["py"].to_numpy()
+        gkey = g["key"].to_numpy()
+        out_k, out_x, out_y, out_c = [], [], [], []
+        for _, row in core.iterrows():
+            x0, y0, k0 = row["px"], row["py"], row["key"]
+            d2 = (px - x0) ** 2 + (py - y0) ** 2
+            d2[gkey == k0] = np.inf
+            order = np.argsort(d2, kind="stable")[:knn]
+            order = order[np.isfinite(d2[order])]
+            if not len(order):
+                out_k.append(k0); out_x.append(x0); out_y.append(y0)
+                out_c.append(False)
+                continue
+            qx, qy, dist = voronoi_cell_nearest(x0, y0, px[order], py[order],
+                                                box_half=4 * cell_m)
+            kth = float(np.sqrt(d2[order[-1]]))
+            certified = dist <= kth / 2.0 and kth <= cell_m
+            out_k.append(k0); out_x.append(qx); out_y.append(qy)
+            out_c.append(bool(certified))
+        return pd.DataFrame({"key": np.asarray(out_k, dtype=np.int64),
+                             "mx": out_x, "my": out_y, "certified": out_c})
+
+    masked = halo.groupby("cell").map_groups(mask_group, batch_format="pandas")
+    masked = masked.materialize()
+    bad = masked.filter(expr="certified == False").to_pandas()
+    if len(bad):
+        # Exact fallback: broadcast the full point set for the stragglers.
+        pts = ds.select_columns([key_col, "x", "y"]).to_pandas()
+        ax = pts["x"].to_numpy()
+        ay = pts["y"].to_numpy()
+        akey = pts[key_col].to_numpy()
+        fixes = {}
+        pos = {int(k): i for i, k in enumerate(akey)}
+        for k0 in bad["key"]:
+            i = pos[int(k0)]
+            d2 = (ax - ax[i]) ** 2 + (ay - ay[i]) ** 2
+            d2[i] = np.inf
+            order = np.argsort(d2, kind="stable")
+            qx, qy, _ = voronoi_cell_nearest(ax[i], ay[i],
+                                             ax[order[:256]], ay[order[:256]],
+                                             box_half=1e7)
+            fixes[int(k0)] = (qx, qy)
+
+        def patch(b: pa.Table) -> pa.Table:
+            keys = b.column("key").to_numpy(zero_copy_only=False)
+            mx = b.column("mx").to_numpy(zero_copy_only=False).copy()
+            my = b.column("my").to_numpy(zero_copy_only=False).copy()
+            for i, kk in enumerate(keys):
+                if int(kk) in fixes:
+                    mx[i], my[i] = fixes[int(kk)]
+            return pa.table({"key": b.column("key"),
+                             "mx": pa.array(mx), "my": pa.array(my)})
+
+        masked = masked.map_batches(patch, batch_format="pyarrow")
+    return masked.map_batches(
+        lambda b: pa.table({key_col: b.column("key"),
+                            "mx": b.column("mx"), "my": b.column("my")}),
+        batch_format="pyarrow")

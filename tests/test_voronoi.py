@@ -69,3 +69,20 @@ def test_voronoi_masked_point_equidistant(points_table):
         own = np.hypot(x[i] - mx[i], y[i] - my[i])
         # own site is among the closest (it's p's own cell boundary)
         assert own <= d[1] * (1 + 1e-9)
+
+
+def test_voronoi_celled_matches_broadcast(ray_session, sf_dir):
+    """Per-cell + halo voronoi equals the broadcast kernel per point."""
+    import ray.data
+
+    from maskmypy_ray.pipelines import points_ds
+    from maskmypy_ray.stages.voronoi import voronoi, voronoi_celled
+
+    ds = points_ds(sf_dir).materialize()
+    bc = voronoi(ds).select_columns(["doc_id", "mx", "my"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    cc = voronoi_celled(ds, cell_m=1000.0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(bc) == len(cc)
+    assert np.allclose(bc["mx"].to_numpy(), cc["mx"].to_numpy(), atol=1e-6)
+    assert np.allclose(bc["my"].to_numpy(), cc["my"].to_numpy(), atol=1e-6)
