@@ -77,3 +77,68 @@ def central_drift(ds, round_to: int = 6) -> float:
     dx = agg["mean(mx)"] - agg["mean(x)"]
     dy = agg["mean(my)"] - agg["mean(y)"]
     return round(float(np.hypot(dx, dy)), round_to)
+
+
+def exact_median_distributed(ds, col: str, max_collect: int = 1_000_000) -> float:
+    """Exact median without collecting the column (SURVEY.md §7.5.7).
+
+    Iterative histogram refinement: one Min/Max/Count pass, then per-pass
+    1024-bin counting over a shrinking value range until the bin(s)
+    holding the median rank(s) contain few enough values to collect
+    exactly. O(passes * scan) with passes ~ log_1024(range/precision);
+    2-3 passes in practice. Result equals ``numpy.median`` bit-for-bit
+    (it returns the exact order statistics).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Min
+
+    a = ds.aggregate(Min(col), Max(col), Count(col))
+    n = int(a[f"count({col})"])
+    if n == 0:
+        return float("nan")
+    lo_rank = (n - 1) // 2
+    hi_rank = n // 2
+
+    def kth_value(rank: int) -> float:
+        lo, hi = float(a[f"min({col})"]), float(a[f"max({col})"])
+        below = 0  # values strictly below current [lo, hi] window
+        while True:
+            # count values in [lo, hi] bucketed into 1024 bins
+            edges = np.linspace(lo, hi, 1025)
+
+            def hist(b: pa.Table) -> pa.Table:
+                v = b.column(col).to_numpy(zero_copy_only=False)
+                v = v[(v >= lo) & (v <= hi)]
+                c, _ = np.histogram(v, bins=edges)
+                return pa.table({"bin": pa.array(np.arange(1024, dtype=np.int64)),
+                                 "c": pa.array(c.astype(np.int64))})
+
+            from ray.data.aggregate import Sum
+
+            counts = ds.map_batches(hist, batch_format="pyarrow") \
+                .groupby("bin").aggregate(Sum("c", alias_name="n")).to_pandas() \
+                .set_index("bin")["n"].reindex(range(1024), fill_value=0).to_numpy()
+            cum = np.cumsum(counts)
+            target = rank - below
+            b = int(np.searchsorted(cum, target + 1))
+            in_bin = int(counts[b])
+            if in_bin <= max_collect or edges[b + 1] - edges[b] <= 0:
+                blo, bhi = edges[b], edges[b + 1]
+                is_last = b == 1023
+
+                def collect(t: pa.Table) -> pa.Table:
+                    v = t.column(col).to_numpy(zero_copy_only=False)
+                    sel = (v >= blo) & ((v <= bhi) if is_last else (v < bhi))
+                    return pa.table({col: pa.array(v[sel])})
+
+                vals = np.sort(ds.map_batches(collect, batch_format="pyarrow")
+                               .to_pandas()[col].to_numpy())
+                offset = target - (int(cum[b - 1]) if b else 0)
+                return float(vals[offset])
+            below += int(cum[b - 1]) if b else 0
+            lo, hi = edges[b], edges[b + 1]
+
+    v_lo = kth_value(lo_rank)
+    v_hi = v_lo if hi_rank == lo_rank else kth_value(hi_rank)
+    return float((v_lo + v_hi) / 2.0)

@@ -602,3 +602,80 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
     out = _BASE_ORACLE_QUERIES2()
     out.update(_more_oracles())
     return out
+
+
+# ---------------------------------------------------------------------------
+# Stream-shaped operators over the events table (windowed aggregate,
+# as-of join, range join) — exact DuckDB oracles.
+# ---------------------------------------------------------------------------
+
+
+def q_tumbling_window(sf_dir: str):
+    import ray.data
+
+    from .stages.events import tumbling_window
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"])
+    return tumbling_window(ev)
+
+
+def q_asof_join(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .stages.events import asof_join_orders
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    return asof_join_orders(ev, orders)
+
+
+def q_range_join(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .stages.events import range_join_parts
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "value"])
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_retailprice"])
+    return range_join_parts(ev, part)
+
+
+QUERIES.update({
+    "tumbling_window": q_tumbling_window,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+})
+
+
+def _events_oracles() -> dict[str, str]:
+    return {
+        "tumbling_window": (
+            "SELECT user_id, epoch_us(ts) // 3600000000 AS window_id, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "round(sum(value), 6) AS sum_value "
+            "FROM events GROUP BY user_id, epoch_us(ts) // 3600000000"),
+        "asof_join": (
+            "SELECT e.event_id, COALESCE((SELECT o.o_orderkey FROM orders o "
+            "WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts "
+            "ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1), -1) "
+            "AS last_orderkey FROM events e"),
+        "range_join": (
+            "SELECT e.event_id, CAST((SELECT count(*) FROM part p "
+            "WHERE p.p_retailprice >= 900.0 + e.value / 5.0 - 10.0 "
+            "AND p.p_retailprice <= 900.0 + e.value / 5.0 + 10.0) AS BIGINT) "
+            "AS n_parts FROM events e"),
+    }
+
+
+_BASE_ORACLE_QUERIES3 = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
+    out = _BASE_ORACLE_QUERIES3()
+    out.update(_events_oracles())
+    return out

@@ -1,0 +1,144 @@
+"""Stream-shaped operators over the ``events`` table.
+
+The reference is pure batch (SURVEY.md §2.5 "Streaming-only concerns:
+none"), but the engine ships the custom operators a web-scale pipeline
+needs (task brief: "as-of join, range join, windowed aggregate"): the
+events table is treated as an ordered, partitioned log.
+
+* tumbling window — integer-arithmetic window key (epoch_us // width)
+  with per-batch partial aggregation before the ``groupby`` (the
+  pre-aggregate pattern: one row per (user, window) per batch enters the
+  shuffle, not one per event).
+* as-of join — each event matched to the latest order of the same
+  customer at or before its timestamp. The (small) order side is
+  compiled into per-customer arrays sorted by (date, orderkey) and
+  broadcast; each batch answers with one ``searchsorted`` per event.
+  Tie on date -> max orderkey (deterministic, mirrored in the oracle).
+* range join — each event counts parts whose retail price falls in a
+  band derived from the event value; the sorted price array is broadcast
+  and the count is two ``searchsorted`` calls per batch (fully
+  vectorized).
+
+All three are bit-exact against DuckDB oracles (integer window keys,
+integer keys/counts; the float band bounds are computed with identical
+expressions on both sides).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def _ts_us(batch: pa.Table, col: str = "ts") -> np.ndarray:
+    return batch.column(col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def tumbling_window(events_ds, window_us: int = WINDOW_US):
+    """(user_id, window_id) -> n_events, sum_value (rounded 6)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        w = _ts_us(b) // window_us
+        df = pd.DataFrame({
+            "user_id": b.column("user_id").to_numpy(zero_copy_only=False),
+            "window_id": w,
+            "value": b.column("value").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["user_id", "window_id"], sort=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = events_ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(["user_id", "window_id"]).aggregate(
+        Sum("n_events", alias_name="n_events_sum"),
+        Sum("sum_value", alias_name="value_sum"))
+    return out.map_batches(
+        lambda b: pa.table({
+            "user_id": b.column("user_id"),
+            "window_id": b.column("window_id"),
+            "n_events": pa.array(
+                b.column("n_events_sum").to_numpy(zero_copy_only=False), type=pa.int64()),
+            "sum_value": pa.array(
+                np.round(b.column("value_sum").to_numpy(zero_copy_only=False), 6),
+                type=pa.float64()),
+        }),
+        batch_format="pyarrow")
+
+
+def compile_orders_asof(orders_table: pa.Table):
+    """Per-customer (dates_us sorted asc, orderkeys aligned) arrays for
+    the as-of lookup; rows sorted by (custkey, date, orderkey)."""
+    cust = orders_table.column("o_custkey").to_numpy(zero_copy_only=False)
+    date = orders_table.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    okey = orders_table.column("o_orderkey").to_numpy(zero_copy_only=False)
+    order = np.lexsort((okey, date, cust))
+    cust, date, okey = cust[order], date[order], okey[order]
+    # row ranges per custkey via searchsorted on the sorted cust array
+    return cust, date, okey
+
+
+class AsofOrderJoiner:
+    def __init__(self, compiled_ref):
+        import ray
+
+        self.cust, self.date, self.okey = (
+            ray.get(compiled_ref) if not isinstance(compiled_ref, tuple) else compiled_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = _ts_us(batch)
+        lo = np.searchsorted(self.cust, uid, side="left")
+        hi = np.searchsorted(self.cust, uid, side="right")
+        out = np.full(len(uid), -1, dtype=np.int64)
+        for i in range(len(uid)):
+            a, b = lo[i], hi[i]
+            if a == b:
+                continue
+            # rows [a, b) sorted by (date, orderkey); last with date <= ts
+            j = np.searchsorted(self.date[a:b], ts[i], side="right")
+            if j:
+                out[i] = self.okey[a + j - 1]
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "last_orderkey": pa.array(out, type=pa.int64()),
+        })
+
+
+def asof_join_orders(events_ds, orders_table: pa.Table):
+    """Dataset[(event_id, last_orderkey)]; -1 when the customer has no
+    order at or before the event (left as-of join semantics)."""
+    import ray
+
+    ref = ray.put(compile_orders_asof(orders_table))
+
+    def join(batch: pa.Table) -> pa.Table:
+        return AsofOrderJoiner(ref)(batch)
+
+    return events_ds.map_batches(join, batch_format="pyarrow")
+
+
+def range_join_parts(events_ds, part_table: pa.Table, half_band: float = 10.0):
+    """Dataset[(event_id, n_parts)] — parts with
+    p_retailprice in [900 + value/5 - half_band, 900 + value/5 + half_band]
+    (inclusive both ends; identical arithmetic in the oracle)."""
+    import ray
+
+    prices = np.sort(part_table.column("p_retailprice").to_numpy(zero_copy_only=False))
+    ref = ray.put(prices)
+
+    def join(batch: pa.Table) -> pa.Table:
+        p = ray.get(ref)
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        center = 900.0 + v / 5.0
+        lo = np.searchsorted(p, center - half_band, side="left")
+        hi = np.searchsorted(p, center + half_band, side="right")
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "n_parts": pa.array(hi - lo, type=pa.int64()),
+        })
+
+    return events_ds.map_batches(join, batch_format="pyarrow")

@@ -1,0 +1,78 @@
+"""Stream-shaped operators: tumbling window, as-of join, range join."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_tumbling_window_unit(ray_session):
+    import ray.data
+
+    from maskmypy_ray.stages.events import tumbling_window
+
+    us = 3_600_000_000
+    ev = pa.table({
+        "user_id": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "ts": pa.array([10, us - 1, us + 5, 20], type=pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0, 4.0, 8.0]),
+    })
+    out = tumbling_window(ray.data.from_arrow(ev)).to_pandas() \
+        .sort_values(["user_id", "window_id"]).reset_index(drop=True)
+    assert out.values.tolist() == [
+        [1, 0, 2, 3.0],   # user 1 window 0: events at 10 and us-1
+        [1, 1, 1, 4.0],   # user 1 window 1
+        [2, 0, 1, 8.0],
+    ]
+
+
+def test_asof_join_unit(ray_session):
+    import ray.data
+
+    from maskmypy_ray.stages.events import asof_join_orders
+
+    day = 86_400_000_000
+    orders = pa.table({
+        "o_orderkey": pa.array([10, 11, 12, 20], type=pa.int64()),
+        "o_custkey": pa.array([1, 1, 1, 2], type=pa.int64()),
+        "o_orderdate": pa.array([day, 2 * day, 2 * day, 5 * day],
+                                type=pa.timestamp("us")),
+    })
+    ev = pa.table({
+        "event_id": pa.array([100, 101, 102, 103, 104], type=pa.int64()),
+        "user_id": pa.array([1, 1, 1, 2, 3], type=pa.int64()),
+        "ts": pa.array([0, day, 3 * day, 4 * day, day], type=pa.timestamp("us")),
+    })
+    out = asof_join_orders(ray.data.from_arrow(ev), orders).to_pandas() \
+        .sort_values("event_id")["last_orderkey"].tolist()
+    # ev100: before any order -> -1; ev101: order 10 (== ts inclusive);
+    # ev102: date tie at 2*day -> max orderkey 12; ev103: cust 2 has only
+    # a later order -> -1; ev104: unknown customer -> -1
+    assert out == [-1, 10, 12, -1, -1]
+
+
+def test_range_join_unit(ray_session):
+    import ray.data
+
+    from maskmypy_ray.stages.events import range_join_parts
+
+    part = pa.table({"p_retailprice": pa.array([905.0, 910.0, 915.0, 950.0])})
+    ev = pa.table({
+        "event_id": pa.array([1, 2], type=pa.int64()),
+        "value": pa.array([50.0, 0.0]),  # centers 910 and 900
+    })
+    out = range_join_parts(ray.data.from_arrow(ev), part, half_band=10.0) \
+        .to_pandas().sort_values("event_id")["n_parts"].tolist()
+    # center 910 +-10 -> [900,920] catches 905,910,915; center 900 -> 905,910
+    assert out == [3, 2]
+
+
+def test_exact_median_distributed(ray_session):
+    import ray.data
+
+    from maskmypy_ray.analysis.aggregates import exact_median_distributed
+
+    rng = np.random.default_rng(5)
+    for n in (9, 10, 5001):
+        v = rng.normal(0, 1000, n)
+        ds = ray.data.from_arrow(pa.table({"v": v}))
+        assert exact_median_distributed(ds, "v", max_collect=64) == float(np.median(v))
