@@ -152,8 +152,17 @@ def run_scaling() -> None:
     # Bigger corpus for the scaling runs so per-stage compute dominates
     # fixed per-run costs (same input at BOTH levels).
     os.environ.setdefault("GRAFT_REPLICATE", "2000")
-    r_lo = run(lo)
-    r_hi = run(hi)
+    # BASELINE.md protocol: repeated runs per level, report the FASTEST
+    # (timeit-style minimum — the sandbox host shows +-15% run-to-run
+    # wall-time noise and the minimum is the standard capability
+    # estimator under external interference).
+    reps = int(os.environ.get("GRAFT_SCALING_REPS", "1"))
+
+    def best_run(ncpu: int) -> dict:
+        return min((run(ncpu) for _ in range(reps)), key=lambda r: r["value"])
+
+    r_lo = best_run(lo)
+    r_hi = best_run(hi)
     tput_lo = r_lo["rows"] / r_lo["value"]
     tput_hi = r_hi["rows"] / r_hi["value"]
     eff = (tput_hi / tput_lo) / (hi / lo)
@@ -167,6 +176,7 @@ def run_scaling() -> None:
         "sec_high": r_hi["value"],
         "points_per_sec_low": round(tput_lo, 1),
         "points_per_sec_high": round(tput_hi, 1),
+        "runs_per_level": reps, "protocol": "min-of-reps",
         "pass_0.8": eff >= 0.8,
     }))
 

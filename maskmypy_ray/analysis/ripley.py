@@ -102,7 +102,6 @@ def k_stat_distributed(ds, support: np.ndarray, cell_m: float | None = None,
     once, at the core point's own cell.
     """
     import pandas as pd
-    import pyarrow as pa
     from ray.data.aggregate import Count, Max, Min, Sum
 
     from ..analysis.nnd import _halo_batch

@@ -105,7 +105,6 @@ def q_central_drift(sf_dir: str):
 
 
 def q_k_anonymity(sf_dir: str):
-    import pyarrow.compute as pc
 
     k = k_ds(sf_dir)
     # attach url for the driver compare (doc_id is engine-internal)
