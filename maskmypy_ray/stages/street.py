@@ -62,16 +62,28 @@ class StreetMasker:
         self.seed = seed
         self.key_col = key_col
         self.valid = valid_snap_nodes(self.g, self.max_length)
+        self._ball_cache: dict[int, tuple] = {}
+
+    def _ball(self, node: int, target: int):
+        """Dijkstra ball from ``node`` with >= target entries, memoized:
+        thousands of points snap to the same node, and the ball depends
+        only on (node, cutoff) — cache the widest ball seen per node."""
+        cached = self._ball_cache.get(node)
+        if cached is None or len(cached[0]) < target:
+            cutoff = self.max_length
+            nodes, dists = self.g.dijkstra_ball(node, cutoff)
+            while len(nodes) < target:
+                cutoff *= 2
+                nodes, dists = self.g.dijkstra_ball(node, cutoff)
+            cached = (nodes, dists)
+            self._ball_cache[node] = cached
+        return cached
 
     def _mask_one(self, x: float, y: float, target: int) -> tuple[float, float]:
         node = self.g.nearest_node(x, y, allowed=self.valid)
         if node < 0:  # no valid node anywhere: keep original
             return x, y
-        cutoff = self.max_length
-        nodes, dists = self.g.dijkstra_ball(node, cutoff)
-        while len(nodes) < target:
-            cutoff *= 2
-            nodes, dists = self.g.dijkstra_ball(node, cutoff)
+        nodes, dists = self._ball(node, target)
         nodes, dists = nodes[:target], dists[:target]
         target_distance = dists.sum() / target
         pick = int(np.argmin(np.abs(dists - target_distance)))
