@@ -54,3 +54,7 @@ MAX_CONTAIN_ROUNDS = 16
 
 # Addresses synthesized per document row (FIXTURES.md F2).
 ADDRESSES_PER_DOC = 4
+
+# Global equal-angle cell resolution for the partitioning tile key
+# (H3/S2 role per north_star; 2^15 x 2^15 grid, ~1.2 km cells).
+GLOBAL_CELL_RES = 15

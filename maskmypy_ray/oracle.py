@@ -64,7 +64,10 @@ geoparsed AS (
 points AS (
   SELECT *,
     (lon - ({C.LON0!r})) * {C.METERS_PER_DEG_LON!r} AS x,
-    (lat - {C.LAT0!r}) * {C.METERS_PER_DEG_LAT!r} AS y
+    (lat - {C.LAT0!r}) * {C.METERS_PER_DEG_LAT!r} AS y,
+    CAST(floor((lat + 90.0) / 180.0 * {1 << C.GLOBAL_CELL_RES}) AS BIGINT)
+      * {1 << C.GLOBAL_CELL_RES}
+      + CAST(floor((lon + 180.0) / 360.0 * {1 << C.GLOBAL_CELL_RES}) AS BIGINT) AS cell
   FROM geoparsed
 )"""
 

@@ -63,7 +63,7 @@ def q_webpages(sf_dir: str):
 
 
 def q_geoparse(sf_dir: str):
-    return points_ds(sf_dir).select_columns(["url", "lat", "lon", "x", "y"])
+    return points_ds(sf_dir).select_columns(["url", "lat", "lon", "x", "y", "cell"])
 
 
 def q_text_byte_identity(sf_dir: str):
@@ -253,7 +253,7 @@ def _k_sql() -> str:
 def oracle_queries() -> dict[str, str]:
     return {
         "webpages": f"WITH {oracle.pages_cte(SEED)} SELECT url, warc_ts, text, lang FROM pages",
-        "geoparse": f"WITH {oracle.points_cte(SEED)} SELECT url, lat, lon, x, y FROM points",
+        "geoparse": f"WITH {oracle.points_cte(SEED)} SELECT url, lat, lon, x, y, cell FROM points",
         "text_byte_identity": (
             f"WITH {oracle.points_cte(SEED)} SELECT url, text FROM points"),
         "donut_uniform": f"WITH {_masked_sql('uniform')} SELECT url, mx, my FROM masked",

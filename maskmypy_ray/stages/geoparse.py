@@ -12,6 +12,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..constants import GLOBAL_CELL_RES
+from ..geokernels.cells import cell_of_latlon
 from ..geokernels.geometry import latlon_to_xy
 
 # First "<±d{1,3}.dddddd>, <±d{1,3}.dddddd>" pair in the page text.
@@ -40,6 +42,9 @@ def geoparse_batch(batch: pa.Table, drop_unparsed: bool = True) -> pa.Table:
     batch = batch.append_column("lon", lon)
     batch = batch.append_column("x", pa.array(x, type=pa.float64()))
     batch = batch.append_column("y", pa.array(y, type=pa.float64()))
+    # Global partitioning tile (H3/S2 role): equal-angle quadkey cell.
+    cell = cell_of_latlon(lat_np, lon_np, GLOBAL_CELL_RES)
+    batch = batch.append_column("cell", pa.array(cell, type=pa.int64()))
     return batch
 
 
