@@ -133,11 +133,12 @@ class BroadcastKCounter:
     the object store (the common census/address case); the halo-shuffle
     path below covers the both-sides-huge regime."""
 
-    def __init__(self, index_ref, key_col: str = "doc_id"):
+    def __init__(self, index_ref, key_col: str = "doc_id", append: bool = False):
         import ray
 
         self.idx = ray.get(index_ref) if not isinstance(index_ref, tuple) else index_ref
         self.key_col = key_col
+        self.append = append
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..geokernels.cells import cover_circle_xy
@@ -171,9 +172,14 @@ class BroadcastKCounter:
             dy = ay[sel][None, :] - my[pr][:, None]
             hits = (dx * dx + dy * dy <= (d[pr] * d[pr])[:, None]).sum(axis=1)
             cnt[pr] += hits
+        k_col = pa.array(cnt + 1, type=pa.int64())
+        if self.append:
+            # Fused plan: k rides along with the full masked batch, so
+            # downstream stages (suppress, street_k) never re-join it.
+            return batch.append_column("k_anonymity", k_col)
         return pa.table({
             self.key_col: pa.array(keys, type=pa.int64()),
-            "k_anonymity": pa.array(cnt + 1, type=pa.int64()),
+            "k_anonymity": k_col,
         })
 
 
@@ -198,8 +204,13 @@ BROADCAST_ADDR_LIMIT = 5_000_000
 
 
 def calculate_k(masked_ds, addresses_ds, cell_m: float | None = None,
-                salt: int = 1, key_col: str = "doc_id", mode: str = "auto"):
-    """Address-based k-anonymity -> Dataset[(doc_id, k_anonymity)].
+                salt: int = 1, key_col: str = "doc_id", mode: str = "auto",
+                append: bool = False):
+    """Address-based k-anonymity -> Dataset[(doc_id, k_anonymity)], or —
+    with ``append=True`` — the full masked Dataset with a ``k_anonymity``
+    column fused in (broadcast plan only: the zero-shuffle path computes k
+    per input batch in order, so appending is free and downstream stages
+    need no re-join).
 
     ``masked_ds`` must carry mx, my, _distance (run displacement() first).
 
@@ -231,6 +242,10 @@ def calculate_k(masked_ds, addresses_ds, cell_m: float | None = None,
     elif mode == "auto":
         n_addr = addresses_ds.count()
         mode = "broadcast" if n_addr <= BROADCAST_ADDR_LIMIT else "shuffle"
+    if append and mode != "broadcast":
+        raise ValueError(
+            "append=True requires the broadcast plan (the shuffle plan "
+            "reorders rows; join its (key, k) output back instead)")
     if cell_m is None:
         from ray.data.aggregate import Max
 
@@ -247,7 +262,7 @@ def calculate_k(masked_ds, addresses_ds, cell_m: float | None = None,
         # amortize — and task pools scale to every free CPU instantly
         # (the autoscaling actor pool ramped too slowly to matter).
         def count(batch: pa.Table) -> pa.Table:
-            return BroadcastKCounter(ref, key_col=key_col)(batch)
+            return BroadcastKCounter(ref, key_col=key_col, append=append)(batch)
 
         # Chunking happens INSIDE the function (4096-row zero-copy
         # slices keep per-call allocations in reused malloc pools — this
