@@ -2,15 +2,22 @@
 
 All are algebraic (min/max/mean/count) and run as Ray Dataset aggregates
 — streaming partial aggregation per block, tiny final combine. The exact
-median follows the reference's exact semantics (`analysis.py:192,217`):
-for test/driver scales we collect the single float column; at 10^12-row
-scale the documented path is a t-digest sketch behind ``approx=True``
-(SURVEY.md §7.5.7).
+median follows the reference's exact semantics (`analysis.py:192,217`)
+at EVERY scale: below ``MEDIAN_COLLECT_LIMIT`` rows the single float
+column is collected (bounded, cheap); above it the iterative-histogram
+:func:`exact_median_distributed` kernel computes the same order
+statistics without the column ever leaving the cluster (SURVEY.md
+§7.5.7; VERDICT r01 #3).
 """
 
 from __future__ import annotations
 
 import numpy as np
+
+# Above this row count the exact median switches to the distributed
+# histogram-refinement kernel; below it a bounded single-column collect
+# is both exact and cheaper (no extra full-dataset passes).
+MEDIAN_COLLECT_LIMIT = 262_144
 
 
 def summarize_column(ds, col: str, approx: bool = False) -> dict:
@@ -25,12 +32,14 @@ def summarize_column(ds, col: str, approx: bool = False) -> dict:
         "count": int(agg[f"count({col})"]),
     }
     if approx:
-        # Scale path: 1% sample median — flagged approximate.
+        # Optional cheap path: 1% sample median — flagged approximate.
         vals = ds.select_columns([col]).random_sample(0.01, seed=7).to_pandas()[col].to_numpy()
         out["median"] = float(np.median(vals)) if len(vals) else float("nan")
+    elif out["count"] > MEDIAN_COLLECT_LIMIT:
+        out["median"] = exact_median_distributed(ds, col)
     else:
         vals = ds.select_columns([col]).to_pandas()[col].to_numpy()
-        out["median"] = float(np.median(vals))
+        out["median"] = float(np.median(vals)) if len(vals) else float("nan")
     return out
 
 

@@ -76,3 +76,24 @@ def test_exact_median_distributed(ray_session):
         v = rng.normal(0, 1000, n)
         ds = ray.data.from_arrow(pa.table({"v": v}))
         assert exact_median_distributed(ds, "v", max_collect=64) == float(np.median(v))
+
+
+def test_summarize_column_distributed_median(ray_session, monkeypatch):
+    """Above MEDIAN_COLLECT_LIMIT summarize_column must use the
+    distributed kernel and still return the exact numpy median."""
+    import ray.data
+
+    from maskmypy_ray.analysis import aggregates
+
+    rng = np.random.default_rng(6)
+    v = rng.normal(50, 10, 4001)
+    ds = ray.data.from_arrow(pa.table({"v": v}))
+    monkeypatch.setattr(aggregates, "MEDIAN_COLLECT_LIMIT", 100)
+    # the collect path goes through ds.select_columns(...).to_pandas();
+    # the distributed kernel never calls select_columns on the input
+    monkeypatch.setattr(ds, "select_columns",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            AssertionError("full-column collect on big input")))
+    s = aggregates.summarize_column(ds, "v")
+    assert s["median"] == float(np.median(v))
+    assert s["count"] == 4001
