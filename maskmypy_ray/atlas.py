@@ -97,7 +97,8 @@ class Atlas:
         """
         call_kwargs = dict(self._hydrate(kwargs))
         sig = inspect.signature(mask_func)
-        if "seed" in sig.parameters and seed is not None:
+        seed_injected = "seed" in sig.parameters and seed is not None
+        if seed_injected:
             call_kwargs["seed"] = seed
         t0 = time.perf_counter()
         masked = mask_func(self.sensitive, **call_kwargs)
@@ -112,7 +113,10 @@ class Atlas:
             stats["execution_time"] = round(elapsed, 3)
         candidate = {
             "mask": getattr(mask_func, "__name__", str(mask_func)),
-            "kwargs": self._dehydrate({**kwargs, **({"seed": seed} if seed is not None else {})}),
+            # record seed only when it was actually injected into the call:
+            # replaying a seedless mask (e.g. voronoi) with a recorded seed
+            # kwarg would raise TypeError (ADVICE r01)
+            "kwargs": self._dehydrate({**kwargs, **({"seed": seed} if seed_injected else {})}),
             "checksum": chk,
             "stats": stats,
         }

@@ -65,9 +65,9 @@ points AS (
   SELECT *,
     (lon - ({C.LON0!r})) * {C.METERS_PER_DEG_LON!r} AS x,
     (lat - {C.LAT0!r}) * {C.METERS_PER_DEG_LAT!r} AS y,
-    CAST(floor((lat + 90.0) / 180.0 * {1 << C.GLOBAL_CELL_RES}) AS BIGINT)
+    least(greatest(CAST(floor((lat + 90.0) / 180.0 * {1 << C.GLOBAL_CELL_RES}) AS BIGINT), 0), {(1 << C.GLOBAL_CELL_RES) - 1})
       * {1 << C.GLOBAL_CELL_RES}
-      + CAST(floor((lon + 180.0) / 360.0 * {1 << C.GLOBAL_CELL_RES}) AS BIGINT) AS cell
+      + least(greatest(CAST(floor((lon + 180.0) / 360.0 * {1 << C.GLOBAL_CELL_RES}) AS BIGINT), 0), {(1 << C.GLOBAL_CELL_RES) - 1}) AS cell
   FROM geoparsed
 )"""
 

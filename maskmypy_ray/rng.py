@@ -31,7 +31,11 @@ Stream index registry (keep in sync with oracle.py):
   9   locationswap candidate choice
  10   street target-node-count draw
  32+  addresses: per-doc address j uses 32+4j (downtown), 33+4j (lat), 34+4j (lon)
- 64+  containment rejection round r uses 64+4r .. 66+4r
+ 64+  containment rejection round r uses 64+4r .. 67+4r
+      (hyp, x-frac, direction, Box-Muller v)
+ 200  road-graph node x-jitter; 201 y-jitter; 202 edge drop
+ 300+ Ripley CSR simulation s uses 300+2s / 301+2s (s < ~4800)
+10000 ANN random hyperplanes u; 10001 v (kept clear of the Ripley range)
 ====  =======================================================
 """
 

@@ -135,10 +135,13 @@ def lsh_buckets_batch(batch: pa.Table, planes: np.ndarray) -> pa.Table:
 
 
 def random_hyperplanes(dim: int, nbits: int = 8, seed: int = 42) -> np.ndarray:
-    """Deterministic hyperplanes from the counter RNG (Box-Muller)."""
+    """Deterministic hyperplanes from the counter RNG (Box-Muller).
+
+    Streams 10000/10001 — a high block reserved in the rng.py registry so
+    the Ripley CSR range (300+2s) can never collide (ADVICE r01)."""
     idx = np.arange(dim * nbits, dtype=np.int64)
-    u = uniform01(idx, seed, 500)
-    v = uniform01(idx, seed, 501)
+    u = uniform01(idx, seed, 10_000)
+    v = uniform01(idx, seed, 10_001)
     g = np.sqrt(-2.0 * np.log1p(-u)) * np.cos(2.0 * np.pi * v)
     return g.reshape(nbits, dim)
 

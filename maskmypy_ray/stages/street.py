@@ -67,15 +67,27 @@ class StreetMasker:
     def _ball(self, node: int, target: int):
         """Dijkstra ball from ``node`` with >= target entries, memoized:
         thousands of points snap to the same node, and the ball depends
-        only on (node, cutoff) — cache the widest ball seen per node."""
+        only on (node, cutoff) — cache the widest ball seen per node.
+
+        Bounded (unlike the reference's `street.py:257-262` doubling
+        loop): once a doubled cutoff stops growing the ball, the snap
+        node's connected component is exhausted and the ball is as big as
+        it will ever get — callers clamp target to its size instead of
+        hanging (UNMASKED-fallback pattern, mirrors donut containment's
+        MAX_CONTAIN_ROUNDS cap)."""
         cached = self._ball_cache.get(node)
-        if cached is None or len(cached[0]) < target:
+        if cached is None or (len(cached[0]) < target and not cached[2]):
             cutoff = self.max_length
             nodes, dists = self.g.dijkstra_ball(node, cutoff)
+            exhausted = False
             while len(nodes) < target:
                 cutoff *= 2
-                nodes, dists = self.g.dijkstra_ball(node, cutoff)
-            cached = (nodes, dists)
+                grown, gdists = self.g.dijkstra_ball(node, cutoff)
+                if len(grown) == len(nodes):
+                    exhausted = True  # component smaller than target
+                    break
+                nodes, dists = grown, gdists
+            cached = (nodes, dists, exhausted)
             self._ball_cache[node] = cached
         return cached
 
@@ -83,7 +95,8 @@ class StreetMasker:
         node = self.g.nearest_node(x, y, allowed=self.valid)
         if node < 0:  # no valid node anywhere: keep original
             return x, y
-        nodes, dists = self._ball(node, target)
+        nodes, dists, _ = self._ball(node, target)
+        target = min(target, len(nodes))
         nodes, dists = nodes[:target], dists[:target]
         target_distance = dists.sum() / target
         pick = int(np.argmin(np.abs(dists - target_distance)))

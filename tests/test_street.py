@@ -74,3 +74,28 @@ def test_valid_snap_excludes_long_only_nodes(graph):
     """Nodes whose every edge exceeds max_length are peeled."""
     valid_short = valid_snap_nodes(graph, 50.0)  # pitch ~200m -> most invalid
     assert valid_short.mean() < 0.2
+
+
+def test_small_component_terminates():
+    """A snap node in a 3-node component with target_node_count > 3 must
+    terminate (clamped target), not hang in the cutoff-doubling loop
+    (ADVICE r01: dijkstra_ball can never outgrow the component)."""
+    import pyarrow as pa
+
+    from maskmypy_ray.sources.roadgraph import RoadGraph
+
+    # tiny island of 3 nodes far from a 2-node mainland
+    node_x = np.array([0.0, 100.0, 200.0, 50_000.0, 50_100.0])
+    node_y = np.zeros(5)
+    edges = np.array([[0, 1], [1, 2], [3, 4]])
+    lengths = np.array([100.0, 100.0, 100.0])
+    g = RoadGraph(node_x, node_y, edges, lengths)
+    pts = pa.table({
+        "doc_id": pa.array([1], type=pa.int64()),
+        "x": pa.array([10.0]),
+        "y": pa.array([5.0]),
+    })
+    # low/high force target_node_count in [20, 30) >> component size 3
+    m = StreetMasker(g, 20, 30, 1000.0, 42)(pts)
+    mx, my = m.column("mx")[0].as_py(), m.column("my")[0].as_py()
+    assert (mx, my) in set(zip(node_x.tolist(), node_y.tolist()))
