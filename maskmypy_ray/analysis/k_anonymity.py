@@ -368,9 +368,63 @@ def circle_polygon_area_exact(cx: float, cy: float, r: float,
     return abs(total)
 
 
+def _edge_contrib(px: np.ndarray, py: np.ndarray, qx: np.ndarray,
+                  qy: np.ndarray, r: np.ndarray) -> np.ndarray:
+    """Per-edge Green's-theorem contribution to area(circle ∩ polygon),
+    vectorized over a flat edge array (coordinates relative to each
+    edge's circle center, per-edge radius ``r``). Branch logic mirrors
+    :func:`circle_polygon_area_exact` case-for-case; all five cases are
+    computed arraywise and selected with ``np.where``."""
+    r2 = r * r
+    dx = qx - px
+    dy = qy - py
+    a = dx * dx + dy * dy
+    safe_a = np.where(a > 0, a, 1.0)
+    b = 2.0 * (px * dx + py * dy)
+    c = px * px + py * py - r2
+    disc = b * b - 4 * a * c
+    pin = c <= 0
+    qin = (qx * qx + qy * qy - r2) <= 0
+    tri_pq = 0.5 * (px * qy - py * qx)
+    sec_pq = 0.5 * r2 * np.arctan2(px * qy - py * qx, px * qx + py * qy)
+    sq = np.sqrt(np.maximum(disc, 0.0))
+    t1 = (-b - sq) / (2 * safe_a)
+    t2 = (-b + sq) / (2 * safe_a)
+    # case pin & !qin: leaves the circle at clip(t2)
+    tt = np.minimum(np.maximum(t2, 0.0), 1.0)
+    m3x, m3y = px + tt * dx, py + tt * dy
+    c3 = 0.5 * (px * m3y - py * m3x) \
+        + 0.5 * r2 * np.arctan2(m3x * qy - m3y * qx, m3x * qx + m3y * qy)
+    # case !pin & qin: enters at clip(t1)
+    tt = np.minimum(np.maximum(t1, 0.0), 1.0)
+    m4x, m4y = px + tt * dx, py + tt * dy
+    c4 = 0.5 * r2 * np.arctan2(px * m4y - py * m4x, px * m4x + py * m4y) \
+        + 0.5 * (m4x * qy - m4y * qx)
+    # case both outside, chord passes through the circle
+    m1x, m1y = px + t1 * dx, py + t1 * dy
+    m2x, m2y = px + t2 * dx, py + t2 * dy
+    through = (t1 > 0.0) & (t1 < 1.0) & (t2 > 0.0) & (t2 < 1.0) & (t1 < t2)
+    c5 = 0.5 * r2 * np.arctan2(px * m1y - py * m1x, px * m1x + py * m1y) \
+        + 0.5 * (m1x * m2y - m1y * m2x) \
+        + 0.5 * r2 * np.arctan2(m2x * qy - m2y * qx, m2x * qx + m2y * qy)
+    out = np.where(pin & qin, tri_pq,
+                   np.where(disc <= 0, sec_pq,
+                            np.where(pin & ~qin, c3,
+                                     np.where(~pin & qin, c4,
+                                              np.where(through, c5, sec_pq)))))
+    return np.where((a > 0) & (r > 0), out, 0.0)
+
+
 class ArealKEstimator:
     """Actor-pool stage: broadcast population polygons; per point compute
-    k = floor(sum pop_i * area(circle ∩ poly_i) / area(poly_i))."""
+    k = floor(sum pop_i * area(circle ∩ poly_i) / area(poly_i)).
+
+    Vectorized edge-array kernel (VERDICT r01 #9): (point, polygon)
+    candidate pairs come from one bbox-overlap matrix against the
+    broadcast (small) polygon side; all pairs' edges are expanded into a
+    single flat array, run through :func:`_edge_contrib` at once, and
+    segment-summed with ``np.add.reduceat`` — no per-point/per-edge
+    Python loops."""
 
     def __init__(self, polygons_ref, key_col: str = "doc_id"):
         import ray
@@ -380,29 +434,50 @@ class ArealKEstimator:
         )
         self.key_col = key_col
         self.areas = np.array([self.ps.area(i) for i in range(self.ps.n)])
-        self.rings = [self.ps._ring(i) for i in range(self.ps.n)]
+        # flat per-edge (p, q) vertex arrays across all rings
+        starts = self.ps.starts
+        self.edge_px = self.ps.vx
+        self.edge_py = self.ps.vy
+        self.edge_qx = np.empty_like(self.ps.vx)
+        self.edge_qy = np.empty_like(self.ps.vy)
+        for i in range(self.ps.n):
+            s, e = starts[i], starts[i + 1]
+            self.edge_qx[s:e] = np.roll(self.ps.vx[s:e], -1)
+            self.edge_qy[s:e] = np.roll(self.ps.vy[s:e], -1)
+        self.edge_start = starts[:-1]
+        self.edge_counts = np.diff(starts)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch.column(self.key_col).to_numpy(zero_copy_only=False)
         mx = batch.column("mx").to_numpy(zero_copy_only=False)
         my = batch.column("my").to_numpy(zero_copy_only=False)
         d = batch.column("_distance").to_numpy(zero_copy_only=False)
-        k = np.empty(len(mx), dtype=np.int64)
+        acc = np.zeros(len(mx), dtype=np.float64)
         bb = self.ps.bbox
-        for j in range(len(mx)):
-            acc = 0.0
-            # bbox prefilter: only polygons whose bbox intersects the circle's
-            cand = np.nonzero(
-                (bb[:, 0] <= mx[j] + d[j]) & (bb[:, 2] >= mx[j] - d[j])
-                & (bb[:, 1] <= my[j] + d[j]) & (bb[:, 3] >= my[j] - d[j])
-            )[0]
-            for i in cand:
-                if self.areas[i] <= 0 or self.ps.pops is None:
-                    continue
-                a = circle_polygon_area_exact(mx[j], my[j], d[j], *self.rings[i])
-                if a > 0:
-                    acc += self.ps.pops[i] * (a / self.areas[i])
-            k[j] = int(np.floor(acc))
+        if self.ps.pops is not None and len(mx):
+            ov = ((bb[None, :, 0] <= (mx + d)[:, None])
+                  & (bb[None, :, 2] >= (mx - d)[:, None])
+                  & (bb[None, :, 1] <= (my + d)[:, None])
+                  & (bb[None, :, 3] >= (my - d)[:, None])
+                  & (self.areas > 0)[None, :])
+            pj, pi = np.nonzero(ov)
+            if len(pi):
+                ec = self.edge_counts[pi]
+                tot = int(ec.sum())
+                pstarts = np.concatenate([[0], np.cumsum(ec)])
+                flat = np.arange(tot, dtype=np.int64) \
+                    - np.repeat(pstarts[:-1], ec) + np.repeat(self.edge_start[pi], ec)
+                eop = np.repeat(np.arange(len(pi)), ec)  # edge -> pair
+                cxe = mx[pj][eop]
+                cye = my[pj][eop]
+                contrib = _edge_contrib(self.edge_px[flat] - cxe,
+                                        self.edge_py[flat] - cye,
+                                        self.edge_qx[flat] - cxe,
+                                        self.edge_qy[flat] - cye,
+                                        d[pj][eop])
+                pair_area = np.abs(np.add.reduceat(contrib, pstarts[:-1]))
+                np.add.at(acc, pj, self.ps.pops[pi] * (pair_area / self.areas[pi]))
+        k = np.floor(acc).astype(np.int64)
         return pa.table({
             self.key_col: pa.array(keys, type=pa.int64()),
             "k_anonymity": pa.array(k, type=pa.int64()),

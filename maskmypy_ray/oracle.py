@@ -161,6 +161,197 @@ def donut_contained_cte(seed: int, low: float, high: float,
     return ",\n".join(parts)
 
 
+def areal_k_cte(seed: int) -> str:
+    """Boundary-grid polygons + vectorized circle∩polygon edge kernel as
+    SQL, mirroring ``analysis.k_anonymity._edge_contrib`` case-for-case
+    over the rectangles of ``sources.boundary.boundary_polygon_set``.
+    Expects a CTE ``flag`` with (doc_id, mx, my, _distance) upstream;
+    emits ``areal`` with (doc_id, k_anonymity).
+
+    Float caveat (documented): the engine sums edge contributions and
+    polygon shoelace terms in numpy evaluation order, SQL in SUM order —
+    last-ulp differences can only flip k at an exact floor boundary,
+    which is measure-zero for the randomized masks."""
+    from .rng import sql_mix32
+
+    x0, y0 = C.X_MIN, C.Y_MIN
+    w = (C.X_MAX - C.X_MIN) / C.GRID_NX
+    h = (C.Y_MAX - C.Y_MIN) / C.GRID_NY
+    npoly = C.GRID_NX * C.GRID_NY
+    pop = sql_mix32(f"({seed * 131} + pid) & {0xFFFFFFFF}")
+    # sequential-order shoelace of ring [ax,x2,x2,ax] x [ay,ay,y2,y2]
+    shoelace = ("0.5 * abs((((x1*y1 + x2*y2) + x2*y2) + x1*y1) "
+                "- (((y1*x2 + y1*x2) + y2*x1) + y2*x1))")
+    # ::DOUBLE casts: DuckDB parses long float literals as DECIMAL, and
+    # BIGINT * DECIMAL chains overflow the DECIMAL scale.
+    xw = f"{x0!r}::DOUBLE + (i % {C.GRID_NX}) * {w!r}::DOUBLE"
+    yh = f"{y0!r}::DOUBLE + (i // {C.GRID_NX}) * {h!r}::DOUBLE"
+    return f"""pg AS (
+  SELECT CAST(i AS BIGINT) AS pid,
+         {xw} AS x1,
+         {yh} AS y1,
+         ({xw}) + {w!r}::DOUBLE AS x2,
+         ({yh}) + {h!r}::DOUBLE AS y2,
+         CAST(50 + ({pop}) % 500 AS DOUBLE) AS pop
+  FROM range({npoly}) t(i)
+),
+pg2 AS (
+  SELECT *, {shoelace} AS parea FROM pg
+),
+edges AS (
+  SELECT pid, x1 AS ex, y1 AS ey, x2 AS fx, y1 AS fy FROM pg2
+  UNION ALL SELECT pid, x2, y1, x2, y2 FROM pg2
+  UNION ALL SELECT pid, x2, y2, x1, y2 FROM pg2
+  UNION ALL SELECT pid, x1, y2, x1, y1 FROM pg2
+),
+fl AS MATERIALIZED (
+  -- MATERIALIZED: stops the optimizer inlining the 16-round mask
+  -- expression tree into the inequality join below (plan-time blow-up)
+  SELECT doc_id, mx, my, _distance FROM flag
+),
+prs AS (
+  SELECT f.doc_id, p.pid, f.mx, f.my, f._distance AS r, p.pop, p.parea
+  FROM fl f JOIN pg2 p
+    ON p.x1 <= f.mx + f._distance AND p.x2 >= f.mx - f._distance
+   AND p.y1 <= f.my + f._distance AND p.y2 >= f.my - f._distance
+   AND f._distance > 0 AND p.parea > 0
+),
+pe0 AS (
+  SELECT pr.doc_id, pr.pid, pr.pop, pr.parea, pr.r,
+         e.ex - pr.mx AS px, e.ey - pr.my AS py,
+         e.fx - pr.mx AS qx, e.fy - pr.my AS qy
+  FROM prs pr JOIN edges e ON e.pid = pr.pid
+),
+pe1 AS (SELECT *, qx - px AS dx, qy - py AS dy, r * r AS r2 FROM pe0),
+pe2 AS (SELECT *, dx*dx + dy*dy AS a, 2.0*(px*dx + py*dy) AS b,
+               px*px + py*py - r2 AS c, qx*qx + qy*qy - r2 AS qc FROM pe1),
+pe3 AS (SELECT *, b*b - 4*a*c AS disc FROM pe2),
+pe4 AS (SELECT *, sqrt(greatest(disc, 0.0)) AS sq FROM pe3),
+pe5 AS (SELECT *, (-b - sq)/(2*a) AS t1, (-b + sq)/(2*a) AS t2 FROM pe4),
+pe6 AS (SELECT *, least(greatest(t2, 0.0), 1.0) AS tt3,
+               least(greatest(t1, 0.0), 1.0) AS tt4 FROM pe5),
+pe7 AS (SELECT *, px + tt3*dx AS m3x, py + tt3*dy AS m3y,
+               px + tt4*dx AS m4x, py + tt4*dy AS m4y,
+               px + t1*dx AS m1x, py + t1*dy AS m1y,
+               px + t2*dx AS m2x, py + t2*dy AS m2y FROM pe6),
+pcontrib AS (
+  SELECT doc_id, pid, pop, parea,
+    CASE
+      WHEN c <= 0 AND qc <= 0 THEN 0.5*(px*qy - py*qx)
+      WHEN disc <= 0 THEN 0.5*r2*atan2(px*qy - py*qx, px*qx + py*qy)
+      WHEN c <= 0 AND qc > 0 THEN 0.5*(px*m3y - py*m3x)
+           + 0.5*r2*atan2(m3x*qy - m3y*qx, m3x*qx + m3y*qy)
+      WHEN c > 0 AND qc <= 0 THEN 0.5*r2*atan2(px*m4y - py*m4x, px*m4x + py*m4y)
+           + 0.5*(m4x*qy - m4y*qx)
+      WHEN t1 > 0 AND t1 < 1 AND t2 > 0 AND t2 < 1 AND t1 < t2 THEN
+           0.5*r2*atan2(px*m1y - py*m1x, px*m1x + py*m1y)
+           + 0.5*(m1x*m2y - m1y*m2x)
+           + 0.5*r2*atan2(m2x*qy - m2y*qx, m2x*qx + m2y*qy)
+      ELSE 0.5*r2*atan2(px*qy - py*qx, px*qx + py*qy)
+    END AS contrib
+  FROM pe7
+),
+pair_area AS (
+  SELECT doc_id, pid, pop, parea, abs(sum(contrib)) AS pa
+  FROM pcontrib GROUP BY doc_id, pid, pop, parea
+),
+areal_acc AS (
+  SELECT doc_id, sum(pop * (pa / parea)) AS acc FROM pair_area GROUP BY doc_id
+),
+areal AS (
+  SELECT f.doc_id, CAST(floor(COALESCE(a.acc, 0.0)) AS BIGINT) AS k_anonymity
+  FROM fl f LEFT JOIN areal_acc a ON f.doc_id = a.doc_id
+)"""
+
+
+def _road_grid_shape() -> tuple[int, int, int]:
+    """(nx, ny, n) of the synthetic road grid — the same arithmetic as
+    sources.roadgraph.synth_road_graph's np.arange (bit-equal to
+    X_MIN + i*pitch, verified in tests)."""
+    import math
+
+    # np.arange length = ceil((stop - start) / step)
+    pitch = 200.0
+    nx = int(math.ceil((C.X_MAX + pitch - C.X_MIN) / pitch))
+    ny = int(math.ceil((C.Y_MAX + pitch - C.Y_MIN) / pitch))
+    return nx, ny, nx * ny
+
+
+def road_nodes_cte(seed: int) -> str:
+    """Mirror of sources.roadgraph.synth_road_graph's node coordinates:
+    perturbed 200 m grid, jitter from RNG streams 200/201. np.arange
+    values equal X_MIN + i*200.0 bit-for-bit (tests pin this)."""
+    nx, ny, n = _road_grid_shape()
+    jx = f"((({sql_uniform01('i', seed, 200)} - 0.5) * 2) * 0.3) * 200.0"
+    jy = f"((({sql_uniform01('i', seed, 201)} - 0.5) * 2) * 0.3) * 200.0"
+    return f"""nodes AS (
+  SELECT CAST(i AS BIGINT) AS node_id,
+         ({C.X_MIN!r}::DOUBLE + (i % {nx}) * 200.0) + ({jx}) AS x,
+         ({C.Y_MIN!r}::DOUBLE + (i // {nx}) * 200.0) + ({jy}) AS y
+  FROM range({n}) t(i)
+)"""
+
+
+def street_snap_cte(seed: int, max_length: float = 1000.0) -> str:
+    """Valid-snap-node assignment in SQL, mirroring
+    stages.street.valid_snap_nodes + RoadGraph.nearest_node:
+
+    * edges = 4-connected grid minus the seeded ~10% drop (stream 202)
+      plus the highway edges (index arithmetic constant-folded here);
+    * validity = the peel fixpoint, unrolled to ONE round because the
+      fixture graph converges in one (measured; tests pin it);
+    * snap = argmin squared distance over valid nodes, node_id
+      tie-break (ties are measure-zero for jittered float coords).
+
+    Expects a CTE ``points`` (url, x, y) upstream; emits ``street_snap``
+    (url, snap_node)."""
+    nx, ny, n = _road_grid_shape()
+    # highway edges: same arithmetic as synth_road_graph (structural
+    # constants, not engine output)
+    import numpy as np
+
+    hsrc = np.arange(0, n - 1, n // 8, dtype=np.int64)[:8]
+    hdst = np.clip(hsrc + nx * 7 + 11, 0, n - 1)
+    hmask = hsrc != hdst
+    hvals = ", ".join(f"({int(a)}, {int(b)})" for a, b in zip(hsrc[hmask], hdst[hmask]))
+    ekey = f"((a * 100003 + b) & {0xFFFFFFFF})"
+    return f"""pts AS MATERIALIZED (
+  SELECT url, x, y FROM points
+),
+ge AS (
+  SELECT i AS a, i + 1 AS b FROM range({n}) t(i) WHERE (i % {nx}) < {nx - 1}
+  UNION ALL
+  SELECT i AS a, i + {nx} AS b FROM range({n}) t(i) WHERE (i // {nx}) < {ny - 1}
+),
+ge_kept AS (
+  SELECT a, b FROM ge WHERE {sql_uniform01(ekey, seed, 202)} >= 0.10
+  UNION ALL
+  SELECT * FROM (VALUES {hvals}) hw(a, b)
+),
+el AS (
+  SELECT e.a, e.b,
+         sqrt((na.x - nb.x)*(na.x - nb.x) + (na.y - nb.y)*(na.y - nb.y)) AS len
+  FROM ge_kept e JOIN nodes na ON na.node_id = e.a JOIN nodes nb ON nb.node_id = e.b
+),
+valid_nodes AS (
+  SELECT DISTINCT a AS node_id FROM el WHERE len <= {max_length!r}
+  UNION
+  SELECT DISTINCT b AS node_id FROM el WHERE len <= {max_length!r}
+),
+vsnap AS (
+  SELECT p.url, n.node_id,
+         row_number() OVER (
+           PARTITION BY p.url
+           ORDER BY (n.x - p.x)*(n.x - p.x) + (n.y - p.y)*(n.y - p.y), n.node_id
+         ) AS rk
+  FROM pts p CROSS JOIN (
+    SELECT n.* FROM nodes n JOIN valid_nodes v ON n.node_id = v.node_id) n
+),
+street_snap AS (
+  SELECT url, node_id AS snap_node FROM vsnap WHERE rk = 1
+)"""
+
+
 def addresses_cte(seed: int) -> str:
     """Mirror of sources.webpages.synth_addresses_batch (4-way UNION ALL so
     per-address stream constants fold)."""

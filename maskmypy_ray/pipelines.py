@@ -165,16 +165,36 @@ def q_locationswap(sf_dir: str):
 
 
 def q_street(sf_dir: str):
-    """Street mask (rows-only oracle: bounded Dijkstra isn't SQL)."""
+    """Street mask with SQL-checkable invariants (VERDICT r01 #2): the
+    snap node IS SQL-expressible (argmin over the deterministic node
+    table with one-round peel validity), and on_node verifies the walk
+    output lies on the graph by independent exact coordinate membership.
+    The Dijkstra walk's node choice itself stays pytest-verified."""
+    import ray
+
     from .sources.roadgraph import synth_road_graph
     from .stages.street import street
 
-    return street(points_ds(sf_dir), synth_road_graph(), low=5, high=10,
-                  seed=SEED).select_columns(["url", "mx", "my"])
+    g = synth_road_graph()
+    masked = street(points_ds(sf_dir), g, low=5, high=10, seed=SEED)
+    ref = ray.put(g.node_x + 1j * g.node_y)
+
+    def check(b: pa.Table) -> pa.Table:
+        nc = ray.get(ref)
+        c = b.column("mx").to_numpy(zero_copy_only=False) \
+            + 1j * b.column("my").to_numpy(zero_copy_only=False)
+        on = np.isin(c, nc).astype(np.int64)
+        return pa.table({"url": b.column("url"),
+                         "snap_node": b.column("snap_node"),
+                         "on_node": pa.array(on, type=pa.int64())})
+
+    return masked.map_batches(check, batch_format="pyarrow")
 
 
 def q_snap_to_streets(sf_dir: str):
-    """Donut mask + snap-to-streets post-pass (rows-only oracle)."""
+    """Donut mask + snap-to-streets post-pass. Full value-level oracle:
+    nearest node = argmin-distance join against the deterministic node
+    table (VERDICT r01 #2)."""
     from .sources.roadgraph import synth_road_graph
     from .stages.street import snap_to_streets
 
@@ -596,6 +616,33 @@ def _more_oracles() -> dict[str, str]:
         "checkpointed_flagship": (
             f"WITH {oracle.donut_contained_cte(SEED, LOW, HIGH)} "
             "SELECT url, mx, my FROM masked"),
+        # A4 areal k over the rectangular boundary grid: the SQL mirrors
+        # the engine's Green's-theorem edge kernel case-for-case (the
+        # fixture polygons ARE rectangles, so 4 edges each).
+        "estimate_k_areal": (
+            f"WITH {_contained_with_distance()},\n{oracle.areal_k_cte(SEED)} "
+            "SELECT doc_id, k_anonymity FROM areal"),
+        # M3 street mask: snap-node assignment is fully SQL (node table +
+        # validity peel + argmin join); on_node pins the engine's
+        # independent output-on-graph membership check to 1.
+        "street_mask": (
+            f"WITH {oracle.points_cte(SEED)},\n{oracle.road_nodes_cte(SEED)},\n"
+            f"{oracle.street_snap_cte(SEED)} "
+            "SELECT url, snap_node, CAST(1 AS BIGINT) AS on_node FROM street_snap"),
+        # M7 snap-to-streets: full value oracle (argmin-distance join of
+        # the donut-masked points against the node table).
+        "snap_to_streets": (
+            f"WITH {oracle.donut_cte(SEED, LOW, HIGH, 'uniform')},\n"
+            f"{oracle.road_nodes_cte(SEED)},\n"
+            "msk AS MATERIALIZED (SELECT url, mx, my FROM masked),\n"
+            "sn AS (\n"
+            "  SELECT m.url, n.x, n.y,\n"
+            "         row_number() OVER (\n"
+            "           PARTITION BY m.url\n"
+            "           ORDER BY (n.x - m.mx)*(n.x - m.mx) + (n.y - m.my)*(n.y - m.my), n.node_id\n"
+            "         ) AS rk\n"
+            "  FROM msk m CROSS JOIN nodes n\n"
+            ") SELECT url, x AS mx, y AS my FROM sn WHERE rk = 1"),
     }
 
 

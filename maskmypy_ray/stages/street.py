@@ -103,17 +103,17 @@ class StreetMasker:
             self._ball_cache[node] = cached
         return cached
 
-    def _mask_one(self, x: float, y: float, target: int) -> tuple[float, float]:
+    def _mask_one(self, x: float, y: float, target: int) -> tuple[float, float, int]:
         node = self.g.nearest_node(x, y, allowed=self.valid)
         if node < 0:  # no valid node anywhere: keep original
-            return x, y
+            return x, y, -1
         nodes, dists, _ = self._ball(node, target)
         target = min(target, len(nodes))
         nodes, dists = nodes[:target], dists[:target]
         target_distance = dists.sum() / target
         pick = int(np.argmin(np.abs(dists - target_distance)))
         t = nodes[pick]
-        return float(self.g.node_x[t]), float(self.g.node_y[t])
+        return float(self.g.node_x[t]), float(self.g.node_y[t]), int(node)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch.column(self.key_col).to_numpy(zero_copy_only=False) & 0xFFFFFFFF
@@ -123,10 +123,15 @@ class StreetMasker:
         targets = (self.low + np.floor(u * (self.high - self.low))).astype(np.int64)
         mx = np.empty(len(x))
         my = np.empty(len(x))
+        snap = np.empty(len(x), dtype=np.int64)
         for i in range(len(x)):
-            mx[i], my[i] = self._mask_one(x[i], y[i], int(targets[i]))
+            mx[i], my[i], snap[i] = self._mask_one(x[i], y[i], int(targets[i]))
         batch = batch.append_column("mx", pa.array(mx, type=pa.float64()))
         batch = batch.append_column("my", pa.array(my, type=pa.float64()))
+        # snap_node: the valid-node the point snapped to — oracle-checkable
+        # in SQL (argmin over the deterministic node table), unlike the
+        # Dijkstra walk that picks the final output node
+        batch = batch.append_column("snap_node", pa.array(snap, type=pa.int64()))
         return batch
 
 

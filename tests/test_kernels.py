@@ -72,6 +72,28 @@ def test_circle_polygon_area_exact_cases():
     assert np.isclose(circle_polygon_area_exact(0.5, 0.5, 10, *unit), 1.0)
 
 
+def test_edge_contrib_matches_scalar_kernel():
+    """The vectorized edge-array kernel equals the scalar reference
+    implementation on randomized circle/polygon configurations covering
+    every branch (in-in, sector, entry, exit, chord-through)."""
+    from maskmypy_ray.analysis.k_anonymity import _edge_contrib
+
+    rng = np.random.default_rng(11)
+    for _ in range(200):
+        nv = int(rng.integers(3, 9))
+        ang = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        rad = rng.uniform(0.5, 3.0, nv)
+        rx = rad * np.cos(ang)
+        ry = rad * np.sin(ang)
+        cx, cy = rng.uniform(-2, 2, 2)
+        r = float(rng.uniform(0.1, 3.0))
+        expect = circle_polygon_area_exact(cx, cy, r, rx, ry)
+        px, py = rx - cx, ry - cy
+        qx, qy = np.roll(rx, -1) - cx, np.roll(ry, -1) - cy
+        got = abs(_edge_contrib(px, py, qx, qy, np.full(nv, r)).sum())
+        assert np.isclose(got, expect, rtol=1e-9, atol=1e-12), (got, expect)
+
+
 def test_cells_roundtrip_and_cover():
     x = np.array([0.0, 499.9, 500.0, -0.1])
     y = np.array([0.0, 0.0, 0.0, 0.0])

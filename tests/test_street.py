@@ -76,6 +76,27 @@ def test_valid_snap_excludes_long_only_nodes(graph):
     assert valid_short.mean() < 0.2
 
 
+def test_oracle_road_grid_assumptions(graph):
+    """Pins the two structural facts the street SQL oracles rely on:
+    np.arange node coordinates equal X_MIN + i*pitch bit-for-bit, and
+    the valid-snap peel converges in ONE round at max_length=1000."""
+    from maskmypy_ray.constants import X_MAX, X_MIN, Y_MAX, Y_MIN
+    from maskmypy_ray.oracle import _road_grid_shape
+
+    nx, ny, n = _road_grid_shape()
+    xs = np.arange(X_MIN, X_MAX + 200.0, 200.0)
+    ys = np.arange(Y_MIN, Y_MAX + 200.0, 200.0)
+    assert (len(xs), len(ys), graph.n_nodes) == (nx, ny, n)
+    assert np.array_equal(xs, X_MIN + np.arange(nx) * 200.0)
+    assert np.array_equal(ys, Y_MIN + np.arange(ny) * 200.0)
+    # one-round fixpoint: nothing is peeled after the first pass
+    one_round = np.zeros(n, dtype=bool)
+    short = graph.edge_len <= 1000.0
+    cs = np.concatenate([[0], np.cumsum(short.astype(np.int64))])
+    one_round = (cs[graph.indptr[1:]] - cs[graph.indptr[:-1]]) > 0
+    assert np.array_equal(one_round, valid_snap_nodes(graph, 1000.0))
+
+
 def test_small_component_terminates():
     """A snap node in a 3-node component with target_node_count > 3 must
     terminate (clamped target), not hang in the cutoff-doubling loop
