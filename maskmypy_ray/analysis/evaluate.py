@@ -30,9 +30,13 @@ def evaluate(masked_ds, population=None, population_column: str = "pop",
     stats.update(summarize_displacement(masked_ds))
     stats.update(nnd_delta(masked_ds, key_col=key_col))
     if not skip_slow:
-        df = masked_ds.select_columns(["x", "y", "mx", "my"]).to_pandas()
-        before = ripleys_k((df["x"].to_numpy(), df["y"].to_numpy()), seed=seed)
-        after = ripleys_k((df["mx"].to_numpy(), df["my"].to_numpy()), seed=seed)
+        # distributed cell+halo k_test on both patterns (no x/y collect);
+        # 19 simulations like the driver query (ref default 99 is marked
+        # slow and skipped by default)
+        before = ripleys_k(masked_ds, x_col="x", y_col="y", simulations=19,
+                           seed=seed, key_col=key_col)
+        after = ripleys_k(masked_ds, x_col="mx", y_col="my", simulations=19,
+                          seed=seed, key_col=key_col)
         stats["ripley_rmse"] = ripley_rmse(before, after)
     if population is not None:
         if isinstance(population, PolygonSet):

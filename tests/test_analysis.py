@@ -195,3 +195,21 @@ def test_ripley_distributed_matches_inmemory(ray_session, sf_dir):
     mem = _k_stat(x, y, support)
     dist = k_stat_distributed(ds, support)
     assert np.allclose(mem, dist, rtol=1e-12)
+
+
+def test_ripley_ktest_distributed_observed_stat(ray_session, sf_dir):
+    """ripleys_k on a Dataset (one-shuffle observed+sims path) reproduces
+    the in-memory observed statistic; simulation envelope has the right
+    shape and gives sane p-values."""
+    import numpy as np
+
+    from maskmypy_ray.analysis.ripley import _k_stat, ripleys_k
+    from maskmypy_ray.pipelines import points_ds
+
+    ds = points_ds(sf_dir).materialize()
+    r = ripleys_k(ds, steps=5, simulations=3, seed=7)
+    df = ds.select_columns(["x", "y"]).to_pandas()
+    mem = _k_stat(df["x"].to_numpy(), df["y"].to_numpy(), r.support)
+    assert np.allclose(r.statistic, mem, rtol=1e-12)
+    assert r.simulations.shape == (3, 5)
+    assert np.all((r.pvalue > 0) & (r.pvalue <= 1))
