@@ -146,39 +146,96 @@ def random_hyperplanes(dim: int, nbits: int = 8, seed: int = 42) -> np.ndarray:
     return g.reshape(nbits, dim)
 
 
+class LshScorer:
+    """Actor-pool stage: queries + hyperplanes + per-query probe-bucket
+    lookup table fetched once per actor. Each vector batch hashes its
+    vectors to buckets, scores each query ONLY against vectors whose
+    bucket is in the query's multi-probe set, and emits a per-batch
+    partial top-k — the bucketing shards the matmul and the shuffle
+    carries at most k rows per (query, batch)."""
+
+    def __init__(self, state_ref, k: int):
+        import ray
+
+        self.q_ids, self.q, self.planes, self.probe = (
+            ray.get(state_ref) if not isinstance(state_ref, tuple) else state_ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, emb = _embeddings_matrix(batch)
+        m = _normalize(emb)
+        signs = (m @ self.planes.T) > 0
+        keys = np.zeros(len(ids), dtype=np.int64)
+        for b in range(self.planes.shape[0]):
+            keys |= signs[:, b].astype(np.int64) << b
+        out_q, out_v, out_s = [], [], []
+        for j in range(len(self.q_ids)):
+            sel = self.probe[j, keys]
+            if not sel.any():
+                continue
+            cand = np.nonzero(sel)[0]
+            cand = cand[ids[cand] != self.q_ids[j]]  # exclude self pre-top-k
+            if not len(cand):
+                continue
+            sims = m[cand] @ self.q[j]
+            top = np.lexsort((ids[cand], -sims))[:self.k]
+            out_q.append(np.full(len(top), self.q_ids[j], dtype=np.int64))
+            out_v.append(ids[cand[top]])
+            out_s.append(sims[top])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
+        })
+
+
 def lsh_topk(ds, query_ids: list[int], k: int = 10, nbits: int = 6, seed: int = 42,
              probe_hamming: int = 2):
     """LSH-bucketed approximate top-k: each query scans its own bucket plus
     all buckets within ``probe_hamming`` sign flips (multi-probe). Returns
-    the same schema as cosine_topk. Recall depends on how concentrated
-    true neighbors are; on isotropic random vectors it is modest by
-    construction (measured in tests)."""
-    df = ds.select_columns(["vec_id", "embedding"]).to_pandas()
-    ids = df["vec_id"].to_numpy()
-    m = _normalize(np.stack(df["embedding"].to_numpy()))
-    planes = random_hyperplanes(m.shape[1], nbits, seed)
-    signs = (m @ planes.T) > 0
-    keys = np.zeros(len(ids), dtype=np.int64)
-    for b in range(nbits):
-        keys |= signs[:, b].astype(np.int64) << b
-    by_bucket: dict[int, np.ndarray] = {}
-    for kk in np.unique(keys):
-        by_bucket[int(kk)] = np.nonzero(keys == kk)[0]
-    pos = {int(v): i for i, v in enumerate(ids)}
-    rows = []
-    for qid in query_ids:
-        qi = pos[qid]
-        qkey = int(keys[qi])
-        cand_keys = [ck for ck in range(1 << nbits)
-                     if bin(ck ^ qkey).count("1") <= probe_hamming]
-        cand = np.concatenate([by_bucket.get(ck, np.empty(0, dtype=np.int64))
-                               for ck in cand_keys])
-        cand = cand[ids[cand] != qid]
-        sims = m[cand] @ m[qi]
-        order = np.lexsort((ids[cand], -sims))[:k]
-        for r, o in enumerate(order, 1):
-            rows.append((qid, int(ids[cand[o]]), float(sims[o]), r))
+    the same schema as cosine_topk.
+
+    Fully streaming (VERDICT r01 #7): the vector table never leaves the
+    cluster — queries (small) are broadcast with a (nq, 2^nbits) probe
+    lookup table; per-batch partial top-k caps the shuffle at k rows per
+    (query, batch); one ``groupby(query_id)`` head-k finishes. Recall on
+    isotropic random vectors is modest by construction (measured in
+    tests)."""
     import ray
 
-    return ray.data.from_pandas(pd.DataFrame(
-        rows, columns=["query_id", "vec_id", "sim", "rank"]))
+    from ..util import auto_concurrency
+
+    qdf = ds.map_batches(
+        lambda b: b.filter(pa.array(np.isin(
+            b.column("vec_id").to_numpy(zero_copy_only=False), query_ids))),
+        batch_format="pyarrow").to_pandas()
+    q_ids = qdf["vec_id"].to_numpy()
+    q = _normalize(np.stack(qdf["embedding"].to_numpy()))
+    planes = random_hyperplanes(q.shape[1], nbits, seed)
+    qsigns = (q @ planes.T) > 0
+    qkeys = np.zeros(len(q_ids), dtype=np.int64)
+    for b in range(nbits):
+        qkeys |= qsigns[:, b].astype(np.int64) << b
+    buckets = np.arange(1 << nbits, dtype=np.int64)
+    pop = np.array([bin(v).count("1") for v in range(1 << nbits)], dtype=np.int64)
+    probe = pop[np.bitwise_xor(qkeys[:, None], buckets[None, :])] <= probe_hamming
+    ref = ray.put((q_ids, q, planes, probe))
+    scores = ds.map_batches(
+        LshScorer,
+        fn_constructor_kwargs=dict(state_ref=ref, k=k),
+        batch_format="pyarrow",
+        concurrency=auto_concurrency(),
+    )
+
+    def head_k(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["vec_id"] != g["query_id"].iloc[0]]
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return scores.groupby("query_id").map_groups(head_k, batch_format="pandas")

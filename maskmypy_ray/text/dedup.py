@@ -130,13 +130,14 @@ def minhash_lsh_pairs(ds, threshold: float = 0.8, text_col: str = "text",
     """Candidate pairs from LSH buckets, verified with exact shingle
     Jaccard. Returns Dataset[(doc_a, doc_b, sim)] with doc_a < doc_b.
 
-    Verification fetches shingle sets for candidate docs via a broadcast
-    text lookup — fine while candidates are sparse; the full-scale path
-    co-shuffles (bucket, doc, shingles) instead.
+    Fully distributed (VERDICT r01 #7): candidates never visit the
+    driver. Pipeline: band groupby -> candidate pairs -> pair dedup via
+    ``groupby(doc_a, doc_b)`` -> explode each pair into two per-side
+    rows -> union with the (doc_id, shingles) table -> ``groupby(doc)``
+    attaches each doc's shingle set to its side rows -> a final
+    ``groupby(doc_a, doc_b)`` joins both sides and computes exact
+    Jaccard. Three bounded shuffles, no to_pandas anywhere.
     """
-    import ray
-    from ray.data.aggregate import Min
-
     bands = ds.map_batches(
         lambda b: minhash_bands_batch(b, text_col, ngram), batch_format="pyarrow")
 
@@ -150,24 +151,70 @@ def minhash_lsh_pairs(ds, threshold: float = 0.8, text_col: str = "text",
 
     cand = bands.groupby(["band_id", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas")
-    cand_df = cand.to_pandas().drop_duplicates()
-    if not len(cand_df):
-        return ray.data.from_items([]).map_batches(lambda b: b)
-    # broadcast texts of candidate docs, verify exact Jaccard
-    need = set(cand_df["doc_a"]) | set(cand_df["doc_b"])
-    texts = ds.map_batches(
-        lambda b: b.filter(pa.array(np.isin(
-            b.column("doc_id").to_numpy(zero_copy_only=False), list(need)))),
-        batch_format="pyarrow").select_columns(["doc_id", text_col]).to_pandas()
-    sh = {d: set(_shingle_hashes(t, ngram).tolist())
-          for d, t in zip(texts["doc_id"], texts[text_col])}
-    sims = [jaccard(sh[a], sh[b]) for a, b in zip(cand_df["doc_a"], cand_df["doc_b"])]
-    cand_df["sim"] = sims
-    out = cand_df[cand_df["sim"] >= threshold].reset_index(drop=True)
-    return ray.data.from_pandas(out) if len(out) else ray.data.from_pandas(
-        pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
-                      "doc_b": pd.array([], dtype="int64"),
-                      "sim": pd.array([], dtype="float64")}))
+    uniq = cand.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+    def explode_sides(b: pa.Table) -> pa.Table:
+        da = b.column("doc_a").to_numpy(zero_copy_only=False)
+        db = b.column("doc_b").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc": pa.array(np.concatenate([da, db]), type=pa.int64()),
+            "doc_a": pa.array(np.concatenate([da, da]), type=pa.int64()),
+            "doc_b": pa.array(np.concatenate([db, db]), type=pa.int64()),
+            "is_pair": pa.array(np.ones(2 * len(da), dtype=np.int8)),
+            "shingles": pa.array([[]] * (2 * len(da)), type=pa.list_(pa.int64())),
+        })
+
+    sides = uniq.map_batches(explode_sides, batch_format="pyarrow")
+
+    def shingles_rows(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        sh = [_shingle_hashes(t, ngram).tolist()
+              for t in b.column(text_col).to_pylist()]
+        return pa.table({
+            "doc": pa.array(d, type=pa.int64()),
+            "doc_a": pa.array(np.full(len(d), -1), type=pa.int64()),
+            "doc_b": pa.array(np.full(len(d), -1), type=pa.int64()),
+            "is_pair": pa.array(np.zeros(len(d), dtype=np.int8)),
+            "shingles": pa.array(sh, type=pa.list_(pa.int64())),
+        })
+
+    sh_rows = ds.map_batches(shingles_rows, batch_format="pyarrow")
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        shingle_rows = g[g["is_pair"] == 0]
+        pair_rows = g[g["is_pair"] == 1]
+        if not len(pair_rows) or not len(shingle_rows):
+            return pd.DataFrame({
+                "doc_a": pd.array([], dtype="int64"),
+                "doc_b": pd.array([], dtype="int64"),
+                "shingles": pd.Series([], dtype=object)})
+        sh = shingle_rows["shingles"].iloc[0]
+        return pd.DataFrame({
+            "doc_a": pair_rows["doc_a"].to_numpy(),
+            "doc_b": pair_rows["doc_b"].to_numpy(),
+            "shingles": [sh] * len(pair_rows)})
+
+    attached = sides.union(sh_rows).groupby("doc").map_groups(
+        attach, batch_format="pandas")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
+                              "doc_b": pd.array([], dtype="int64"),
+                              "sim": pd.array([], dtype="float64")})
+        if len(g) != 2:  # one side's doc had no shingle row (shouldn't happen)
+            return empty
+        a = set(np.asarray(g["shingles"].iloc[0]).tolist())
+        b = set(np.asarray(g["shingles"].iloc[1]).tolist())
+        s = jaccard(a, b)
+        if s < threshold:
+            return empty
+        return pd.DataFrame({"doc_a": g["doc_a"].iloc[:1].to_numpy(),
+                             "doc_b": g["doc_b"].iloc[:1].to_numpy(),
+                             "sim": [s]})
+
+    return attached.groupby(["doc_a", "doc_b"]).map_groups(
+        verify, batch_format="pandas")
 
 
 def jaccard_pairs_exact(ds, threshold: float = 0.5, text_col: str = "text",
@@ -237,8 +284,6 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text"):
     """Near-dup pairs with hamming(simhash) <= max_hamming, via 4x16-bit
     band blocking — pigeonhole-complete for max_hamming <= 3."""
-    import ray
-
     sh = ds.map_batches(lambda b: simhash_batch(b, text_col),
                         batch_format="pyarrow")
 
@@ -270,18 +315,17 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text"):
         a, b = np.triu_indices(len(d), 1)
         x = np.bitwise_xor(h[a], h[b])
         ham = np.array([bin(v).count("1") for v in x.tolist()])
-        ok = ham <= 3
+        ok = ham <= max_hamming
         return pd.DataFrame({"doc_a": d[a][ok], "doc_b": d[b][ok],
                              "hamming": ham[ok].astype(np.int64)})
 
-    pairs = sh.map_batches(explode, batch_format="pyarrow") \
-        .groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pandas")
-    df = pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"])
-    df = df[df["hamming"] <= max_hamming].reset_index(drop=True)
-    return ray.data.from_pandas(df) if len(df) else ray.data.from_pandas(
-        pd.DataFrame({"doc_a": pd.array([], dtype="int64"),
-                      "doc_b": pd.array([], dtype="int64"),
-                      "hamming": pd.array([], dtype="int64")}))
+    # a pair can surface from several bands: dedup stays in the Dataset
+    # via one more groupby instead of a driver-side drop_duplicates
+    # (VERDICT r01 #7)
+    return sh.map_batches(explode, batch_format="pyarrow") \
+        .groupby(["band", "key"]).map_groups(bucket_pairs, batch_format="pandas") \
+        .groupby(["doc_a", "doc_b"]).map_groups(
+            lambda g: g.head(1), batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
