@@ -88,22 +88,44 @@ class Atlas:
     # ---- X1: run a mask --------------------------------------------------
     def mask(self, mask_func, seed: int | None = None, keep_dataset: bool = False,
              population=None, skip_slow_evaluators: bool = True,
-             measure_execution_time: bool = True, **kwargs) -> dict:
+             measure_execution_time: bool = True,
+             measure_peak_memory: bool = False, **kwargs) -> dict:
         """Run ``mask_func(sensitive_ds, **kwargs)`` and record a candidate.
 
         The callable contract mirrors the reference's custom-mask surface
         (docs/atlas.md "Using Custom Masks"): first positional arg is the
         Dataset; a ``seed`` kwarg is injected if accepted.
+
+        ``measure_peak_memory`` profiles DRIVER-side peak allocation via
+        tracemalloc (the Ray workers' footprint shows up in Dataset
+        stats, not here) and is mutually exclusive with
+        ``measure_execution_time`` exactly like the reference
+        (`atlas.py:127-152`; tracemalloc skews timing).
         """
+        if measure_execution_time and measure_peak_memory:
+            raise ValueError(
+                "measure_execution_time and measure_peak_memory may not "
+                "both be enabled; tracemalloc distorts timings.")
         call_kwargs = dict(self._hydrate(kwargs))
         sig = inspect.signature(mask_func)
         seed_injected = "seed" in sig.parameters and seed is not None
         if seed_injected:
             call_kwargs["seed"] = seed
+        if measure_peak_memory:
+            import tracemalloc
+
+            tracemalloc.start()
         t0 = time.perf_counter()
         masked = mask_func(self.sensitive, **call_kwargs)
         masked = masked.materialize()
         elapsed = time.perf_counter() - t0
+        peak_mb = None
+        if measure_peak_memory:
+            import tracemalloc
+
+            _, peak = tracemalloc.get_traced_memory()
+            tracemalloc.stop()
+            peak_mb = round(peak / 1024 / 1024, 3)
         chk = checksum(masked, columns=["mx", "my"])
         from .analysis.evaluate import evaluate
 
@@ -111,6 +133,8 @@ class Atlas:
                          skip_slow=skip_slow_evaluators)
         if measure_execution_time:
             stats["execution_time"] = round(elapsed, 3)
+        if peak_mb is not None:
+            stats["memory_peak_mb"] = peak_mb
         candidate = {
             "mask": getattr(mask_func, "__name__", str(mask_func)),
             # record seed only when it was actually injected into the call:
@@ -173,6 +197,27 @@ class Atlas:
             row.update(c["stats"])
             rows.append(row)
         return pd.DataFrame(rows)
+
+    def scatter_data(self, x_stat: str, y_stat: str):
+        """Plot-ready (idx, mask, x, y) frame for :meth:`scatter`."""
+        df = self.as_df()
+        return df[["idx", "mask", x_stat, y_stat]]
+
+    def scatter(self, x_stat: str, y_stat: str):
+        """Scatter two candidate stats, annotated by candidate index
+        (ref `atlas.py:383-393`). Needs matplotlib (absent in this
+        sandbox — scatter_data() gives the same arrays)."""
+        from .analysis.plots import _require_matplotlib
+
+        plt = _require_matplotlib()
+        df = self.scatter_data(x_stat, y_stat)
+        fig, ax = plt.subplots()
+        ax.scatter(df[x_stat], df[y_stat])
+        for _, r in df.iterrows():
+            ax.annotate(str(int(r["idx"])), (r[x_stat], r[y_stat]))
+        ax.set_xlabel(x_stat)
+        ax.set_ylabel(y_stat)
+        return fig
 
     # ---- X4: persistence -------------------------------------------------
     def to_json(self, path: str) -> None:

@@ -48,6 +48,17 @@ _C = 0x45D9F3B  # < 2^27 so (2^32-1) * C < 2^59 fits in int64
 _STREAM_STEP = 1013904223  # Knuth LCG increment, coprime with 2^32
 
 
+def gen_seed() -> int:
+    """16-digit seed from SystemRandom, like the reference's auto-seed
+    (`/root/reference/maskmypy/tools.py:85-95`). Deviation (documented):
+    the reference treats ANY falsy seed as "no seed" (`donut.py:74`), so
+    an explicit 0 silently reseeds; this engine auto-generates only on
+    ``seed=None`` — 0 is a legal explicit seed here."""
+    from random import SystemRandom
+
+    return SystemRandom().randint(10 ** 15, 10 ** 16 - 1)
+
+
 def mix32(x: np.ndarray | int) -> np.ndarray | int:
     """Avalanche a 32-bit value. Vectorized over int64 numpy arrays.
 

@@ -96,10 +96,14 @@ def _validate(low: float, high: float, distribution: str) -> None:
         raise ValueError(f"Unknown distribution: {distribution!r}")
 
 
-def donut(ds, low: float, high: float, seed: int, distribution: str = "uniform",
-          key_col: str = "doc_id"):
-    """Donut-mask a geoparsed Dataset (stateless ``map_batches``)."""
+def donut(ds, low: float, high: float, seed: int | None = None,
+          distribution: str = "uniform", key_col: str = "doc_id"):
+    """Donut-mask a geoparsed Dataset (stateless ``map_batches``).
+    ``seed=None`` auto-generates a 16-digit seed like the reference
+    (`tools.py:85-95`)."""
     _validate(low, high, distribution)
+    if seed is None:
+        seed = rng.gen_seed()
     return ds.map_batches(
         lambda b: donut_mask_batch(b, low, high, seed, distribution, key_col),
         batch_format="pyarrow",
@@ -163,13 +167,16 @@ class DonutContainedMasker:
         return batch
 
 
-def donut_contained(ds, polygons: PolygonSet, low: float, high: float, seed: int,
-                    distribution: str = "uniform", key_col: str = "doc_id"):
+def donut_contained(ds, polygons: PolygonSet, low: float, high: float,
+                    seed: int | None = None, distribution: str = "uniform",
+                    key_col: str = "doc_id"):
     """Contained donut mask: broadcast polygons + vectorized rejection
     resampling in an actor pool."""
     import ray
 
     _validate(low, high, distribution)
+    if seed is None:
+        seed = rng.gen_seed()
     ref = ray.put(polygons)
 
     # Stateless tasks over a broadcast PolygonSet: ray.get per task is a

@@ -120,8 +120,8 @@ class LocationSwapper:
         return batch
 
 
-def locationswap(ds, addresses: pa.Table, low: float, high: float, seed: int,
-                 key_col: str = "doc_id"):
+def locationswap(ds, addresses: pa.Table, low: float, high: float,
+                 seed: int | None = None, key_col: str = "doc_id"):
     """Location-swap a geoparsed Dataset against a broadcast address table
     (columns addr_id, ax/ay or lat/lon)."""
     import ray
@@ -129,6 +129,8 @@ def locationswap(ds, addresses: pa.Table, low: float, high: float, seed: int,
     if low >= high:
         raise ValueError(
             "Minimum displacement distance is larger than or equal to maximum.")
+    if seed is None:
+        seed = rng.gen_seed()
     if "ax" in addresses.column_names:
         ax = addresses.column("ax").to_numpy(zero_copy_only=False)
         ay = addresses.column("ay").to_numpy(zero_copy_only=False)

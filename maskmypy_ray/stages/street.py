@@ -136,13 +136,15 @@ class StreetMasker:
 
 
 def street(ds, graph: RoadGraph, low: int, high: int, max_length: float = 1000.0,
-           seed: int = 42, key_col: str = "doc_id",
+           seed: int | None = 42, key_col: str = "doc_id",
            concurrency: int | tuple[int, int] | None = None, batch_size: int = 2048):
     """Street-mask a geoparsed Dataset (actor pool, broadcast graph)."""
     import ray
 
     if low >= high:
         raise ValueError("Low value must be less than high value.")
+    if seed is None:
+        seed = rng.gen_seed()
     if concurrency is None:
         from ..util import auto_concurrency
 
