@@ -100,8 +100,11 @@ def bench_once(q0_only: bool = False) -> dict:
     # 192 sub-100ms tasks whose serial driver dispatch dominated wall time
     pages = rd.read_parquet(corpus, columns=["doc_id", "url", "text"],
                             override_num_blocks=32)
+    # project text/url out right after parsing — carrying them through the
+    # mask stages is pure memory traffic (the verify output is (doc_id, k))
+    pts = geoparse(pages).select_columns(["doc_id", "x", "y"])
     fused = calculate_k(
-        displacement(donut_contained(geoparse(pages),
+        displacement(donut_contained(pts,
                                      boundary_polygon_set(), LOW, HIGH, SEED)),
         addr, cell_m=HIGH, mode="broadcast")
     fused = fused.materialize()
@@ -181,6 +184,42 @@ def bench_once(q0_only: bool = False) -> dict:
     return result
 
 
+def _host_ceiling(lo: int, hi: int) -> float:
+    """Same-hour calibration: pure-CPU numpy burn at lo and hi parallel
+    processes. This sandbox is a shared host whose parallel ceiling for
+    even cache-resident compute swings between ~0.71 and ~0.91 across
+    the day (and its DRAM bandwidth ceiling for 4->16 streams is ~0.69,
+    measured) — no engine can scale past what the box gives that hour,
+    so the scaling report carries the ceiling measured in the SAME run."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def burn(q):
+        x = np.random.default_rng(0).normal(size=200_000)
+        t0 = time.perf_counter()
+        it = 0
+        while time.perf_counter() - t0 < 6.0:
+            y = np.sort(x)
+            float((y * y).sum())
+            it += 1
+        q.put(it)
+
+    def run_n(n: int) -> int:
+        q = mp.Queue()
+        ps = [mp.Process(target=burn, args=(q,)) for _ in range(n)]
+        for p in ps:
+            p.start()
+        tot = sum(q.get() for _ in ps)
+        for p in ps:
+            p.join()
+        return tot
+
+    t_lo = run_n(lo)
+    t_hi = run_n(hi)
+    return round(t_hi / t_lo / (hi / lo), 3)
+
+
 def run_scaling() -> None:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_Q0="1")
@@ -204,6 +243,7 @@ def run_scaling() -> None:
     # capability estimator under external interference. All runs are
     # reported for transparency.
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "3"))
+    ceiling = _host_ceiling(lo, hi)
     runs_lo, runs_hi = [], []
     for _ in range(reps):
         runs_lo.append(run(lo))
@@ -227,7 +267,10 @@ def run_scaling() -> None:
         "all_sec_low": [r["value"] for r in runs_lo],
         "all_sec_high": [r["value"] for r in runs_hi],
         "runs_per_level": [len(runs_lo), len(runs_hi)],
-        "protocol": "q0-only, interleaved, min-of-reps per level",
+        "host_ceiling_same_run": ceiling,
+        "engine_relative": round(eff / ceiling, 3) if ceiling else None,
+        "protocol": "q0-only, interleaved, min-of-reps per level, "
+                    "same-run pure-CPU host calibration",
         "pass_0.8": eff >= 0.8,
     }))
 
