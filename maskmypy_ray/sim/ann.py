@@ -95,16 +95,33 @@ def cosine_topk(ds, query_ids: list[int], k: int = 10, exclude_self: bool = True
     return scores.groupby("query_id").map_groups(head_k, batch_format="pandas")
 
 
+def _normalized_matrix_ref(ds):
+    """Build the broadcast (ids, normalized matrix) in a Ray TASK from
+    the dataset's block refs — the driver never materializes the
+    embedding table; the compiled matrix lives only in the object store
+    (same off-driver pattern as the k-anonymity address index)."""
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def compile_task(*blocks):
+        tables = [b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
+                  for b in blocks]
+        tbl = pa.concat_tables(tables)
+        ids = tbl.column("vec_id").to_numpy(zero_copy_only=False)
+        m = _normalize(np.stack(tbl.column("embedding").to_numpy(zero_copy_only=False)))
+        return ids, m
+
+    refs = ds.select_columns(["vec_id", "embedding"]).to_arrow_refs()
+    return compile_task.remote(*refs)
+
+
 def cosine_pairs(ds, threshold: float = 0.4):
     """Exact all-pairs cosine similarity join: (vec_a, vec_b) with
     cosine >= threshold, vec_a < vec_b. One side broadcast; each batch
     multiplies against the full normalized matrix."""
     import ray
 
-    df = ds.select_columns(["vec_id", "embedding"]).to_pandas()
-    all_ids = df["vec_id"].to_numpy()
-    allm = _normalize(np.stack(df["embedding"].to_numpy()))
-    ref = ray.put((all_ids, allm))
+    ref = _normalized_matrix_ref(ds)
 
     def score(batch: pa.Table) -> pa.Table:
         ids, emb = _embeddings_matrix(batch)
