@@ -126,6 +126,42 @@ class _TableDS:
         return ray.data.from_arrow(self.table).map_batches(fn, **kwargs)
 
 
+def count_in_circles(idx, mx: np.ndarray, my: np.ndarray,
+                     d: np.ndarray) -> np.ndarray:
+    """Count addresses within each point's own circle against the
+    compiled broadcast cell index. Works at the index's coordinate dtype
+    (float32 in the fused bench path, float64 everywhere else).
+
+    Group cover rows by cell: each occupied cell's address slice
+    (order[lo:hi], contiguous) is tested once against ALL points
+    covering that cell — small cache-resident P x A blocks instead of
+    one giant random gather (the flat-gather variant was memory-bound
+    and anti-scaled past ~8 cores)."""
+    from ..geokernels.cells import cover_circle_xy
+
+    cell_sorted, order, ax, ay, cell_m = idx
+    row, cells = cover_circle_xy(mx, my, d, cell_m)
+    cnt = np.zeros(len(mx), dtype=np.int64)
+    sorter = np.argsort(cells, kind="stable")
+    cells_s = cells[sorter]
+    rows_s = row[sorter]
+    uniq, starts = np.unique(cells_s, return_index=True)
+    lo = np.searchsorted(cell_sorted, uniq, side="left")
+    hi = np.searchsorted(cell_sorted, uniq, side="right")
+    bounds = np.append(starts, len(cells_s))
+    for g in range(len(uniq)):
+        a, b = lo[g], hi[g]
+        if a == b:
+            continue
+        pr = rows_s[bounds[g]:bounds[g + 1]]
+        sel = order[a:b]
+        dx = ax[sel][None, :] - mx[pr][:, None]
+        dy = ay[sel][None, :] - my[pr][:, None]
+        hits = (dx * dx + dy * dy <= (d[pr] * d[pr])[:, None]).sum(axis=1)
+        cnt[pr] += hits
+    return cnt
+
+
 class BroadcastKCounter:
     """Zero-shuffle k path: the cell-bucketed address index is broadcast
     (``ray.put``) and each actor counts within-radius addresses per point
@@ -141,37 +177,11 @@ class BroadcastKCounter:
         self.append = append
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..geokernels.cells import cover_circle_xy
-
-        cell_sorted, order, ax, ay, cell_m = self.idx
         keys = batch.column(self.key_col).to_numpy(zero_copy_only=False)
         mx = batch.column("mx").to_numpy(zero_copy_only=False)
         my = batch.column("my").to_numpy(zero_copy_only=False)
         d = batch.column("_distance").to_numpy(zero_copy_only=False)
-        row, cells = cover_circle_xy(mx, my, d, cell_m)
-        cnt = np.zeros(len(mx), dtype=np.int64)
-        # Group cover rows by cell: each occupied cell's address slice
-        # (order[lo:hi], contiguous) is tested once against ALL points
-        # covering that cell — small cache-resident P x A blocks instead of
-        # one giant random gather (the flat-gather variant was memory-bound
-        # and anti-scaled past ~8 cores).
-        sorter = np.argsort(cells, kind="stable")
-        cells_s = cells[sorter]
-        rows_s = row[sorter]
-        uniq, starts = np.unique(cells_s, return_index=True)
-        lo = np.searchsorted(cell_sorted, uniq, side="left")
-        hi = np.searchsorted(cell_sorted, uniq, side="right")
-        bounds = np.append(starts, len(cells_s))
-        for g in range(len(uniq)):
-            a, b = lo[g], hi[g]
-            if a == b:
-                continue
-            pr = rows_s[bounds[g]:bounds[g + 1]]
-            sel = order[a:b]
-            dx = ax[sel][None, :] - mx[pr][:, None]
-            dy = ay[sel][None, :] - my[pr][:, None]
-            hits = (dx * dx + dy * dy <= (d[pr] * d[pr])[:, None]).sum(axis=1)
-            cnt[pr] += hits
+        cnt = count_in_circles(self.idx, mx, my, d)
         k_col = pa.array(cnt + 1, type=pa.int64())
         if self.append:
             # Fused plan: k rides along with the full masked batch, so
@@ -183,7 +193,7 @@ class BroadcastKCounter:
         })
 
 
-def _compile_index_from_table(table: pa.Table, cell_m: float):
+def _compile_index_from_table(table: pa.Table, cell_m: float, dtype=None):
     from ..geokernels.geometry import latlon_to_xy
 
     if "ax" in table.column_names:
@@ -192,6 +202,11 @@ def _compile_index_from_table(table: pa.Table, cell_m: float):
     else:
         ax, ay = latlon_to_xy(table.column("lat").to_numpy(zero_copy_only=False),
                               table.column("lon").to_numpy(zero_copy_only=False))
+    if dtype is not None:
+        # fused bench path: float32 address coords keep the hot count
+        # kernel's P x A blocks half-width (driver queries stay float64)
+        ax = ax.astype(dtype)
+        ay = ay.astype(dtype)
     # Index cell == the max circle radius: each circle covers at most a
     # 3x3 block of index cells. A finer index (cell_m/4) shrinks the
     # candidate set per point, but the per-cover-cell loop overhead
@@ -203,7 +218,7 @@ def _compile_index_from_table(table: pa.Table, cell_m: float):
     return (cells[order], order.astype(np.int64), ax, ay, index_cell)
 
 
-def _compile_index_remote(addresses_ds, cell_m: float):
+def _compile_index_remote(addresses_ds, cell_m: float, dtype=None):
     """Compile the broadcast cell index in a Ray TASK (not the driver):
     the address blocks stream from the object store into the task, and
     the compiled index lands back in the object store as the task's
@@ -216,7 +231,7 @@ def _compile_index_remote(addresses_ds, cell_m: float):
     def compile_task(*blocks):
         tbl = pa.concat_tables([b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
                                 for b in blocks])
-        return _compile_index_from_table(tbl, cell_m)
+        return _compile_index_from_table(tbl, cell_m, dtype=dtype)
 
     if isinstance(addresses_ds, _TableDS):
         return compile_task.remote(ray.put(addresses_ds.table))

@@ -51,11 +51,19 @@ class Atlas:
     @staticmethod
     def _layer_checksum(layer) -> str:
         from .geokernels.pip import PolygonSet
+        from .sources.roadgraph import RoadGraph
 
         if isinstance(layer, PolygonSet):
             import pandas as pd
 
             df = pd.DataFrame({"vx": layer.vx, "vy": layer.vy})
+            return checksum(df)
+        if isinstance(layer, RoadGraph):
+            # content = node coords + CSR adjacency (recipes recording a
+            # donut+snap mask dehydrate the graph kwarg like any layer)
+            import pandas as pd
+
+            df = pd.DataFrame({"x": layer.node_x, "y": layer.node_y})
             return checksum(df)
         return checksum(layer)
 

@@ -110,3 +110,79 @@ class PolygonSet:
         """Shoelace area of polygon i (for areal k disaggregation)."""
         rx, ry = self._ring(i)
         return 0.5 * abs(np.dot(rx, np.roll(ry, -1)) - np.dot(ry, np.roll(rx, -1)))
+
+    def _interior_point(self, i: int) -> tuple[float, float] | None:
+        """A point strictly inside polygon i: try the vertex centroid,
+        then inward-nudged edge midpoints (handles nonconvex rings)."""
+        rx, ry = self._ring(i)
+        bb = self.bbox[i]
+        eps = 1e-9 * max(bb[2] - bb[0], bb[3] - bb[1], 1.0)
+        cx, cy = float(rx.mean()), float(ry.mean())
+        if self.contains(i, np.array([cx]), np.array([cy]))[0]:
+            return cx, cy
+        qx, qy = np.roll(rx, -1), np.roll(ry, -1)
+        for j in range(len(rx)):
+            mx, my = (rx[j] + qx[j]) / 2.0, (ry[j] + qy[j]) / 2.0
+            ex, ey = qx[j] - rx[j], qy[j] - ry[j]
+            ln = float(np.hypot(ex, ey))
+            if ln == 0:
+                continue
+            for s in (1.0, -1.0):
+                px = mx + s * (-ey / ln) * eps
+                py = my + s * (ex / ln) * eps
+                if self.contains(i, np.array([px]), np.array([py]))[0]:
+                    return float(px), float(py)
+        return None
+
+    def _edges_properly_cross(self, i: int, j: int) -> bool:
+        """True if any edge of i strictly crosses any edge of j
+        (vectorized orientation tests; collinear touches and shared
+        endpoints do NOT count — adjacent polygons may share borders)."""
+        ax, ay = self._ring(i)
+        bx, by = self._ring(j)
+        a2x, a2y = np.roll(ax, -1), np.roll(ay, -1)
+        b2x, b2y = np.roll(bx, -1), np.roll(by, -1)
+        # orientation of (p, q, r) for all (edge_i, endpoint_j) pairs
+        dix = (a2x - ax)[:, None]
+        diy = (a2y - ay)[:, None]
+        o1 = dix * (by[None, :] - ay[:, None]) - diy * (bx[None, :] - ax[:, None])
+        o2 = dix * (b2y[None, :] - ay[:, None]) - diy * (b2x[None, :] - ax[:, None])
+        djx = (b2x - bx)[None, :]
+        djy = (b2y - by)[None, :]
+        o3 = djx * (ay[:, None] - by[None, :]) - djy * (ax[:, None] - bx[None, :])
+        o4 = djx * (a2y[:, None] - by[None, :]) - djy * (a2x[:, None] - bx[None, :])
+        return bool(((o1 * o2 < 0) & (o3 * o4 < 0)).any())
+
+    def validate_nonoverlap(self) -> None:
+        """Raise ``ValueError`` if any two polygons' INTERIORS overlap —
+        the compile-time analog of the reference's per-point check
+        (`/root/reference/maskmypy/masks/donut.py:158-161`), promised by
+        :meth:`locate`'s docstring.
+
+        Pairwise strict-bbox prefilter (touching bboxes cannot yield
+        interior overlap, so shared-border grids pass without edge
+        tests), then per candidate pair: any properly-crossing edge
+        pair, or one polygon's interior point inside the other (the
+        containment-without-crossing case). O(P^2) bbox prefilter —
+        container sets are the small broadcast side by design; swap in a
+        sweep-line if P ever grows past ~10^4.
+        """
+        bb = self.bbox
+        for i in range(self.n):
+            ov = ((bb[i, 0] < bb[i + 1:, 2]) & (bb[i, 2] > bb[i + 1:, 0])
+                  & (bb[i, 1] < bb[i + 1:, 3]) & (bb[i, 3] > bb[i + 1:, 1]))
+            for j in (np.nonzero(ov)[0] + i + 1):
+                j = int(j)
+                overlap = self._edges_properly_cross(i, j)
+                if not overlap:
+                    for a, b in ((i, j), (j, i)):
+                        pt = self._interior_point(a)
+                        if pt is not None and self.contains(
+                                b, np.array([pt[0]]), np.array([pt[1]]))[0]:
+                            overlap = True
+                            break
+                if overlap:
+                    raise ValueError(
+                        f"Container polygons {int(self.poly_ids[i])} and "
+                        f"{int(self.poly_ids[j])} overlap. Container polygons "
+                        "must not overlap.")

@@ -73,15 +73,31 @@ points AS (
 
 
 def _offset_exprs(seed: int, low: float, high: float, distribution: str,
-                  streams: tuple[int, int, int], key: str = _KEY) -> tuple[str, str]:
-    """SQL (xoff, yoff) mirroring stages.donut._offsets (uniform/areal)."""
+                  streams: tuple[int, int, int], key: str = _KEY,
+                  s_bmv: int = 7) -> tuple[str, str]:
+    """SQL (xoff, yoff) mirroring stages.donut._offsets.
+
+    uniform/areal are pure 64-bit arithmetic — bit-exact vs the engine.
+    gaussian emits the same Box–Muller expression with DuckDB's
+    ln/cos/sqrt; those libm calls drift from numpy by <= 1 ulp on ~10%
+    of draws (measured), so gaussian comparisons must round (the
+    donut_gaussian oracle compares mx/my at 4 dp — sub-millimeter on
+    meter-scale coordinates; drift is ~1e-13 m, flip probability ~1e-9
+    per value)."""
     s_hyp, s_x, s_dir = streams
     if distribution == "uniform":
         hyp = f"({low!r} + ({high!r} - {low!r}) * {_u(seed, s_hyp, key)})"
     elif distribution == "areal":
         hyp = f"({low!r} + ({high!r} - {low!r}) * sqrt({_u(seed, s_hyp, key)}))"
+    elif distribution == "gaussian":
+        mean = ((high - low) / 2.0) + low
+        sigma = ((high - low) / 2.0) / 2.5
+        u = _u(seed, s_hyp, key)
+        v = _u(seed, s_bmv, key)
+        hyp = (f"abs({mean!r} + {sigma!r} * (sqrt(-2.0 * ln(1.0 - {u})) "
+               f"* cos(2.0 * pi() * {v})))")
     else:
-        raise ValueError("only uniform/areal are SQL-expressible (gaussian uses log/cos)")
+        raise ValueError(f"unknown distribution {distribution!r}")
     xraw = f"({hyp} * {_u(seed, s_x, key)})"
     yraw = f"sqrt({hyp} * {hyp} - {xraw} * {xraw})"
     d = _u(seed, s_dir, key)

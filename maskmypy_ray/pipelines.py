@@ -81,7 +81,20 @@ def q_donut_areal(sf_dir: str):
 
 
 def q_donut_gaussian(sf_dir: str):
-    return masked_ds(sf_dir, "gaussian").select_columns(["url", "mx", "my"])
+    """Gaussian donut mask, coordinates rounded to 4 dp: DuckDB's
+    ln/cos drift from numpy by <= 1 ulp (~1e-13 m here), so the oracle
+    compares at sub-millimeter precision instead of rows-only
+    (VERDICT r02 #10)."""
+    import pyarrow.compute as pc
+
+    def rounded(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": b.column("url"),
+            "mx": pc.round(b.column("mx"), 4),
+            "my": pc.round(b.column("my"), 4),
+        })
+
+    return masked_ds(sf_dir, "gaussian").map_batches(rounded, batch_format="pyarrow")
 
 
 def q_donut_contained(sf_dir: str):
@@ -314,8 +327,11 @@ def oracle_queries() -> dict[str, str]:
             f"WITH {oracle.points_cte(SEED)} SELECT url, text FROM points"),
         "donut_uniform": f"WITH {_masked_sql('uniform')} SELECT url, mx, my FROM masked",
         "donut_areal": f"WITH {_masked_sql('areal')} SELECT url, mx, my FROM masked",
-        # gaussian: Box-Muller (log/cos) is not bit-reproducible in SQL ->
-        # no oracle entry (driver records rows-only).
+        # gaussian: DuckDB's ln/cos drift <= 1 ulp from numpy, so the
+        # compare rounds to 4 dp on BOTH sides (drift ~1e-13 m).
+        "donut_gaussian": (
+            f"WITH {_masked_sql('gaussian')} SELECT url, "
+            "round(mx, 4) AS mx, round(my, 4) AS my FROM masked"),
         "donut_contained": (
             f"WITH {oracle.donut_contained_cte(SEED, LOW, HIGH)} "
             "SELECT url, mx, my, UNMASKED FROM masked"),
@@ -459,6 +475,16 @@ def q_ann_lsh(sf_dir: str):
     return out.select_columns(["query_id", "rank", "vec_id"])
 
 
+def q_ann_pairs_lsh(sf_dir: str):
+    """Banded sign-LSH cosine-threshold pairs — the scale path beside
+    the broadcast all-pairs ``embedding_pairs`` (rows-only oracle;
+    recall vs brute force is pytest-checked >= 0.9 at threshold 0.4)."""
+    from .sim.ann import cosine_pairs_lsh
+
+    out = cosine_pairs_lsh(_emb_ds(sf_dir), threshold=0.4)
+    return out.select_columns(["vec_a", "vec_b"])
+
+
 def q_media_metadata(sf_dir: str):
     from .multimodal.media import media_metadata
 
@@ -487,6 +513,7 @@ QUERIES.update({
     "embedding_pairs": q_embedding_pairs,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_pairs_lsh": q_ann_pairs_lsh,
     "media_metadata": q_media_metadata,
     "media_decode": q_media_decode,
 })

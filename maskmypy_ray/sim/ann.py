@@ -139,6 +139,75 @@ def cosine_pairs(ds, threshold: float = 0.4):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def cosine_pairs_lsh(ds, threshold: float = 0.4, bits_per_band: int = 4,
+                     n_bands: int = 16, seed: int = 42):
+    """Cosine-threshold similarity join via banded sign-LSH — the
+    embedding twin of :func:`maskmypy_ray.text.dedup.minhash_lsh_pairs`
+    and the scale path beside the broadcast all-pairs
+    :func:`cosine_pairs` (VERDICT r02 #3).
+
+    Shape: every vector is hashed by ``n_bands`` independent groups of
+    ``bits_per_band`` hyperplane signs and exploded into one row per
+    band; ONE ``groupby(band, bucket)`` co-locates collision candidates;
+    each group verifies exact cosine over its in-bucket pairs
+    (vectorized matmul); a final ``groupby(vec_a, vec_b)`` dedups pairs
+    that collided in several bands. Nothing visits the driver.
+
+    Recall at similarity s per band is ``p^b`` with
+    ``p = 1 - arccos(s)/pi``; across bands ``1 - (1 - p^b)^L``. The
+    defaults (b=4, L=16) give ~0.94 at s = 0.4 (pytest-measured against
+    brute force). Scale note: bucket granularity is ``2^b`` per band, so
+    for higher thresholds / larger corpora raise ``bits_per_band`` (and
+    ``n_bands`` per the formula) to keep in-bucket groups bounded —
+    threshold-0.4 joins are intrinsically coarse for any LSH family.
+    """
+    import ray
+
+    dim = len(ds.take(1)[0]["embedding"])
+    planes = random_hyperplanes(dim, bits_per_band * n_bands, seed)
+    pref = ray.put(planes)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        pl = ray.get(pref)
+        ids, emb = _embeddings_matrix(batch)
+        m = _normalize(emb)
+        signs = (m @ pl.T) > 0  # (n, b*L)
+        weights = (1 << np.arange(bits_per_band, dtype=np.int64))
+        out = []
+        for band in range(n_bands):
+            seg = signs[:, band * bits_per_band:(band + 1) * bits_per_band]
+            key = seg.astype(np.int64) @ weights
+            out.append(pa.table({
+                "band": pa.array(np.full(len(ids), band, dtype=np.int32)),
+                "key": pa.array(key, type=pa.int64()),
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "embedding": batch.column("embedding"),
+            }))
+        return pa.concat_tables(out)
+
+    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": pd.array([], dtype="int64"),
+                              "vec_b": pd.array([], dtype="int64"),
+                              "sim": pd.array([], dtype="float64")})
+        g = g.drop_duplicates("vec_id").sort_values("vec_id")
+        if len(g) < 2:
+            return empty
+        ids = g["vec_id"].to_numpy()
+        m = _normalize(np.stack(g["embedding"].to_numpy()))
+        sims = m @ m.T
+        a, b = np.triu_indices(len(ids), 1)
+        ok = sims[a, b] >= threshold
+        if not ok.any():
+            return empty
+        return pd.DataFrame({"vec_a": ids[a[ok]], "vec_b": ids[b[ok]],
+                             "sim": sims[a[ok], b[ok]]})
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby(["band", "key"]).map_groups(verify_group, batch_format="pandas")
+    return pairs.groupby(["vec_a", "vec_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
 def lsh_buckets_batch(batch: pa.Table, planes: np.ndarray) -> pa.Table:
     ids, emb = _embeddings_matrix(batch)
     signs = (_normalize(emb) @ planes.T) > 0  # (n, nbits)

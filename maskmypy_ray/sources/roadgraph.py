@@ -98,6 +98,67 @@ class RoadGraph:
             ring += 1
         return best
 
+    def nearest_nodes(self, x: np.ndarray, y: np.ndarray,
+                      allowed: np.ndarray | None = None) -> np.ndarray:
+        """Vectorized nearest node for a whole batch (VERDICT r02 #5 —
+        replaces the per-point Python snap loop).
+
+        Same flat-gather shape as the locationswap cover machinery: every
+        point's 3x3 grid neighborhood is gathered in ONE segmented slice
+        expansion, distances run in one vectorized pass, and the per-row
+        argmin falls out of a single lexsort. Points whose best hit is
+        not certified exact (nothing within one full grid cell — nodes
+        outside the 3x3 block are >= ``_grid_cell`` away) fall back to
+        the exact expanding-ring scalar search; with the ~200 m node
+        pitch that path is empirically empty."""
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        n = len(x)
+        out = np.full(n, -1, dtype=np.int64)
+        if not n:
+            return out
+        cgx = np.floor(x / self._grid_cell).astype(np.int64) - self._gx0
+        cgy = np.floor(y / self._grid_cell).astype(np.int64) - self._gy0
+        rows_l, keys_l = [], []
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                gx = cgx + dx
+                gy = cgy + dy
+                valid = (gx >= 0) & (gx < self._gnx) & (gy >= 0) & (gy < self._gny)
+                rows_l.append(np.nonzero(valid)[0])
+                keys_l.append((gx + self._gnx * gy)[valid])
+        row = np.concatenate(rows_l)
+        key = np.concatenate(keys_l)
+        lo = self._grid_start[key]
+        cnt = self._grid_start[key + 1] - lo
+        nz = cnt > 0
+        row, lo, cnt = row[nz], lo[nz], cnt[nz]
+        best_d2 = np.full(n, np.inf)
+        total = int(cnt.sum())
+        if total:
+            starts = np.concatenate([[0], np.cumsum(cnt)])
+            flat = np.arange(total, dtype=np.int64) \
+                - np.repeat(starts[:-1], cnt) + np.repeat(lo, cnt)
+            cand = self._grid_order[flat]
+            crow = np.repeat(row, cnt)
+            if allowed is not None:
+                ok = allowed[cand]
+                cand, crow = cand[ok], crow[ok]
+            if len(cand):
+                d2 = (self.node_x[cand] - x[crow]) ** 2 \
+                    + (self.node_y[cand] - y[crow]) ** 2
+                order = np.lexsort((d2, crow))
+                cand, crow, d2 = cand[order], crow[order], d2[order]
+                seg_lo = np.searchsorted(crow, np.arange(n), side="left")
+                seg_hi = np.searchsorted(crow, np.arange(n), side="right")
+                has = seg_hi > seg_lo
+                out[has] = cand[seg_lo[has]]
+                best_d2[has] = d2[seg_lo[has]]
+        uncert = np.nonzero((out < 0) | (best_d2 >= self._grid_cell ** 2))[0]
+        for i in uncert:
+            out[i] = self.nearest_node(float(x[i]), float(y[i]), allowed=allowed)
+        return out
+
     def dijkstra_ball(self, source: int, cutoff: float) -> tuple[np.ndarray, np.ndarray]:
         """Nodes within network distance <= cutoff of source, sorted by
         distance (mirrors networkx single_source_dijkstra_path_length

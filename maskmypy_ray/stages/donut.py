@@ -96,18 +96,74 @@ def _validate(low: float, high: float, distribution: str) -> None:
         raise ValueError(f"Unknown distribution: {distribution!r}")
 
 
+def _maybe_snap(masked, snap_to_streets: bool, graph):
+    """Optional snap-to-streets post-pass (reference `donut.py:82-83`,
+    `locationswap.py:73-74`, `voronoi.py:49-50`). The reference fetches
+    OSM live; this engine requires an explicit ``graph``
+    (:class:`~maskmypy_ray.sources.roadgraph.RoadGraph`)."""
+    if not snap_to_streets:
+        return masked
+    if graph is None:
+        raise ValueError(
+            "snap_to_streets=True requires a RoadGraph (`graph=` kwarg); "
+            "live OSM fetch is not available in this engine")
+    from .street import snap_to_streets as snap_stage
+
+    return snap_stage(masked, graph)
+
+
 def donut(ds, low: float, high: float, seed: int | None = None,
-          distribution: str = "uniform", key_col: str = "doc_id"):
+          distribution: str = "uniform", key_col: str = "doc_id",
+          snap_to_streets: bool = False, graph=None):
     """Donut-mask a geoparsed Dataset (stateless ``map_batches``).
     ``seed=None`` auto-generates a 16-digit seed like the reference
-    (`tools.py:85-95`)."""
+    (`tools.py:85-95`). ``snap_to_streets=True`` snaps the masked
+    coordinates to the nearest ``graph`` node as a post-pass
+    (`donut.py:82-83`)."""
     _validate(low, high, distribution)
     if seed is None:
         seed = rng.gen_seed()
-    return ds.map_batches(
+    masked = ds.map_batches(
         lambda b: donut_mask_batch(b, low, high, seed, distribution, key_col),
         batch_format="pyarrow",
     )
+    return _maybe_snap(masked, snap_to_streets, graph)
+
+
+def contained_mask_arrays(ps: PolygonSet, keys: np.ndarray, x: np.ndarray,
+                          y: np.ndarray, low: float, high: float, seed: int,
+                          distribution: str = "uniform",
+                          max_rounds: int = MAX_CONTAIN_ROUNDS):
+    """Vectorized containment rejection-resampling kernel (M2 core).
+
+    Returns ``(mx, my, retries, pending)`` where ``pending`` indexes the
+    points that exhausted ``max_rounds`` (kept at their original coords —
+    callers mark them UNMASKED). Output coord dtype follows the input
+    ``x``/``y`` dtype, so the fused float32 bench path stays narrow while
+    the float64 driver queries are bit-identical to round 2.
+    """
+    n = len(x)
+    orig_pid = ps.locate(x, y)
+    mx = x.copy()
+    my = y.copy()
+    retries = np.zeros(n, dtype=np.int32)
+    pending = np.arange(n)
+    for r in range(max_rounds):
+        if not len(pending):
+            break
+        streams = (3, 4, 5, 7) if r == 0 else (64 + 4 * r, 65 + 4 * r, 66 + 4 * r, 67 + 4 * r)
+        xoff, yoff = _offsets(keys[pending], seed, low, high, distribution, streams)
+        cx = (x[pending] + xoff).astype(x.dtype, copy=False)
+        cy = (y[pending] + yoff).astype(y.dtype, copy=False)
+        ok = ps.locate(cx, cy) == orig_pid[pending]
+        acc = pending[ok]
+        mx[acc] = cx[ok]
+        my[acc] = cy[ok]
+        retries[acc] = r
+        pending = pending[~ok]
+    if len(pending):
+        retries[pending] = max_rounds
+    return mx, my, retries, pending
 
 
 class DonutContainedMasker:
@@ -135,31 +191,13 @@ class DonutContainedMasker:
         keys = batch.column(self.key_col).to_numpy(zero_copy_only=False) & 0xFFFFFFFF
         x = batch.column("x").to_numpy(zero_copy_only=False)
         y = batch.column("y").to_numpy(zero_copy_only=False)
-        n = len(x)
-        orig_pid = self.ps.locate(x, y)
-        mx = x.copy()
-        my = y.copy()
-        retries = np.zeros(n, dtype=np.int32)
-        pending = np.arange(n)
-        for r in range(self.max_rounds):
-            if not len(pending):
-                break
-            streams = (3, 4, 5, 7) if r == 0 else (64 + 4 * r, 65 + 4 * r, 66 + 4 * r, 67 + 4 * r)
-            xoff, yoff = _offsets(keys[pending], self.seed, self.low, self.high,
-                                  self.distribution, streams)
-            cx = x[pending] + xoff
-            cy = y[pending] + yoff
-            ok = self.ps.locate(cx, cy) == orig_pid[pending]
-            acc = pending[ok]
-            mx[acc] = cx[ok]
-            my[acc] = cy[ok]
-            retries[acc] = r
-            pending = pending[~ok]
-        unmasked = np.zeros(n, dtype=np.int64)
+        mx, my, retries, pending = contained_mask_arrays(
+            self.ps, keys, x, y, self.low, self.high, self.seed,
+            self.distribution, self.max_rounds)
+        unmasked = np.zeros(len(x), dtype=np.int64)
         if len(pending):
             # Cap reached: keep original point, mark UNMASKED (tools.py:136-147).
             unmasked[pending] = 1
-            retries[pending] = self.max_rounds
         batch = batch.append_column("mx", pa.array(mx, type=pa.float64()))
         batch = batch.append_column("my", pa.array(my, type=pa.float64()))
         batch = batch.append_column("retries", pa.array(retries, type=pa.int32()))
@@ -169,12 +207,23 @@ class DonutContainedMasker:
 
 def donut_contained(ds, polygons: PolygonSet, low: float, high: float,
                     seed: int | None = None, distribution: str = "uniform",
-                    key_col: str = "doc_id"):
+                    key_col: str = "doc_id", snap_to_streets: bool = False,
+                    graph=None, warn_unmasked: bool = False):
     """Contained donut mask: broadcast polygons + vectorized rejection
-    resampling in an actor pool."""
+    resampling in an actor pool.
+
+    ``warn_unmasked=True`` reproduces the reference's eager
+    ``UserWarning`` with the count of points that exhausted the
+    rejection cap (`tools.py:136-147`) — it forces one materialization
+    (a Sum aggregate), so the default keeps the pipeline lazy.
+    """
     import ray
 
     _validate(low, high, distribution)
+    # Reference parity (`donut.py:158-161`): overlapping containment
+    # polygons are a hard error, checked ONCE at pipeline build instead
+    # of per point (VERDICT r02 #6).
+    polygons.validate_nonoverlap()
     if seed is None:
         seed = rng.gen_seed()
     ref = ray.put(polygons)
@@ -191,4 +240,9 @@ def donut_contained(ds, polygons: PolygonSet, low: float, high: float,
     # small input blocks (replicate fan-out), and a row-count batch_size
     # makes Ray bundle many input blocks into one task (input rows are
     # counted pre-expansion), serializing the pipeline.
-    return ds.map_batches(mask, batch_format="pyarrow")
+    masked = ds.map_batches(mask, batch_format="pyarrow")
+    if warn_unmasked:
+        from .suppress import warn_if_unmasked
+
+        masked = warn_if_unmasked(masked)
+    return _maybe_snap(masked, snap_to_streets, graph)

@@ -70,38 +70,47 @@ def tumbling_window(events_ds, window_us: int = WINDOW_US):
 
 
 def compile_orders_asof(orders_table: pa.Table):
-    """Per-customer (dates_us sorted asc, orderkeys aligned) arrays for
-    the as-of lookup; rows sorted by (custkey, date, orderkey)."""
+    """Composite-key arrays for a fully vectorized as-of lookup
+    (VERDICT r02 #5 — replaces the per-event Python searchsorted loop).
+
+    Rows are sorted by (custkey, date, orderkey) and collapsed into ONE
+    monotonic int64 key ``cust * S + dense_date_rank`` (S = number of
+    distinct dates + 1), so a whole event batch resolves with a single
+    global ``searchsorted``: the element just before the insertion point
+    of ``uid * S + rank_of(ts)`` is exactly the customer's latest
+    qualifying order (max date, then max orderkey)."""
     cust = orders_table.column("o_custkey").to_numpy(zero_copy_only=False)
     date = orders_table.column("o_orderdate").cast(pa.int64()).to_numpy(zero_copy_only=False)
     okey = orders_table.column("o_orderkey").to_numpy(zero_copy_only=False)
     order = np.lexsort((okey, date, cust))
     cust, date, okey = cust[order], date[order], okey[order]
-    # row ranges per custkey via searchsorted on the sorted cust array
-    return cust, date, okey
+    uniq_dates = np.unique(date)
+    span = np.int64(len(uniq_dates) + 1)
+    if len(cust) and int(cust.max()) >= (1 << 62) // int(span):
+        raise ValueError("as-of composite key would overflow int64; "
+                         "re-partition the order side by customer range")
+    keys = cust * span + np.searchsorted(uniq_dates, date)
+    return cust, okey, keys, uniq_dates, span
 
 
 class AsofOrderJoiner:
     def __init__(self, compiled_ref):
         import ray
 
-        self.cust, self.date, self.okey = (
+        self.cust, self.okey, self.keys, self.uniq_dates, self.span = (
             ray.get(compiled_ref) if not isinstance(compiled_ref, tuple) else compiled_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         uid = batch.column("user_id").to_numpy(zero_copy_only=False)
         ts = _ts_us(batch)
-        lo = np.searchsorted(self.cust, uid, side="left")
-        hi = np.searchsorted(self.cust, uid, side="right")
-        out = np.full(len(uid), -1, dtype=np.int64)
-        for i in range(len(uid)):
-            a, b = lo[i], hi[i]
-            if a == b:
-                continue
-            # rows [a, b) sorted by (date, orderkey); last with date <= ts
-            j = np.searchsorted(self.date[a:b], ts[i], side="right")
-            if j:
-                out[i] = self.okey[a + j - 1]
+        # rank_of(ts) = number of distinct order dates <= ts; any order of
+        # this customer with a smaller date-rank sorts strictly below the
+        # probe key, so pos-1 is the as-of match iff it belongs to uid.
+        thr = np.searchsorted(self.uniq_dates, ts, side="right")
+        pos = np.searchsorted(self.keys, uid * self.span + thr, side="left")
+        prev = np.maximum(pos - 1, 0)
+        hit = (pos > 0) & (self.cust[prev] == uid)
+        out = np.where(hit, self.okey[prev], np.int64(-1))
         return pa.table({
             "event_id": batch.column("event_id"),
             "last_orderkey": pa.array(out, type=pa.int64()),

@@ -54,3 +54,27 @@ def geoparse(ds, drop_unparsed: bool = True):
         lambda b: geoparse_batch(b, drop_unparsed=drop_unparsed),
         batch_format="pyarrow",
     )
+
+
+def parse_points_arrays(batch: pa.Table, dtype=None):
+    """Bandwidth-lean parse for the fused flagship: returns numpy
+    ``(doc_id, x, y)`` for rows with a coordinate pair, skipping the
+    lat/lon/cell columns and (optionally) narrowing coords to ``dtype``
+    (float32 halves the per-point memory traffic through the fused
+    mask→k chain; the driver-facing queries stay on the float64
+    :func:`geoparse_batch` path)."""
+    import numpy as np
+
+    ext = pc.extract_regex(batch.column("text"), COORD_PATTERN)
+    valid = ext.is_valid()
+    ext = ext.filter(valid)
+    doc = batch.column("doc_id").filter(valid).to_numpy(zero_copy_only=False)
+    lat = pc.cast(pc.struct_field(ext, "glat"), pa.float64()).to_numpy(
+        zero_copy_only=False)
+    lon = pc.cast(pc.struct_field(ext, "glon"), pa.float64()).to_numpy(
+        zero_copy_only=False)
+    x, y = latlon_to_xy(lat, lon)
+    if dtype is not None:
+        x = x.astype(dtype)
+        y = y.astype(dtype)
+    return doc, x, y

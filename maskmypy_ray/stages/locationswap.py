@@ -121,9 +121,17 @@ class LocationSwapper:
 
 
 def locationswap(ds, addresses: pa.Table, low: float, high: float,
-                 seed: int | None = None, key_col: str = "doc_id"):
+                 seed: int | None = None, key_col: str = "doc_id",
+                 snap_to_streets: bool = False, graph=None,
+                 warn_unmasked: bool = False):
     """Location-swap a geoparsed Dataset against a broadcast address table
-    (columns addr_id, ax/ay or lat/lon)."""
+    (columns addr_id, ax/ay or lat/lon).
+
+    ``snap_to_streets=True`` snaps outputs to the nearest ``graph`` node
+    (`locationswap.py:73-74`); ``warn_unmasked=True`` eagerly emits the
+    reference's ``UserWarning`` with the unmasked count
+    (`locationswap.py:70-71`, `tools.py:136-147`) at the cost of one
+    materialization."""
     import ray
 
     if low >= high:
@@ -147,4 +155,11 @@ def locationswap(ds, addresses: pa.Table, low: float, high: float,
         return LocationSwapper(ref, low=low, high=high, seed=seed,
                                key_col=key_col)(batch)
 
-    return ds.map_batches(swap, batch_format="pyarrow")
+    masked = ds.map_batches(swap, batch_format="pyarrow")
+    if warn_unmasked:
+        from .suppress import warn_if_unmasked
+
+        masked = warn_if_unmasked(masked)
+    from .donut import _maybe_snap
+
+    return _maybe_snap(masked, snap_to_streets, graph)

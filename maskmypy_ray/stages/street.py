@@ -103,17 +103,16 @@ class StreetMasker:
             self._ball_cache[node] = cached
         return cached
 
-    def _mask_one(self, x: float, y: float, target: int) -> tuple[float, float, int]:
-        node = self.g.nearest_node(x, y, allowed=self.valid)
+    def _walk_one(self, x: float, y: float, node: int, target: int) -> tuple[float, float]:
         if node < 0:  # no valid node anywhere: keep original
-            return x, y, -1
+            return x, y
         nodes, dists, _ = self._ball(node, target)
         target = min(target, len(nodes))
         nodes, dists = nodes[:target], dists[:target]
         target_distance = dists.sum() / target
         pick = int(np.argmin(np.abs(dists - target_distance)))
         t = nodes[pick]
-        return float(self.g.node_x[t]), float(self.g.node_y[t]), int(node)
+        return float(self.g.node_x[t]), float(self.g.node_y[t])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch.column(self.key_col).to_numpy(zero_copy_only=False) & 0xFFFFFFFF
@@ -123,9 +122,11 @@ class StreetMasker:
         targets = (self.low + np.floor(u * (self.high - self.low))).astype(np.int64)
         mx = np.empty(len(x))
         my = np.empty(len(x))
-        snap = np.empty(len(x), dtype=np.int64)
+        # snap is one vectorized batch pass; only the (ball-memoized)
+        # Dijkstra walk is genuinely per point
+        snap = self.g.nearest_nodes(x, y, allowed=self.valid)
         for i in range(len(x)):
-            mx[i], my[i], snap[i] = self._mask_one(x[i], y[i], int(targets[i]))
+            mx[i], my[i] = self._walk_one(x[i], y[i], int(snap[i]), int(targets[i]))
         batch = batch.append_column("mx", pa.array(mx, type=pa.float64()))
         batch = batch.append_column("my", pa.array(my, type=pa.float64()))
         # snap_node: the valid-node the point snapped to — oracle-checkable
@@ -178,11 +179,10 @@ class StreetSnapper:
     def __call__(self, batch: pa.Table) -> pa.Table:
         x = batch.column(self.x_col).to_numpy(zero_copy_only=False)
         y = batch.column(self.y_col).to_numpy(zero_copy_only=False)
-        sx = np.empty(len(x))
-        sy = np.empty(len(x))
-        for i in range(len(x)):
-            n = self.g.nearest_node(x[i], y[i])
-            sx[i], sy[i] = self.g.node_x[n], self.g.node_y[n]
+        # one vectorized grid argmin per batch (VERDICT r02 #5)
+        nodes = self.g.nearest_nodes(x, y)
+        sx = self.g.node_x[nodes]
+        sy = self.g.node_y[nodes]
         batch = batch.set_column(batch.schema.get_field_index(self.x_col),
                                  self.x_col, pa.array(sx, type=pa.float64()))
         batch = batch.set_column(batch.schema.get_field_index(self.y_col),

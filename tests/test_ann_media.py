@@ -54,6 +54,35 @@ def test_embedding_pairs_symmetric_and_thresholded(ray_session, sf_dir):
         assert E[pos[r["vec_a"]]] @ E[pos[r["vec_b"]]] >= 0.4
 
 
+def test_cosine_pairs_lsh_recall(ray_session, sf_dir):
+    """Banded sign-LSH pairs reach >= 0.9 recall vs the exact join at
+    threshold 0.4 (VERDICT r02 #3 done-criterion), with no false
+    positives (every emitted pair is exact-cosine verified in-bucket)."""
+    from maskmypy_ray.pipelines import q_ann_pairs_lsh, q_embedding_pairs
+
+    exact = q_embedding_pairs(sf_dir).to_pandas()
+    approx = q_ann_pairs_lsh(sf_dir).to_pandas()
+    e = set(zip(exact["vec_a"], exact["vec_b"]))
+    a = set(zip(approx["vec_a"], approx["vec_b"]))
+    assert not a - e  # verified candidates only — no false positives
+    assert len(e & a) / max(1, len(e)) >= 0.9
+
+
+def test_jaccard_exact_guard(ray_session, sf_dir):
+    """The O(n^2) exact-Jaccard twin refuses oversized inputs with a
+    pointer at the LSH path (VERDICT r02 #4)."""
+    import maskmypy_ray.text.dedup as dd
+    from maskmypy_ray.pipelines import _docs_ds
+
+    old = dd.JACCARD_EXACT_MAX_DOCS
+    dd.JACCARD_EXACT_MAX_DOCS = 10
+    try:
+        with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+            dd.jaccard_pairs_exact(_docs_ds(sf_dir), threshold=0.9)
+    finally:
+        dd.JACCARD_EXACT_MAX_DOCS = old
+
+
 def test_media_decode_stub_raises_without_fake(ray_session, sf_dir):
     """The decode stub must refuse to pretend codecs exist."""
     from maskmypy_ray.multimodal.media import MediaDecoder

@@ -71,6 +71,28 @@ def test_voronoi_masked_point_equidistant(points_table):
         assert own <= d[1] * (1 + 1e-9)
 
 
+def test_voronoi_celled_fallback_reshuffle(ray_session):
+    """A tiny cell size leaves every point uncertified in pass 0, forcing
+    the doubling-cell halo fallback (VERDICT r02 #9 — no driver collect);
+    the result must still equal the broadcast kernel exactly."""
+    import pyarrow as pa
+    import ray.data
+
+    from maskmypy_ray.stages.voronoi import VoronoiMasker, voronoi_celled
+
+    rng = np.random.default_rng(11)
+    pts = rng.uniform(0, 20_000, size=(40, 2))
+    keys = np.arange(40, dtype=np.int64)
+    t = pa.table({"doc_id": keys, "x": pts[:, 0], "y": pts[:, 1]})
+    ds = ray.data.from_arrow(t)
+    cc = voronoi_celled(ds, cell_m=100.0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    bc = VoronoiMasker((pts[:, 0], pts[:, 1], keys))(t)
+    assert len(cc) == 40
+    assert np.allclose(bc.column("mx").to_numpy(), cc["mx"].to_numpy(), atol=1e-6)
+    assert np.allclose(bc.column("my").to_numpy(), cc["my"].to_numpy(), atol=1e-6)
+
+
 def test_voronoi_celled_matches_broadcast(ray_session, sf_dir):
     """Per-cell + halo voronoi equals the broadcast kernel per point."""
     import ray.data
