@@ -21,26 +21,55 @@ MEDIAN_COLLECT_LIMIT = 262_144
 
 
 def summarize_column(ds, col: str, approx: bool = False) -> dict:
-    """{min, max, mean, median, count} of one numeric column."""
-    from ray.data.aggregate import Count, Max, Mean, Min
+    """{min, max, mean, median, count} of one numeric column.
 
-    agg = ds.aggregate(Min(col), Max(col), Mean(col), Count(col))
+    NaN policy (ADVICE r02): pandas semantics throughout — the reference
+    is `gdf[col].min()/.max()/.mean()/.median()` which all skip NaN — so
+    every stat here is computed over the finite values only, via one
+    NaN-aware map_batches partial + scalar aggregate (Ray's Mean returns
+    None when a float batch contains NaN)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Max, Min, Sum
+
+    def part(b: pa.Table) -> pa.Table:
+        v = b.column(col).to_numpy(zero_copy_only=False)
+        if v.dtype.kind == "f":
+            v = v[~np.isnan(v)]
+        return pa.table({
+            "vmin": pa.array([float(v.min()) if len(v) else np.inf]),
+            "vmax": pa.array([float(v.max()) if len(v) else -np.inf]),
+            "vsum": pa.array([float(v.sum(dtype=np.float64)) if len(v) else 0.0]),
+            "n": pa.array([len(v)], type=pa.int64()),
+        })
+
+    agg = ds.map_batches(part, batch_format="pyarrow").aggregate(
+        Min("vmin"), Max("vmax"), Sum("vsum"), Sum("n"))
+    n = int(agg["sum(n)"] or 0)
     out = {
-        "min": float(agg[f"min({col})"]),
-        "max": float(agg[f"max({col})"]),
-        "mean": float(agg[f"mean({col})"]),
-        "count": int(agg[f"count({col})"]),
+        "min": float(agg["min(vmin)"]),
+        "max": float(agg["max(vmax)"]),
+        "mean": float(agg["sum(vsum)"]) / n if n else float("nan"),
+        "count": n,
     }
+    # NaN policy (ADVICE r02): both median paths skip NaNs, matching the
+    # reference's pandas ``.median()`` (skipna=True) — the distributed
+    # kernel already drops NaNs via its range comparisons, so the collect
+    # paths must use nanmedian for row-count-independent results.
     if approx:
         # Optional cheap path: 1% sample median — flagged approximate.
         vals = ds.select_columns([col]).random_sample(0.01, seed=7).to_pandas()[col].to_numpy()
-        out["median"] = float(np.median(vals)) if len(vals) else float("nan")
+        out["median"] = _nanmedian(vals)
     elif out["count"] > MEDIAN_COLLECT_LIMIT:
         out["median"] = exact_median_distributed(ds, col)
     else:
         vals = ds.select_columns([col]).to_pandas()[col].to_numpy()
-        out["median"] = float(np.median(vals)) if len(vals) else float("nan")
+        out["median"] = _nanmedian(vals)
     return out
+
+
+def _nanmedian(vals: np.ndarray) -> float:
+    vals = vals[~np.isnan(vals)] if vals.dtype.kind == "f" else vals
+    return float(np.median(vals)) if len(vals) else float("nan")
 
 
 def k_satisfaction(ds, min_k: int, col: str = "k_anonymity") -> float:
@@ -99,18 +128,32 @@ def exact_median_distributed(ds, col: str, max_collect: int = 1_000_000) -> floa
     (it returns the exact order statistics).
     """
     import pyarrow as pa
-    import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Max, Min
+    from ray.data.aggregate import Max, Min, Sum
 
-    a = ds.aggregate(Min(col), Max(col), Count(col))
-    n = int(a[f"count({col})"])
+    # NaN-aware first pass (ADVICE r02): Ray's Count counts NaN floats as
+    # valid but the histogram below drops them, which would shift ranks —
+    # so min/max/n are computed over the finite values only, in one
+    # map_batches + scalar aggregate (same cost as the plain aggregate).
+    def stats_part(b: pa.Table) -> pa.Table:
+        v = b.column(col).to_numpy(zero_copy_only=False)
+        if v.dtype.kind == "f":
+            v = v[~np.isnan(v)]
+        return pa.table({
+            "vmin": pa.array([float(v.min()) if len(v) else np.inf]),
+            "vmax": pa.array([float(v.max()) if len(v) else -np.inf]),
+            "n": pa.array([len(v)], type=pa.int64()),
+        })
+
+    a = ds.map_batches(stats_part, batch_format="pyarrow").aggregate(
+        Min("vmin"), Max("vmax"), Sum("n"))
+    n = int(a["sum(n)"] or 0)
     if n == 0:
         return float("nan")
     lo_rank = (n - 1) // 2
     hi_rank = n // 2
 
     def kth_value(rank: int) -> float:
-        lo, hi = float(a[f"min({col})"]), float(a[f"max({col})"])
+        lo, hi = float(a["min(vmin)"]), float(a["max(vmax)"])
         below = 0  # values strictly below current [lo, hi] window
         while True:
             # count values in [lo, hi] bucketed into 1024 bins

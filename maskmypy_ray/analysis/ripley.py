@@ -32,11 +32,13 @@ from .. import rng
 KtestResult = namedtuple("KtestResult", ("support", "statistic", "pvalue", "simulations"))
 
 
-def _k_stat(x: np.ndarray, y: np.ndarray, support: np.ndarray) -> np.ndarray:
+def _k_stat(x: np.ndarray, y: np.ndarray, support: np.ndarray,
+            area: float | None = None) -> np.ndarray:
     n = len(x)
     if n < 2:
         return np.zeros(len(support))
-    area = (x.max() - x.min()) * (y.max() - y.min())
+    if area is None:
+        area = (x.max() - x.min()) * (y.max() - y.min())
     counts = np.zeros(len(support))
     chunk = max(1, int(4_000_000 / n))
     for i in range(0, n, chunk):
@@ -49,13 +51,20 @@ def _k_stat(x: np.ndarray, y: np.ndarray, support: np.ndarray) -> np.ndarray:
 
 def ripleys_k(ds_or_xy, max_dist: float | None = None, min_dist: float | None = None,
               steps: int = 10, simulations: int = 99, seed: int = 42,
-              x_col: str = "x", y_col: str = "y", key_col: str = "doc_id") -> KtestResult:
+              x_col: str = "x", y_col: str = "y", key_col: str = "doc_id",
+              keys: np.ndarray | None = None) -> KtestResult:
     """Ripley's K of a point Dataset (or (x, y) arrays).
 
     Dataset input runs the fully distributed cell+halo kernel with CSR
     simulations generated inside ``map_batches`` (VERDICT r01 #5 — no
     driver-side x/y collect); array input keeps the in-memory numpy
-    kernel for unit tests and tiny patterns."""
+    kernel for unit tests and tiny patterns.
+
+    The two paths are unified (ADVICE r02): CSR simulations are keyed on
+    ``keys`` (array path default: row index; pass the same key column the
+    Dataset path uses for identical envelopes) and every simulation K̂ is
+    normalized by the OBSERVED pattern's window area, not its own bbox —
+    so identical data gives identical envelopes/p-values either way."""
     if not isinstance(ds_or_xy, tuple):
         return ripleys_k_distributed(ds_or_xy, max_dist=max_dist,
                                      min_dist=min_dist, steps=steps,
@@ -72,12 +81,15 @@ def ripleys_k(ds_or_xy, max_dist: float | None = None, min_dist: float | None = 
     n = len(x)
     x0, x1 = x.min(), x.max()
     y0, y1 = y.min(), y.max()
+    area = (x1 - x0) * (y1 - y0)
     sims = []
-    idx = np.arange(n, dtype=np.int64)
+    idx = (np.arange(n, dtype=np.int64) if keys is None
+           else np.asarray(keys, dtype=np.int64))
     for s in range(simulations):
-        sx = x0 + (x1 - x0) * rng.uniform01(idx, seed, 300 + 2 * s)
-        sy = y0 + (y1 - y0) * rng.uniform01(idx + 131071 * (s + 1), seed, 301 + 2 * s)
-        sims.append(_k_stat(sx, sy, support))
+        sx = x0 + (x1 - x0) * rng.uniform01(idx & 0xFFFFFFFF, seed, 300 + 2 * s)
+        sy = y0 + (y1 - y0) * rng.uniform01((idx + 131071 * (s + 1)) & 0xFFFFFFFF,
+                                            seed, 301 + 2 * s)
+        sims.append(_k_stat(sx, sy, support, area=area))
     sims_arr = np.asarray(sims)
     # two-sided pseudo p-value per band, like pointpats' k_test
     if simulations:
@@ -201,36 +213,44 @@ def ripleys_k_distributed(ds, max_dist: float | None = None,
     cm = float(cell_m if cell_m is not None else support.max())
     S = int(simulations)
 
-    def expand(b: pa.Table) -> pa.Table:
-        keys = b.column(key_col).to_numpy(zero_copy_only=False)
-        x = b.column(x_col).to_numpy(zero_copy_only=False)
-        y = b.column(y_col).to_numpy(zero_copy_only=False)
-        m = len(x)
-        all_x = [x]
-        all_y = [y]
-        for s in range(S):
-            u1 = _rng.uniform01(keys & 0xFFFFFFFF, seed, 300 + 2 * s)
-            u2 = _rng.uniform01((keys + 131071 * (s + 1)) & 0xFFFFFFFF,
-                                seed, 301 + 2 * s)
-            all_x.append(x0 + (x1 - x0) * u1)
-            all_y.append(y0 + (y1 - y0) * u2)
-        ax = np.concatenate(all_x)
-        ay = np.concatenate(all_y)
-        sim = np.repeat(np.arange(S + 1, dtype=np.int64), m)
-        akey = np.tile(keys, S + 1)
-        own = cell_of_xy(ax, ay, cm)
-        nb = neighbors_xy(own, ring=1)  # (rows, 9)
-        rows, kk = nb.shape
-        rep = np.repeat(np.arange(rows), kk)
-        is_core = (nb == own[:, None]).ravel()
-        return pa.table({
-            "gcell": pa.array(nb.ravel() * (S + 1) + sim[rep], type=pa.int64()),
-            "sim": pa.array(sim[rep], type=pa.int64()),
-            "key": pa.array(akey[rep], type=pa.int64()),
-            "px": pa.array(ax[rep], type=pa.float64()),
-            "py": pa.array(ay[rep], type=pa.float64()),
-            "core": pa.array(is_core),
-        })
+    # Bound peak per-task memory (ADVICE r02): the 9x(S+1) halo expansion
+    # of a whole batch can be multi-GB at simulations=99; slice the input
+    # into chunks sized so each emitted sub-table stays ~2M rows and
+    # YIELD them (Ray streams generator outputs into separate blocks).
+    in_chunk = max(64, 2_000_000 // (9 * (S + 1)))
+
+    def expand(b: pa.Table):
+        for off in range(0, b.num_rows, in_chunk):
+            c = b.slice(off, in_chunk)
+            keys = c.column(key_col).to_numpy(zero_copy_only=False)
+            x = c.column(x_col).to_numpy(zero_copy_only=False)
+            y = c.column(y_col).to_numpy(zero_copy_only=False)
+            m = len(x)
+            all_x = [x]
+            all_y = [y]
+            for s in range(S):
+                u1 = _rng.uniform01(keys & 0xFFFFFFFF, seed, 300 + 2 * s)
+                u2 = _rng.uniform01((keys + 131071 * (s + 1)) & 0xFFFFFFFF,
+                                    seed, 301 + 2 * s)
+                all_x.append(x0 + (x1 - x0) * u1)
+                all_y.append(y0 + (y1 - y0) * u2)
+            ax = np.concatenate(all_x)
+            ay = np.concatenate(all_y)
+            sim = np.repeat(np.arange(S + 1, dtype=np.int64), m)
+            akey = np.tile(keys, S + 1)
+            own = cell_of_xy(ax, ay, cm)
+            nb = neighbors_xy(own, ring=1)  # (rows, 9)
+            rows, kk = nb.shape
+            rep = np.repeat(np.arange(rows), kk)
+            is_core = (nb == own[:, None]).ravel()
+            yield pa.table({
+                "gcell": pa.array(nb.ravel() * (S + 1) + sim[rep], type=pa.int64()),
+                "sim": pa.array(sim[rep], type=pa.int64()),
+                "key": pa.array(akey[rep], type=pa.int64()),
+                "px": pa.array(ax[rep], type=pa.float64()),
+                "py": pa.array(ay[rep], type=pa.float64()),
+                "core": pa.array(is_core),
+            })
 
     halo = ds.select_columns([key_col, x_col, y_col]).map_batches(
         expand, batch_format="pyarrow")

@@ -308,6 +308,32 @@ def road_nodes_cte(seed: int) -> str:
 )"""
 
 
+def _assert_one_round_peel(seed: int, max_length: float) -> None:
+    """The SQL below unrolls the engine's valid-node peel fixpoint
+    (stages.street.valid_snap_nodes) to ONE round. That is exact only
+    when the second peel pass removes nothing; assert it at SQL-generation
+    time for the actual (seed, max_length) so a changed fixture can never
+    silently diverge (ADVICE r02 #3). Cost: one in-memory pass over the
+    fixed-size synthetic grid."""
+    from .sources.roadgraph import synth_road_graph
+    from .stages.street import valid_snap_nodes
+
+    g = synth_road_graph(seed=seed)
+    fixpoint = valid_snap_nodes(g, max_length)
+    # one SQL round = nodes with >= 1 incident edge <= max_length,
+    # counting ALL nodes as live
+    import numpy as np
+
+    short = (g.edge_len <= max_length).astype(np.int64)
+    cs = np.concatenate([[0], np.cumsum(short)])
+    one_round = (cs[g.indptr[1:]] - cs[g.indptr[:-1]]) > 0
+    if not np.array_equal(one_round, fixpoint):
+        raise ValueError(
+            "street_snap_cte: peel fixpoint needs more than one round for "
+            f"seed={seed}, max_length={max_length} — the one-round SQL "
+            "unroll would diverge from the engine; extend the CTE peel.")
+
+
 def street_snap_cte(seed: int, max_length: float = 1000.0) -> str:
     """Valid-snap-node assignment in SQL, mirroring
     stages.street.valid_snap_nodes + RoadGraph.nearest_node:
@@ -321,6 +347,7 @@ def street_snap_cte(seed: int, max_length: float = 1000.0) -> str:
 
     Expects a CTE ``points`` (url, x, y) upstream; emits ``street_snap``
     (url, snap_node)."""
+    _assert_one_round_peel(seed, max_length)
     nx, ny, n = _road_grid_shape()
     # highway edges: same arithmetic as synth_road_graph (structural
     # constants, not engine output)

@@ -78,6 +78,23 @@ def test_exact_median_distributed(ray_session):
         assert exact_median_distributed(ds, "v", max_collect=64) == float(np.median(v))
 
 
+def test_median_nan_consistency(ray_session):
+    """NaN policy (ADVICE r02): both median paths skip NaNs like pandas
+    .median(), so the result is independent of which path ran."""
+    import ray.data
+
+    from maskmypy_ray.analysis.aggregates import (exact_median_distributed,
+                                                  summarize_column)
+
+    rng = np.random.default_rng(11)
+    v = rng.normal(0, 100, 501)
+    v[::7] = np.nan
+    ds = ray.data.from_arrow(pa.table({"v": v}))
+    expect = float(np.nanmedian(v))
+    assert exact_median_distributed(ds, "v", max_collect=16) == expect
+    assert summarize_column(ds, "v")["median"] == expect
+
+
 def test_summarize_column_distributed_median(ray_session, monkeypatch):
     """Above MEDIAN_COLLECT_LIMIT summarize_column must use the
     distributed kernel and still return the exact numpy median."""
