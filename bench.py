@@ -76,8 +76,25 @@ def bench_once(q0_only: bool = False) -> dict:
     from maskmypy_ray.analysis.k_anonymity import calculate_k
     from maskmypy_ray.sources.boundary import boundary_polygon_set
     from maskmypy_ray.stages.donut import donut_contained
+    from maskmypy_ray.stages.geoparse import geoparse
 
     queries: dict[str, float] = {}
+
+    # Each query is timed BENCH_REPS times and reports the timeit-style
+    # minimum: this shared host shows 1.5-2x wall-time swings between
+    # CONSECUTIVE runs (BASELINE.md §4-6), and the min over a couple of
+    # reps is the standard capability estimator under external
+    # interference. The scaling path keeps reps=1 per subprocess (its
+    # min-of-reps happens across interleaved subprocesses instead).
+    reps = 1 if q0_only else int(os.environ.get("GRAFT_BENCH_REPS", "2"))
+
+    def timed(fn) -> float:
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
 
     # warm the page cache: one untimed count of the raw read
     import ray.data as rd
@@ -96,15 +113,19 @@ def bench_once(q0_only: bool = False) -> dict:
 
     corpus = corpus_dir()
     addr = addresses_table(SF_DIR, seed=SEED)
-    t0 = time.perf_counter()
-    # fixed 32-block read (one per corpus file): Ray's default split made
-    # 192 sub-100ms tasks whose serial driver dispatch dominated wall time
-    pages = rd.read_parquet(corpus, columns=["doc_id", "text"],
-                            override_num_blocks=32)
-    stats = fused_mask_k_stats(pages, boundary_polygon_set(), addr,
-                               LOW, HIGH, SEED, min_k=5, cell_m=HIGH)
-    rows = stats["rows"]
-    queries["q0_fused_mask_k"] = round(time.perf_counter() - t0, 3)
+    rows_box: dict[str, int] = {}
+
+    def run_q0():
+        # fixed 32-block read (one per corpus file): Ray's default split
+        # made 192 sub-100ms tasks whose serial dispatch dominated wall time
+        pages = rd.read_parquet(corpus, columns=["doc_id", "text"],
+                                override_num_blocks=32)
+        stats = fused_mask_k_stats(pages, boundary_polygon_set(), addr,
+                                   LOW, HIGH, SEED, min_k=5, cell_m=HIGH)
+        rows_box["rows"] = stats["rows"]
+
+    queries["q0_fused_mask_k"] = timed(run_q0)
+    rows = rows_box["rows"]
 
     if q0_only:
         # scaling mode: the metric is q0 alone; skipping q1-q4 keeps each
@@ -122,43 +143,57 @@ def bench_once(q0_only: bool = False) -> dict:
             "points_per_sec": round(rows / queries["q0_fused_mask_k"], 1),
         }
 
-    # q1: mask -> materialize -> write partitioned parquet (the sink path)
-    t0 = time.perf_counter()
-    masked = displacement(donut_contained(
-        _pipeline_points(), boundary_polygon_set(), LOW, HIGH, SEED))
+    # q1: mask -> materialize -> write partitioned parquet (the sink
+    # path). Reads the SAME physical corpus as q0 (the north-rule shape:
+    # web pages from Parquet storage, column-pruned) — the in-task
+    # corpus derive it used to run belongs to fixture setup, not the
+    # pipeline under test.
     out_dir = f"/tmp/bench_out_{os.getpid()}"
-    masked = masked.materialize()
-    masked.write_parquet(out_dir)
-    queries["q1_mask_write"] = round(time.perf_counter() - t0, 3)
+    masked_box: dict = {}
+
+    def run_q1():
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+        m = displacement(donut_contained(
+            geoparse(rd.read_parquet(corpus, columns=["doc_id", "text"],
+                                     override_num_blocks=32)),
+            boundary_polygon_set(), LOW, HIGH, SEED)).materialize()
+        m.write_parquet(out_dir)
+        masked_box["m"] = m
+
+    queries["q1_mask_write"] = timed(run_q1)
+    masked = masked_box["m"]
 
     # q2: k-anonymity alone over the materialized masked points
-    t0 = time.perf_counter()
-    k = calculate_k(masked, addr, cell_m=HIGH).materialize()
-    k_satisfaction(k, 5)
-    queries["q2_k_anonymity"] = round(time.perf_counter() - t0, 3)
+    def run_q2():
+        k = calculate_k(masked, addr, cell_m=HIGH).materialize()
+        k_satisfaction(k, 5)
+
+    queries["q2_k_anonymity"] = timed(run_q2)
 
     # q3: text ops sweep (token stats + quality + langid + exact dedup)
-    t0 = time.perf_counter()
-    import ray.data as rd2
-
     from maskmypy_ray.text.dedup import exact_dedup_groups
     from maskmypy_ray.text.quality import quality_score, token_stats
 
-    docs = rd2.read_parquet(f"{SF_DIR}/documents.parquet",
-                            columns=["doc_id", "text"])
-    token_stats(docs).count()
-    quality_score(docs).count()
-    exact_dedup_groups(docs).count()
-    queries["q3_text_ops"] = round(time.perf_counter() - t0, 3)
+    def run_q3():
+        docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                               columns=["doc_id", "text"])
+        token_stats(docs).count()
+        quality_score(docs).count()
+        exact_dedup_groups(docs).count()
+
+    queries["q3_text_ops"] = timed(run_q3)
 
     # q4: embedding similarity join
-    t0 = time.perf_counter()
     from maskmypy_ray.sim.ann import cosine_pairs
 
-    emb = rd2.read_parquet(f"{SF_DIR}/embeddings.parquet",
-                           columns=["vec_id", "embedding"])
-    cosine_pairs(emb, threshold=0.4).count()
-    queries["q4_embedding_pairs"] = round(time.perf_counter() - t0, 3)
+    def run_q4():
+        emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        cosine_pairs(emb, threshold=0.4).count()
+
+    queries["q4_embedding_pairs"] = timed(run_q4)
 
     headline = queries["q0_fused_mask_k"]
     result = {
@@ -170,6 +205,8 @@ def bench_once(q0_only: bool = False) -> dict:
         "num_cpus": NUM_CPUS,
         "rows": rows,
         "points_per_sec": round(rows / headline, 1) if headline else None,
+        "reps_per_query": reps,
+        "estimator": "min",
     }
     import shutil
 

@@ -475,6 +475,15 @@ def q_ann_lsh(sf_dir: str):
     return out.select_columns(["query_id", "rank", "vec_id"])
 
 
+def q_ann_ivf(sf_dir: str):
+    """IVF cluster-then-probe approximate top-k (rows-only oracle;
+    recall vs brute force is pytest-checked)."""
+    from .sim.ann import ivf_topk
+
+    out = ivf_topk(_emb_ds(sf_dir), query_ids=list(range(20)), k=10)
+    return out.select_columns(["query_id", "rank", "vec_id"])
+
+
 def q_ann_pairs_lsh(sf_dir: str):
     """Banded sign-LSH cosine-threshold pairs — the scale path beside
     the broadcast all-pairs ``embedding_pairs`` (rows-only oracle;
@@ -513,6 +522,7 @@ QUERIES.update({
     "embedding_pairs": q_embedding_pairs,
     "ann_topk": q_ann_topk,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "ann_pairs_lsh": q_ann_pairs_lsh,
     "media_metadata": q_media_metadata,
     "media_decode": q_media_decode,

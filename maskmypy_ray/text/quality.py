@@ -77,14 +77,17 @@ def lang_id_batch(batch: pa.Table) -> pa.Table:
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """Document fingerprint: md5 of the sorted distinct lowercase tokens
-    joined by spaces (content-defined identity; robust to word order)."""
-    lower = pc.utf8_lower(batch.column("text")).to_pylist()
-    import re
+    joined by spaces (content-defined identity; robust to word order).
 
-    tok_re = re.compile(TOKEN_RE)
+    Tokenization is one vectorized RE2 split over the whole batch
+    (splitting on non-token runs yields exactly the ``[a-z0-9]+`` token
+    multiset, plus empty strings at the edges which are dropped); only
+    the md5 digest runs per row (no Arrow kernel exists for it)."""
+    lower = pc.utf8_lower(batch.column("text"))
+    tok_lists = pc.split_pattern_regex(lower, "[^a-z0-9]+").to_pylist()
     fps = [
-        md5(" ".join(sorted(set(tok_re.findall(t)))).encode()).hexdigest()
-        for t in lower
+        md5(" ".join(sorted({tok for tok in toks if tok})).encode()).hexdigest()
+        for toks in tok_lists
     ]
     return pa.table({
         "doc_id": batch.column("doc_id"),

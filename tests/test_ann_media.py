@@ -1,6 +1,7 @@
 """ANN similarity search + multimodal plumbing."""
 
 import numpy as np
+import pandas as pd
 import pytest
 
 
@@ -37,6 +38,25 @@ def test_lsh_topk_recall(ray_session, sf_dir):
         a = set(approx[approx["query_id"] == qid]["vec_id"])
         recalls.append(len(e & a) / max(1, len(e)))
     assert np.mean(recalls) > 0.25  # approximate by design on random vectors
+
+
+def test_ivf_topk_recall(ray_session, sf_dir):
+    """IVF cluster-then-probe ANN achieves reasonable recall@10 vs brute
+    force, and is deterministic across runs."""
+    from maskmypy_ray.pipelines import q_ann_ivf, q_ann_topk
+
+    exact = q_ann_topk(sf_dir).to_pandas()
+    approx = q_ann_ivf(sf_dir).to_pandas()
+    recalls = []
+    for qid in range(20):
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(e & a) / max(1, len(e)))
+    assert np.mean(recalls) > 0.25  # isotropic vectors: ANN worst case
+    again = q_ann_ivf(sf_dir).to_pandas()
+    pd.testing.assert_frame_equal(
+        approx.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        again.sort_values(["query_id", "rank"]).reset_index(drop=True))
 
 
 def test_embedding_pairs_symmetric_and_thresholded(ray_session, sf_dir):
