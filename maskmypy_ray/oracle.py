@@ -456,3 +456,181 @@ swapped AS (
          CAST(CASE WHEN ch.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS UNMASKED
   FROM points p LEFT JOIN chosen ch ON p.doc_id = ch.doc_id
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data dedup + Ripley oracles (round 3: flip rows-only queries to
+# value-checked). All reproduce the engine bit-for-bit via DuckDB's
+# md5_number_upper (= little-endian int of the md5 digest's FIRST 8 bytes,
+# matching ``int.from_bytes(md5(...).digest()[:8], "little")``).
+# ---------------------------------------------------------------------------
+
+_TOKEN_SQL = "[a-z0-9]+"  # mirror of text.dedup.TOKEN_RE
+
+
+def _mutated_docs_cte(every: int = 10, id_offset: int = 1_000_000) -> str:
+    """Mirror of text.dedup.with_mutated_copies over the documents view."""
+    return (
+        "docs AS (SELECT doc_id, text FROM documents UNION ALL "
+        f"SELECT doc_id + {id_offset} AS doc_id, text || ' zz9' AS text "
+        f"FROM documents WHERE doc_id % {every} = 0)")
+
+
+def simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """Mirror of text.dedup.simhash_pairs over corpus + mutated copies.
+
+    The engine's 4x16-bit band blocking is pigeonhole-complete for
+    ``max_hamming <= 3`` (3 differing bits cannot touch all 4 bands), so
+    the result set is EXACTLY all pairs with hamming <= max_hamming —
+    which is what this SQL computes directly via ``bit_count(xor(...))``.
+    SimHash bit j is sign(sum over distinct tokens of +-1 from token md5
+    bit j), empty-token docs hash to 0 (text.dedup.simhash64_many).
+    """
+    assert max_hamming <= 3, "band blocking only complete for hamming <= 3"
+    return f"""WITH {_mutated_docs_cte()},
+tok AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_extract_all(lower(text), '{_TOKEN_SQL}'))) AS t
+  FROM docs),
+th AS (SELECT doc_id, md5_number_upper(t) AS uh FROM tok),
+bits AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (uh >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+  GROUP BY 1, 2),
+shraw AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN acc > 0 THEN CAST(1 AS UBIGINT) << bit
+                       ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS h
+  FROM bits GROUP BY 1),
+sh AS (
+  SELECT d.doc_id, coalesce(s.h, CAST(0 AS UBIGINT)) AS h
+  FROM docs d LEFT JOIN shraw s ON s.doc_id = d.doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h, b.h)) <= {max_hamming}"""
+
+
+def minhash_pairs_sql(threshold: float = 0.8, ngram: int = 5) -> str:
+    """Mirror of text.dedup.minhash_lsh_pairs over corpus + mutated copies.
+
+    Word-``ngram`` shingles -> 32-bit md5 shingle hashes -> 64
+    mix32-permutation minima -> 16 bands of 4. LSH bucket equality is
+    equality of a band's 4 minima, so candidates are generated by joining
+    on (band, minima-tuple) — the md5 *band-hash string* the engine uses
+    as its shuffle key is just a proxy for that same tuple. Candidates
+    are then verified with exact shingle-set Jaccard (an integer ratio —
+    bit-exact in SQL). Empty-token docs get the all-0xFFFFFFFF signature.
+    """
+    from .rng import mix32, sql_mix32
+    from .text.dedup import _SALT, N_PERM, ROWS_PER_BAND
+
+    import numpy as np
+
+    perms = mix32(np.arange(N_PERM, dtype=np.int64) + _SALT)
+    perm_rows = ", ".join(f"({j}, {int(perms[j])})" for j in range(N_PERM))
+    mix = sql_mix32("xor(s.sh, p.p)")
+    n_bands = N_PERM // ROWS_PER_BAND
+    empty_key = ",".join(["4294967295"] * ROWS_PER_BAND)
+    return f"""WITH {_mutated_docs_cte()},
+tl AS (SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_SQL}') AS l FROM docs),
+sg AS (
+  SELECT doc_id, unnest(CASE
+    WHEN len(l) = 0 THEN CAST([] AS VARCHAR[])
+    WHEN len(l) < {ngram} THEN [array_to_string(l, ' ')]
+    ELSE list_transform(generate_series(1, len(l) - {ngram - 1}),
+                        i -> array_to_string(l[i:i + {ngram - 1}], ' '))
+  END) AS s FROM tl),
+shd AS (SELECT DISTINCT doc_id,
+               CAST(md5_number_upper(s) & 4294967295 AS BIGINT) AS sh FROM sg),
+perms(j, p) AS (SELECT * FROM (VALUES {perm_rows})),
+pv AS (
+  SELECT s.doc_id, p.j, min({mix}) AS mn
+  FROM shd s CROSS JOIN perms p GROUP BY 1, 2),
+bands AS (
+  SELECT doc_id, j // {ROWS_PER_BAND} AS band,
+         string_agg(CAST(mn AS VARCHAR), ',' ORDER BY j) AS bkey
+  FROM pv GROUP BY 1, 2
+  UNION ALL
+  SELECT tl.doc_id, b.band, '{empty_key}' AS bkey
+  FROM tl CROSS JOIN (SELECT unnest(generate_series(0, {n_bands - 1})) AS band) b
+  WHERE len(tl.l) = 0),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS i
+  FROM cand c JOIN shd x ON x.doc_id = c.doc_a
+  JOIN shd y ON y.doc_id = c.doc_b AND y.sh = x.sh GROUP BY 1, 2),
+jac AS (
+  SELECT c.doc_a, c.doc_b, coalesce(i.i, 0) AS i, sa.sz AS la, sb.sz AS lb
+  FROM cand c LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b)
+SELECT doc_a, doc_b, i / CAST(la + lb - i AS DOUBLE) AS sim FROM jac
+WHERE i / CAST(la + lb - i AS DOUBLE) >= {threshold}"""
+
+
+def ripley_sql(seed: int, simulations: int = 19, steps: int = 10) -> str:
+    """Mirror of analysis.ripley.ripleys_k_distributed over the geoparsed
+    point pattern: per-band K-hat for the observed pattern plus
+    ``simulations`` CSR draws (streams 300+2s / 301+2s of the counter
+    RNG, constant-folded per simulation), normalized by the observed
+    bbox area, with pointpats-style two-sided pseudo p-values. Support
+    is np.linspace(maxd/steps, maxd, steps) with the exact-endpoint rule.
+    Output matches pipelines.q_ripley: (band, support, k_stat, pvalue)
+    rounded to 6 dp.
+    """
+    from .rng import _STREAM_STEP, mix32, sql_mix32
+
+    m32 = 4294967295
+    rows = []
+    for s in range(1, simulations + 1):
+        c1 = int(mix32((seed % (1 << 32) + (300 + 2 * (s - 1)) * _STREAM_STEP) & m32))
+        c2 = int(mix32((seed % (1 << 32) + (301 + 2 * (s - 1)) * _STREAM_STEP) & m32))
+        rows.append(f"({s}, {c1}, {c2})")
+    streams = ", ".join(rows)
+    u1 = sql_mix32(f"xor(p.doc_id & {m32}, st.c1)")
+    u2 = sql_mix32(f"xor((p.doc_id + 131071 * st.s) & {m32}, st.c2)")
+    return f"""WITH {points_cte(seed)},
+pz AS (SELECT doc_id, x, y FROM points),
+agg AS (SELECT min(x) AS x0, max(x) AS x1, min(y) AS y0, max(y) AS y1,
+               CAST(count(*) AS BIGINT) AS n FROM pz),
+par AS (SELECT x0, x1, y0, y1, n, 0.25 * least(x1 - x0, y1 - y0) AS maxd FROM agg),
+sup AS (
+  SELECT i + 1 AS band,
+         CASE WHEN i = {steps - 1} THEN maxd
+              ELSE (maxd / {steps}.0)
+                   + i * ((maxd - maxd / {steps}.0) / {steps - 1}.0) END AS r
+  FROM par, (SELECT unnest(generate_series(0, {steps - 1})) AS i) t),
+streams(s, c1, c2) AS (SELECT * FROM (VALUES {streams})),
+simpts AS (
+  SELECT 0 AS sim, doc_id, x, y FROM pz
+  UNION ALL
+  SELECT st.s AS sim, p.doc_id,
+         par.x0 + (par.x1 - par.x0) * (({u1}) / 4294967296.0) AS x,
+         par.y0 + (par.y1 - par.y0) * (({u2}) / 4294967296.0) AS y
+  FROM pz p CROSS JOIN par CROSS JOIN streams st),
+pairs AS (
+  SELECT a.sim, (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM simpts a JOIN simpts b ON a.sim = b.sim AND a.doc_id <> b.doc_id),
+cnts AS (
+  SELECT sup.band, sup.r, p.sim,
+         CAST(count(*) FILTER (WHERE p.d2 <= sup.r * sup.r) AS DOUBLE) AS c
+  FROM sup CROSS JOIN pairs p GROUP BY 1, 2, 3),
+khat AS (
+  SELECT c.band, c.r, c.sim,
+         ((par.x1 - par.x0) * (par.y1 - par.y0)) * c.c / (par.n * (par.n - 1)) AS k
+  FROM cnts c CROSS JOIN par),
+st0 AS (SELECT band, r, k AS stat FROM khat WHERE sim = 0),
+pv AS (
+  SELECT k.band,
+         sum(CASE WHEN k.k >= s.stat THEN 1 ELSE 0 END) AS ge,
+         sum(CASE WHEN k.k <= s.stat THEN 1 ELSE 0 END) AS le
+  FROM khat k JOIN st0 s ON s.band = k.band WHERE k.sim > 0 GROUP BY 1)
+SELECT CAST(s.band AS BIGINT) AS band, round(s.r, 6) AS support,
+       round(s.stat, 6) AS k_stat,
+       round(CAST(least(pv.ge, pv.le) + 1 AS DOUBLE) / {simulations + 1}.0, 6) AS pvalue
+FROM st0 s JOIN pv ON pv.band = s.band"""

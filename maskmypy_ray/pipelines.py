@@ -439,7 +439,9 @@ def q_dedup_jaccard(sf_dir: str):
 
 def q_dedup_minhash(sf_dir: str):
     """MinHash+LSH near-dup pairs over the corpus + mutated copies
-    (rows-only oracle; recall vs exact is pytest-checked)."""
+    (value-checked: oracle.minhash_pairs_sql reproduces the banded
+    bucket join + exact-Jaccard verify bit-for-bit; recall vs exact is
+    also pytest-checked)."""
     from .text.dedup import minhash_lsh_pairs, with_mutated_copies
 
     return minhash_lsh_pairs(with_mutated_copies(_docs_ds(sf_dir)),
@@ -447,7 +449,9 @@ def q_dedup_minhash(sf_dir: str):
 
 
 def q_dedup_simhash(sf_dir: str):
-    """SimHash hamming<=3 pairs (rows-only oracle)."""
+    """SimHash hamming<=3 pairs (value-checked: band blocking is
+    pigeonhole-complete, so oracle.simhash_pairs_sql's direct
+    bit_count(xor) join is the exact same pair set)."""
     from .text.dedup import simhash_pairs, with_mutated_copies
 
     return simhash_pairs(with_mutated_copies(_docs_ds(sf_dir)))
@@ -586,6 +590,10 @@ def _training_oracles() -> dict[str, str]:
             "r AS (SELECT query_id, vec_id, CAST(row_number() OVER "
             "(PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank "
             "FROM s) SELECT query_id, rank, vec_id FROM r WHERE rank <= 10"),
+        "evaluate": _evaluate_sql(),
+        "dedup_minhash": oracle.minhash_pairs_sql(threshold=0.8),
+        "dedup_simhash": oracle.simhash_pairs_sql(max_hamming=3),
+        "ripleys_k": oracle.ripley_sql(SEED, simulations=19, steps=10),
         "media_metadata": None,  # filled in oracle_queries (needs pages CTE)
     }
 
@@ -620,8 +628,9 @@ def q_estimate_k_areal(sf_dir: str):
 
 def q_ripley(sf_dir: str):
     """Ripley's K of the sensitive pattern (A11): support + K̂ + p-value
-    per band with 19 seeded CSR simulations (rows-only; flagged slow in
-    the reference, `analysis.py:40-43`)."""
+    per band with 19 seeded CSR simulations (value-checked:
+    oracle.ripley_sql replays the counter-RNG CSR draws and pair-count
+    bands in SQL; flagged slow in the reference, `analysis.py:40-43`)."""
     from .analysis.ripley import ripleys_k
 
     r = ripleys_k(points_ds(sf_dir), simulations=19, seed=SEED)
@@ -633,9 +642,51 @@ def q_ripley(sf_dir: str):
     })
 
 
+def _evaluate_sql() -> str:
+    """One-row SQL twin of q_evaluate: every scalar in the evaluate()
+    stats dict (central drift, displacement summary, nnd deltas on both
+    patterns, k summary + satisfaction) assembled from the same CTEs the
+    component oracles use — value-checked, not rows-only."""
+    return f"""WITH {_k_sql()},
+nnb AS (
+  SELECT p.doc_id, min(sqrt((p.x - q.x)*(p.x - q.x) + (p.y - q.y)*(p.y - q.y))) AS nnd
+  FROM flag p JOIN flag q ON p.doc_id <> q.doc_id GROUP BY p.doc_id),
+nna AS (
+  SELECT p.doc_id, min(sqrt((p.mx - q.mx)*(p.mx - q.mx) + (p.my - q.my)*(p.my - q.my))) AS nnd
+  FROM flag p JOIN flag q ON p.doc_id <> q.doc_id GROUP BY p.doc_id),
+nb AS (SELECT min(nnd) AS mn, max(nnd) AS mx, avg(nnd) AS me FROM nnb),
+na AS (SELECT min(nnd) AS mn, max(nnd) AS mx, avg(nnd) AS me FROM nna),
+disp AS (
+  SELECT round(min(_distance), 6) AS displacement_min,
+         round(max(_distance), 6) AS displacement_max,
+         round(median(_distance), 6) AS displacement_med,
+         round(avg(_distance), 6) AS displacement_mean FROM flag),
+cd AS (
+  SELECT round(sqrt((avg(mx) - avg(x))*(avg(mx) - avg(x))
+             + (avg(my) - avg(y))*(avg(my) - avg(y))), 6) AS central_drift FROM flag),
+ks AS (
+  SELECT CAST(min(k_anonymity) AS DOUBLE) AS k_min,
+         CAST(max(k_anonymity) AS DOUBLE) AS k_max,
+         round(median(k_anonymity), 2) AS k_med,
+         round(avg(k_anonymity), 2) AS k_mean,
+         round(count(CASE WHEN k_anonymity >= 5 THEN 1 END) / CAST(count(*) AS DOUBLE), 3) AS k_satisfaction_5,
+         round(count(CASE WHEN k_anonymity >= 25 THEN 1 END) / CAST(count(*) AS DOUBLE), 3) AS k_satisfaction_25,
+         round(count(CASE WHEN k_anonymity >= 50 THEN 1 END) / CAST(count(*) AS DOUBLE), 3) AS k_satisfaction_50
+  FROM kvals)
+SELECT cd.central_drift,
+       disp.displacement_min, disp.displacement_max, disp.displacement_med,
+       disp.displacement_mean,
+       round(na.mn - nb.mn, 6) AS nnd_min_delta,
+       round(na.mx - nb.mx, 6) AS nnd_max_delta,
+       round(na.me - nb.me, 6) AS nnd_mean_delta,
+       ks.k_min, ks.k_max, ks.k_med, ks.k_mean,
+       ks.k_satisfaction_5, ks.k_satisfaction_25, ks.k_satisfaction_50
+FROM cd, disp, na, nb, ks"""
+
+
 def q_evaluate(sf_dir: str):
     """Full evaluate() stats dict (A13) over the flagship mask + address
-    population — one row of scalars (rows-only)."""
+    population — one row of scalars (value-checked via _evaluate_sql)."""
     from .analysis.evaluate import evaluate
 
     stats = evaluate(contained_ds(sf_dir), population=read_addresses(sf_dir, seed=SEED))
