@@ -218,16 +218,47 @@ def q_snap_to_streets(sf_dir: str):
 def q_street_k(sf_dir: str):
     """Iterative street_k (M4, ref `maskmypy/masks/street.py:82-192`):
     driver loop {street mask -> fused k -> satisfaction} escalating depth
-    until satisfied, then suppress sub-k points (rows-only oracle:
-    bounded-Dijkstra network walks aren't SQL)."""
+    until satisfied, then suppress sub-k points.
+
+    The Dijkstra walk itself isn't SQL, so like `q_voronoi` this is
+    verified by per-row invariants the oracle pins to 1 (exact output
+    values are pytest-pinned, `tests/test_streetk_tools.py`):
+    ``on_node`` — every non-suppressed output point sits EXACTLY on a
+    road-graph node (or on its original coords, the no-valid-node
+    fallback; suppressed points move to the mean center by contract);
+    ``sup_ok`` — the SUPPRESSED label equals (k_anonymity < min_k)
+    row-for-row."""
+    import ray
+
     from .sources.roadgraph import synth_road_graph
     from .stages.street import street_k
 
-    out = street_k(points_ds(sf_dir), synth_road_graph(),
+    min_k = 3
+    graph = synth_road_graph()
+    out = street_k(points_ds(sf_dir), graph,
                    read_addresses(sf_dir, seed=SEED),
-                   min_k=3, start=5, stop=60, spread=2, increment=4,
+                   min_k=min_k, start=5, stop=60, spread=2, increment=4,
                    suppression=0.8, seed=SEED)
-    return out.select_columns(["url", "mx", "my", "SUPPRESSED"])
+    nodes_ref = ray.put(np.sort(graph.node_x + 1j * graph.node_y))
+
+    def check(b: pa.Table) -> pa.Table:
+        nodes = ray.get(nodes_ref)
+        mx = b.column("mx").to_numpy(zero_copy_only=False)
+        my = b.column("my").to_numpy(zero_copy_only=False)
+        x = b.column("x").to_numpy(zero_copy_only=False)
+        y = b.column("y").to_numpy(zero_copy_only=False)
+        k = b.column("k_anonymity").to_numpy(zero_copy_only=False)
+        sup = np.asarray(b.column("SUPPRESSED").to_pylist()) == "TRUE"
+        q = mx + 1j * my
+        pos = np.minimum(np.searchsorted(nodes, q), len(nodes) - 1)
+        is_node = nodes[pos] == q
+        on_node = (is_node | sup | ((mx == x) & (my == y))).astype(np.int64)
+        sup_ok = (sup == (k < min_k)).astype(np.int64)
+        return pa.table({"url": b.column("url"),
+                         "on_node": pa.array(on_node, type=pa.int64()),
+                         "sup_ok": pa.array(sup_ok, type=pa.int64())})
+
+    return out.map_batches(check, batch_format="pyarrow")
 
 
 def q_voronoi(sf_dir: str):
@@ -732,6 +763,13 @@ QUERIES.update({
 def _more_oracles() -> dict[str, str]:
     # checkpointed_flagship == the direct contained mask: reuse its oracle.
     return {
+        # M4 street_k: like voronoi, the driver pins the engine's per-row
+        # invariants (output on a graph node unless suppressed/fallback;
+        # SUPPRESSED == k < min_k) to 1 — the walk itself is pytest-pinned.
+        "street_k": (
+            f"WITH {oracle.points_cte(SEED)} "
+            "SELECT url, CAST(1 AS BIGINT) AS on_node, "
+            "CAST(1 AS BIGINT) AS sup_ok FROM points"),
         "checkpointed_flagship": (
             f"WITH {oracle.donut_contained_cte(SEED, LOW, HIGH)} "
             "SELECT url, mx, my FROM masked"),
