@@ -634,3 +634,68 @@ SELECT CAST(s.band AS BIGINT) AS band, round(s.r, 6) AS support,
        round(s.stat, 6) AS k_stat,
        round(CAST(least(pv.ge, pv.le) + 1 AS DOUBLE) / {simulations + 1}.0, 6) AS pvalue
 FROM st0 s JOIN pv ON pv.band = s.band"""
+
+
+def _shingle_ctes(ngram: int = 5) -> str:
+    """tl/sg/shd chain (token list -> word-ngram shingles -> distinct
+    32-bit shingle hashes) over a preceding ``docs`` CTE — shared by the
+    minhash, exact-ngram-Jaccard and winnow oracles."""
+    return f"""tl AS (SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_SQL}') AS l FROM docs),
+sg AS (
+  SELECT doc_id, unnest(CASE
+    WHEN len(l) = 0 THEN CAST([] AS VARCHAR[])
+    WHEN len(l) < {ngram} THEN [array_to_string(l, ' ')]
+    ELSE list_transform(generate_series(1, len(l) - {ngram - 1}),
+                        i -> array_to_string(l[i:i + {ngram - 1}], ' '))
+  END) AS s FROM tl),
+shd AS (SELECT DISTINCT doc_id,
+               CAST(md5_number_upper(s) & 4294967295 AS BIGINT) AS sh FROM sg)"""
+
+
+def jaccard_ngram_sql(threshold: float = 0.8, ngram: int = 5) -> str:
+    """Mirror of text.dedup.jaccard_pairs_exact(use_shingles=True) over
+    corpus + mutated copies: exact all-pairs word-``ngram``-shingle
+    Jaccard >= threshold (integer ratio — bit-exact in SQL). The
+    superset twin of minhash_pairs_sql's LSH result (recall pytest
+    compares the two)."""
+    return f"""WITH {_mutated_docs_cte()},
+{_shingle_ctes(ngram)},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY 1),
+inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+  FROM shd x JOIN shd y ON x.sh = y.sh AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+jac AS (
+  SELECT i.doc_a, i.doc_b, i.i, sa.sz AS la, sb.sz AS lb
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b)
+SELECT doc_a, doc_b, i / CAST(la + lb - i AS DOUBLE) AS sim FROM jac
+WHERE i / CAST(la + lb - i AS DOUBLE) >= {threshold}"""
+
+
+def winnow_sql(k: int = 5, w: int = 4) -> str:
+    """Mirror of text.quality.winnow_batch over the documents table:
+    positional k-gram hashes, sliding-window-of-``w`` minima, distinct
+    selected hashes per doc. Docs with fewer than ``w`` grams contribute
+    their single whole-list min (the window frame truncates at the
+    partition end, which is exactly that min)."""
+    return f"""WITH docs AS (SELECT doc_id, text FROM documents),
+tl AS (SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_SQL}') AS l FROM docs),
+gr AS (
+  SELECT tl.doc_id, t.i,
+         CAST(md5_number_upper(
+           CASE WHEN len(l) < {k} THEN array_to_string(l, ' ')
+                ELSE array_to_string(l[t.i:t.i + {k - 1}], ' ') END)
+              & 4294967295 AS BIGINT) AS gh
+  FROM tl, unnest(generate_series(1,
+       CASE WHEN len(l) = 0 THEN 0
+            WHEN len(l) < {k} THEN 1
+            ELSE len(l) - {k - 1} END)) AS t(i)),
+wm AS (
+  SELECT doc_id, i,
+         min(gh) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS minh,
+         count(*) OVER (PARTITION BY doc_id) AS m
+  FROM gr)
+SELECT DISTINCT doc_id, minh AS gram_hash FROM wm
+WHERE i <= greatest(m - {w} + 1, 1)"""

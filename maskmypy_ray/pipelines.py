@@ -468,6 +468,26 @@ def q_dedup_jaccard(sf_dir: str):
     return jaccard_pairs_exact(_docs_ds(sf_dir), threshold=0.9)
 
 
+def q_dedup_jaccard_ngram(sf_dir: str):
+    """Exact all-pairs word-5-gram-shingle Jaccard >= 0.8 over the
+    corpus + mutated copies — the n-gram flavor of dedup_jaccard and the
+    exact superset twin of dedup_minhash (value-checked; the minhash
+    recall pytest compares against this same pair set)."""
+    from .text.dedup import jaccard_pairs_exact, with_mutated_copies
+
+    return jaccard_pairs_exact(with_mutated_copies(_docs_ds(sf_dir)),
+                               threshold=0.8, use_shingles=True)
+
+
+def q_fingerprint_winnow(sf_dir: str):
+    """Winnowing document sketch (Schleimer et al. 2003): distinct
+    sliding-window minima over positional 5-gram hashes, window 4
+    (value-checked via oracle.winnow_sql)."""
+    from .text.quality import winnow_fingerprint
+
+    return winnow_fingerprint(_docs_ds(sf_dir))
+
+
 def q_dedup_minhash(sf_dir: str):
     """MinHash+LSH near-dup pairs over the corpus + mutated copies
     (value-checked: oracle.minhash_pairs_sql reproduces the banded
@@ -552,6 +572,8 @@ QUERIES.update({
     "fingerprint": q_fingerprint,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_jaccard_ngram": q_dedup_jaccard_ngram,
+    "fingerprint_winnow": q_fingerprint_winnow,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "embedding_pairs": q_embedding_pairs,
@@ -622,6 +644,8 @@ def _training_oracles() -> dict[str, str]:
             "(PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS BIGINT) AS rank "
             "FROM s) SELECT query_id, rank, vec_id FROM r WHERE rank <= 10"),
         "evaluate": _evaluate_sql(),
+        "dedup_jaccard_ngram": oracle.jaccard_ngram_sql(threshold=0.8),
+        "fingerprint_winnow": oracle.winnow_sql(k=5, w=4),
         "dedup_minhash": oracle.minhash_pairs_sql(threshold=0.8),
         "dedup_simhash": oracle.simhash_pairs_sql(max_hamming=3),
         "ripleys_k": oracle.ripley_sql(SEED, simulations=19, steps=10),

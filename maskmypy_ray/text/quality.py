@@ -109,3 +109,75 @@ def lang_id(ds):
 
 def fingerprint(ds):
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
+
+
+def winnow_batch(batch: pa.Table, k: int = 5, w: int = 4,
+                 text_col: str = "text") -> pa.Table:
+    """Winnowing document sketch (Schleimer et al., SIGMOD 2003): the
+    distinct set of sliding-window minima over positional k-gram hashes.
+
+    Unlike :func:`fingerprint_batch` (whole-document identity) this is
+    the plagiarism/near-dup *sketch*: any shared substring of length
+    >= k + w - 1 tokens guarantees a shared selected hash. Gram hashing
+    uses the same 32-bit md5 as the MinHash shingles (the paper permits
+    any strong hash in place of Karp-Rabin rolling hashes).
+
+    Output: exploded (doc_id, gram_hash) rows, one per distinct selected
+    hash. Fully vectorized: one global sliding-window min with
+    doc-boundary masking; docs with fewer than ``w`` grams contribute
+    their single whole-window min via one ``minimum.reduceat``.
+    """
+    from .dedup import TOKEN_RE
+
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = batch.column(text_col).to_pylist()
+    grams: list[int] = []
+    seg_bounds = [0]
+    for t in texts:
+        toks = TOKEN_RE.findall(t.lower())
+        if not toks:
+            gs = []
+        elif len(toks) < k:
+            gs = [" ".join(toks)]
+        else:
+            gs = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        grams.extend(
+            int.from_bytes(md5(g.encode()).digest()[:4], "little") for g in gs)
+        seg_bounds.append(len(grams))
+    bounds = np.asarray(seg_bounds, dtype=np.int64)
+    g = np.asarray(grams, dtype=np.int64)
+    lens = np.diff(bounds)
+    out_doc: list[np.ndarray] = []
+    out_hash: list[np.ndarray] = []
+    # long docs (>= w grams): global sliding min, windows that stay inside
+    # one segment are valid
+    if len(g) >= w:
+        win = np.lib.stride_tricks.sliding_window_view(g, w).min(axis=1)
+        seg_of = np.repeat(np.arange(len(lens)), lens)
+        valid = seg_of[: len(win)] == seg_of[w - 1:]
+        vdoc = doc_ids[seg_of[: len(win)][valid]]
+        pairs = np.unique(np.stack([vdoc, win[valid]]), axis=1)
+        out_doc.append(pairs[0])
+        out_hash.append(pairs[1])
+    # short docs (0 < grams < w, i.e. < k + w - 1 tokens — rare): one
+    # window = the whole gram list; segment spans are non-contiguous so a
+    # tiny explicit slice-min per short doc beats a reduceat index dance
+    short = np.nonzero((lens > 0) & (lens < w))[0]
+    if len(short):
+        mins = np.array([g[bounds[s]:bounds[s + 1]].min() for s in short],
+                        dtype=np.int64)
+        out_doc.append(doc_ids[short])
+        out_hash.append(mins)
+    if not out_doc:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "gram_hash": pa.array([], type=pa.int64())})
+    return pa.table({
+        "doc_id": pa.array(np.concatenate(out_doc), type=pa.int64()),
+        "gram_hash": pa.array(np.concatenate(out_hash), type=pa.int64()),
+    })
+
+
+def winnow_fingerprint(ds, k: int = 5, w: int = 4, text_col: str = "text"):
+    """Dataset[(doc_id, gram_hash)] winnowing sketch (see winnow_batch)."""
+    return ds.map_batches(lambda b: winnow_batch(b, k, w, text_col),
+                          batch_format="pyarrow")

@@ -128,3 +128,48 @@ def test_exact_dedup_survivors(ray_session, sf_dir):
     n_texts = len(set(docs.to_pandas()["text"]))
     assert len(out) == n_texts
     assert (out["doc_id"] < 500_000).all()  # min doc_id survives
+
+
+def test_winnow_matches_bruteforce():
+    """winnow_batch == the obvious per-doc loop (k-gram hashes, sliding
+    window min, distinct) on handcrafted short/long/empty docs."""
+    from hashlib import md5 as _md5
+
+    from maskmypy_ray.text.dedup import TOKEN_RE
+    from maskmypy_ray.text.quality import winnow_batch
+
+    k, w = 3, 2
+    texts = [
+        "a b c d e f g a b c d",          # long: several windows
+        "x y",                            # fewer tokens than k: one gram
+        "",                               # empty: no rows
+        "m n o p",                        # grams == w exactly
+        "a b c d e f g a b c d",          # duplicate of doc 0
+    ]
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                      "text": pa.array(texts, type=pa.string())})
+    out = winnow_batch(batch, k=k, w=w)
+    got = {(d, h) for d, h in zip(out.column("doc_id").to_pylist(),
+                                  out.column("gram_hash").to_pylist())}
+
+    expect = set()
+    for did, t in enumerate(texts):
+        toks = TOKEN_RE.findall(t.lower())
+        if not toks:
+            continue
+        if len(toks) < k:
+            grams = [" ".join(toks)]
+        else:
+            grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        hs = [int.from_bytes(_md5(g.encode()).digest()[:4], "little")
+              for g in grams]
+        if len(hs) < w:
+            expect.add((did, min(hs)))
+        else:
+            for i in range(len(hs) - w + 1):
+                expect.add((did, min(hs[i:i + w])))
+    assert got == expect
+    # identical docs -> identical sketches (the near-dup property)
+    s0 = {h for d, h in got if d == 0}
+    s4 = {h for d, h in got if d == 4}
+    assert s0 == s4
