@@ -479,6 +479,15 @@ def q_dedup_jaccard_ngram(sf_dir: str):
                                threshold=0.8, use_shingles=True)
 
 
+def q_token_count(sf_dir: str):
+    """Whitespace + BPE-ish-regex token counts per doc — the two standard
+    corpus-size estimators for training-data budgeting (value-checked:
+    both engines run RE2, so match counts are identical)."""
+    from .text.quality import token_count
+
+    return token_count(_docs_ds(sf_dir))
+
+
 def q_fingerprint_winnow(sf_dir: str):
     """Winnowing document sketch (Schleimer et al. 2003): distinct
     sliding-window minima over positional 5-gram hashes, window 4
@@ -573,6 +582,7 @@ QUERIES.update({
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_jaccard_ngram": q_dedup_jaccard_ngram,
+    "token_count": q_token_count,
     "fingerprint_winnow": q_fingerprint_winnow,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -584,6 +594,16 @@ QUERIES.update({
     "media_metadata": q_media_metadata,
     "media_decode": q_media_decode,
 })
+
+
+def _token_count_sql() -> str:
+    from .text.quality import BPE_RE, WS_RE
+
+    bpe = BPE_RE.replace("'", "''")
+    return (f"SELECT doc_id, "
+            f"CAST(len(regexp_extract_all(text, '{WS_RE}')) AS BIGINT) AS n_ws_tokens, "
+            f"CAST(len(regexp_extract_all(text, '{bpe}')) AS BIGINT) AS n_bpe_tokens "
+            "FROM documents")
 
 
 def _lang_sql() -> str:
@@ -645,6 +665,7 @@ def _training_oracles() -> dict[str, str]:
             "FROM s) SELECT query_id, rank, vec_id FROM r WHERE rank <= 10"),
         "evaluate": _evaluate_sql(),
         "dedup_jaccard_ngram": oracle.jaccard_ngram_sql(threshold=0.8),
+        "token_count": _token_count_sql(),
         "fingerprint_winnow": oracle.winnow_sql(k=5, w=4),
         "dedup_minhash": oracle.minhash_pairs_sql(threshold=0.8),
         "dedup_simhash": oracle.simhash_pairs_sql(max_hamming=3),

@@ -124,8 +124,8 @@ def winnow_batch(batch: pa.Table, k: int = 5, w: int = 4,
 
     Output: exploded (doc_id, gram_hash) rows, one per distinct selected
     hash. Fully vectorized: one global sliding-window min with
-    doc-boundary masking; docs with fewer than ``w`` grams contribute
-    their single whole-window min via one ``minimum.reduceat``.
+    doc-boundary masking; docs with fewer than ``w`` grams (rare)
+    contribute their single whole-list min.
     """
     from .dedup import TOKEN_RE
 
@@ -181,3 +181,30 @@ def winnow_fingerprint(ds, k: int = 5, w: int = 4, text_col: str = "text"):
     """Dataset[(doc_id, gram_hash)] winnowing sketch (see winnow_batch)."""
     return ds.map_batches(lambda b: winnow_batch(b, k, w, text_col),
                           batch_format="pyarrow")
+
+
+# GPT-2-style pre-tokenizer pattern, minus the `\s+(?!\S)` alternative
+# (RE2 — used by BOTH Arrow and DuckDB — has no lookahead; dropping it
+# only merges trailing-space runs, keeping counts deterministic and
+# oracle-exact across engines).
+BPE_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+WS_RE = r"\S+"
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_ws_tokens, n_bpe_tokens): whitespace token count plus a
+    BPE-ish pre-tokenizer count (the two standard corpus-size estimators
+    for training-data budgeting). Pure vectorized RE2 counts over the raw
+    (non-lowercased) text."""
+    text = batch.column("text")
+    ws = pc.count_substring_regex(text, WS_RE).to_numpy(zero_copy_only=False)
+    bpe = pc.count_substring_regex(text, BPE_RE).to_numpy(zero_copy_only=False)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_ws_tokens": pa.array(ws.astype(np.int64), type=pa.int64()),
+        "n_bpe_tokens": pa.array(bpe.astype(np.int64), type=pa.int64()),
+    })
+
+
+def token_count(ds):
+    return ds.map_batches(token_count_batch, batch_format="pyarrow")

@@ -32,6 +32,22 @@ def test_token_stats_unit():
     assert s.loc[1, "n_tokens"] == 0 and s.loc[1, "stop_ratio"] == 0.0
 
 
+def test_token_count_unit():
+    from maskmypy_ray.text.quality import token_count_batch
+
+    t = _docs(a="I can't stop, won't stop: 42 times!",
+              b="hello world", c="")
+    s = token_count_batch(t).to_pandas()
+    # whitespace tokens: ["I", "can't", "stop,", "won't", "stop:", "42", "times!"]
+    assert s.loc[0, "n_ws_tokens"] == 7
+    # BPE-ish pre-tokens: I | can | 't | _stop | , | _won | 't | _stop | : |
+    # _42 | _times | ! | (no trailing-space run)
+    assert s.loc[0, "n_bpe_tokens"] == 12
+    assert s.loc[1, "n_ws_tokens"] == 2 and s.loc[1, "n_bpe_tokens"] == 2
+    assert s.loc[2, "n_ws_tokens"] == 0 and s.loc[2, "n_bpe_tokens"] == 0
+    assert s["n_ws_tokens"].dtype == np.int64
+
+
 def test_lang_id_unit():
     t = _docs(en="the cat and the dog", de="der hund und die katze",
               zh="这是中文文本", none="xyzzy qwerty")
