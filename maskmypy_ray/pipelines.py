@@ -558,6 +558,35 @@ def q_ann_pairs_lsh(sf_dir: str):
     return out.select_columns(["vec_a", "vec_b"])
 
 
+def q_repetition(sf_dir: str):
+    """Gopher-style per-doc repetition signals (dup-word / top-word /
+    top-bigram fractions) — value-checked against a DuckDB unnest+window
+    twin."""
+    from .text.quality import repetition
+
+    return repetition(_docs_ds(sf_dir))
+
+
+def q_source_stats(sf_dir: str):
+    """Per-source corpus stats with partial sums combined inside
+    map_batches before the groupby (shuffle volume = sources x blocks)."""
+    import ray.data
+
+    from .text.quality import source_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "source"])
+    return source_stats(ds)
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark n-gram decontamination: broadcast benchmark gram set,
+    vectorized membership per batch (text/corpus.py)."""
+    from .text.corpus import decontaminate
+
+    return decontaminate(_docs_ds(sf_dir), n=5)
+
+
 def q_media_metadata(sf_dir: str):
     from .multimodal.media import media_metadata
 
@@ -583,6 +612,9 @@ QUERIES.update({
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_jaccard_ngram": q_dedup_jaccard_ngram,
     "token_count": q_token_count,
+    "repetition": q_repetition,
+    "source_stats": q_source_stats,
+    "decontaminate": q_decontaminate,
     "fingerprint_winnow": q_fingerprint_winnow,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -604,6 +636,62 @@ def _token_count_sql() -> str:
             f"CAST(len(regexp_extract_all(text, '{WS_RE}')) AS BIGINT) AS n_ws_tokens, "
             f"CAST(len(regexp_extract_all(text, '{bpe}')) AS BIGINT) AS n_bpe_tokens "
             "FROM documents")
+
+
+_TOKS_LIST_SQL = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+                  "x -> x <> '')")
+
+
+def _repetition_sql() -> str:
+    return (
+        f"WITH t AS (SELECT doc_id, {_TOKS_LIST_SQL} AS toks FROM documents), "
+        "w AS (SELECT doc_id, unnest(toks) AS tok FROM t), "
+        "wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM w GROUP BY doc_id, tok), "
+        "ws AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS d, MAX(c) AS mxw "
+        "FROM wc GROUP BY doc_id), "
+        "zz AS (SELECT doc_id, unnest(list_zip(toks, toks[2:])) AS z FROM t), "
+        "bg AS (SELECT doc_id, struct_extract(z,1) AS a, struct_extract(z,2) AS b "
+        "FROM zz WHERE struct_extract(z,2) IS NOT NULL), "
+        "bgc AS (SELECT doc_id, a, b, COUNT(*) AS c FROM bg GROUP BY doc_id, a, b), "
+        "bgs AS (SELECT doc_id, SUM(c) AS nb, MAX(c) AS mxb FROM bgc GROUP BY doc_id) "
+        "SELECT t.doc_id, "
+        "CASE WHEN ws.n > 0 THEN (ws.n - ws.d) / CAST(ws.n AS DOUBLE) ELSE 0.0 END "
+        "AS dup_word_frac, "
+        "CASE WHEN ws.n > 0 THEN ws.mxw / CAST(ws.n AS DOUBLE) ELSE 0.0 END "
+        "AS top_word_frac, "
+        "CASE WHEN bgs.nb > 0 THEN bgs.mxb / CAST(bgs.nb AS DOUBLE) ELSE 0.0 END "
+        "AS top_bigram_frac "
+        "FROM t LEFT JOIN ws ON t.doc_id = ws.doc_id "
+        "LEFT JOIN bgs ON t.doc_id = bgs.doc_id")
+
+
+def _source_stats_sql() -> str:
+    return (
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        f"CAST(SUM(len(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}'))) "
+        "AS BIGINT) AS n_tokens, "
+        "CAST(SUM(len(text)) AS BIGINT) AS n_chars, "
+        "CAST(SUM(len(text)) AS DOUBLE) / COUNT(*) AS avg_chars "
+        "FROM documents GROUP BY source")
+
+
+def _decontaminate_sql(n: int = 5, mod: int = 97) -> str:
+    zips = ", ".join(["toks"] + [f"toks[{i}:]" for i in range(2, n + 1)])
+    gram = " || ' ' || ".join(f"struct_extract(z,{i})" for i in range(1, n + 1))
+    return (
+        f"WITH t AS (SELECT doc_id, {_TOKS_LIST_SQL} AS toks FROM documents), "
+        f"zz AS (SELECT doc_id, unnest(list_zip({zips})) AS z FROM t), "
+        f"g AS (SELECT DISTINCT doc_id, {gram} AS gram FROM zz "
+        f"WHERE struct_extract(z,{n}) IS NOT NULL), "
+        f"bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {mod} = 0), "
+        f"hits AS (SELECT g.doc_id, COUNT(bench.gram) AS nh FROM g "
+        f"LEFT JOIN bench USING (gram) WHERE g.doc_id % {mod} <> 0 "
+        "GROUP BY g.doc_id) "
+        "SELECT t.doc_id, CAST(COALESCE(hits.nh, 0) AS BIGINT) AS n_hit_grams, "
+        "CAST(CASE WHEN COALESCE(hits.nh, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) "
+        "AS contaminated "
+        "FROM t LEFT JOIN hits ON t.doc_id = hits.doc_id "
+        f"WHERE t.doc_id % {mod} <> 0")
 
 
 def _lang_sql() -> str:
@@ -666,6 +754,9 @@ def _training_oracles() -> dict[str, str]:
         "evaluate": _evaluate_sql(),
         "dedup_jaccard_ngram": oracle.jaccard_ngram_sql(threshold=0.8),
         "token_count": _token_count_sql(),
+        "repetition": _repetition_sql(),
+        "source_stats": _source_stats_sql(),
+        "decontaminate": _decontaminate_sql(n=5, mod=97),
         "fingerprint_winnow": oracle.winnow_sql(k=5, w=4),
         "dedup_minhash": oracle.minhash_pairs_sql(threshold=0.8),
         "dedup_simhash": oracle.simhash_pairs_sql(max_hamming=3),

@@ -208,3 +208,125 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
 
 def token_count(ds):
     return ds.map_batches(token_count_batch, batch_format="pyarrow")
+
+
+def _flat_tokens(batch: pa.Table, text_col: str = "text"):
+    """Vectorized batch tokenization: one RE2 split over the whole batch,
+    one C++ dictionary-encode to map tokens -> int ids.
+
+    Returns (seg, tok_id, n_vocab, n_docs): position-ordered segment id
+    (row index in the batch) and token id per non-empty token.
+    """
+    lower = pc.utf8_lower(batch.column(text_col))
+    lists = pc.split_pattern_regex(lower, "[^a-z0-9]+")
+    lens = pc.list_value_length(lists).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(lists)
+    seg = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    enc = pc.dictionary_encode(flat)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    tok = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = len(enc.dictionary)
+    return seg[keep], tok[keep], max(vocab, 1), len(batch)
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition signals (Rae et al. 2021, §A1.1, adapted to
+    unstructured text): per doc the duplicate-word fraction, the fraction
+    of word occurrences taken by the most frequent word, and the fraction
+    of word-bigram occurrences taken by the most frequent bigram.
+
+    Fully vectorized: one batch-wide RE2 split + dictionary encode, then
+    np.unique over (doc, token) / (doc, bigram) composite keys with
+    bincount / maximum.at segment reductions — no per-row Python.
+    """
+    seg, tok, V, n = _flat_tokens(batch)
+    n_tok = np.bincount(seg, minlength=n).astype(np.int64)
+
+    # words: composite key = seg * V + tok  (tok < V, so keys decode
+    # exactly; seg*V fits int64 for any batch this engine produces)
+    uk, cnt = np.unique(seg * np.int64(V) + tok, return_counts=True)
+    seg_of = uk // V
+    distinct = np.bincount(seg_of, minlength=n).astype(np.int64)
+    mx_word = np.zeros(n, dtype=np.int64)
+    np.maximum.at(mx_word, seg_of, cnt)
+
+    # bigrams: adjacent positions within one doc; two-level encode (pair
+    # id first, then seg composite) keeps every key < seg_max * V^2
+    adj = seg[:-1] == seg[1:] if len(seg) else np.zeros(0, dtype=bool)
+    a, b, bseg = tok[:-1][adj], tok[1:][adj], seg[:-1][adj]
+    n_bg = np.bincount(bseg, minlength=n).astype(np.int64)
+    _, pid = np.unique(a * np.int64(V) + b, return_inverse=True)
+    B = max(int(pid.max()) + 1 if len(pid) else 1, 1)
+    ubk, bcnt = np.unique(bseg * np.int64(B) + pid, return_counts=True)
+    mx_bg = np.zeros(n, dtype=np.int64)
+    np.maximum.at(mx_bg, ubk // B, bcnt)
+
+    safe = np.maximum(n_tok, 1)
+    safe_bg = np.maximum(n_bg, 1)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "dup_word_frac": pa.array(
+            np.where(n_tok > 0, (n_tok - distinct) / safe, 0.0), type=pa.float64()),
+        "top_word_frac": pa.array(
+            np.where(n_tok > 0, mx_word / safe, 0.0), type=pa.float64()),
+        "top_bigram_frac": pa.array(
+            np.where(n_bg > 0, mx_bg / safe_bg, 0.0), type=pa.float64()),
+    })
+
+
+def repetition(ds):
+    return ds.map_batches(repetition_batch, batch_format="pyarrow")
+
+
+def source_stats_partial_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch partial aggregate for per-source corpus stats: one row
+    per source seen in the batch with (n_docs, n_tokens, n_chars) sums.
+    The combine-before-shuffle half of the pre-aggregated groupby."""
+    enc = pc.dictionary_encode(batch.column("source"))
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    srcs = enc.dictionary.to_pylist()
+    lower = pc.utf8_lower(batch.column("text"))
+    n_tok = pc.count_substring_regex(lower, TOKEN_RE).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    n_chr = pc.utf8_length(batch.column("text")).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    k = len(srcs)
+    return pa.table({
+        "source": pa.array(srcs, type=pa.string()),
+        "n_docs": pa.array(np.bincount(idx, minlength=k), type=pa.int64()),
+        "n_tokens": pa.array(
+            np.bincount(idx, weights=n_tok, minlength=k).astype(np.int64),
+            type=pa.int64()),
+        "n_chars": pa.array(
+            np.bincount(idx, weights=n_chr, minlength=k).astype(np.int64),
+            type=pa.int64()),
+    })
+
+
+def source_stats(ds):
+    """Per-source (n_docs, n_tokens, n_chars, avg_chars): the standard
+    domain-level corpus curation summary. Partial sums are combined
+    inside map_batches so the groupby shuffles one row per (source,
+    batch), not one per document — the pre-aggregate-before-shuffle
+    shape that holds at 100 TB (shuffle volume = n_sources x n_blocks)."""
+    from ray.data.aggregate import Sum
+
+    part = ds.map_batches(source_stats_partial_batch, batch_format="pyarrow")
+    agg = part.groupby("source").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_tokens", alias_name="n_tokens"),
+        Sum("n_chars", alias_name="n_chars"),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        docs = b.column("n_docs").to_numpy(zero_copy_only=False).astype(np.int64)
+        chars = b.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "avg_chars", pa.array(chars / np.maximum(docs, 1), type=pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

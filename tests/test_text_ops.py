@@ -48,6 +48,55 @@ def test_token_count_unit():
     assert s["n_ws_tokens"].dtype == np.int64
 
 
+def test_repetition_unit():
+    from maskmypy_ray.text.quality import repetition_batch
+
+    t = _docs(a="the cat the cat the", b="a b c d", c="", d="x x x x")
+    r = repetition_batch(t).to_pandas()
+    # a: 5 tokens, 2 distinct -> dup 3/5, top "the" 3/5; bigrams
+    #    {the-cat:2, cat-the:2} -> top 2/4
+    assert r.loc[0, "dup_word_frac"] == 0.6
+    assert r.loc[0, "top_word_frac"] == 0.6
+    assert r.loc[0, "top_bigram_frac"] == 0.5
+    assert r.loc[1, "dup_word_frac"] == 0.0 and r.loc[1, "top_word_frac"] == 0.25
+    assert (r.loc[2, ["dup_word_frac", "top_word_frac", "top_bigram_frac"]] == 0).all()
+    assert r.loc[3, "top_word_frac"] == 1.0 and r.loc[3, "top_bigram_frac"] == 1.0
+
+
+def test_source_stats_partial_unit():
+    from maskmypy_ray.text.quality import source_stats_partial_batch
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["one two", "three", "four five six"]),
+        "source": pa.array(["s0", "s1", "s0"]),
+    })
+    s = source_stats_partial_batch(t).to_pandas().set_index("source")
+    assert s.loc["s0", "n_docs"] == 2 and s.loc["s0", "n_tokens"] == 5
+    assert s.loc["s1", "n_docs"] == 1 and s.loc["s1", "n_chars"] == 5
+
+
+def test_decontaminate_flags_benchmark_overlap(ray_session):
+    import ray.data
+
+    from maskmypy_ray.text.corpus import BENCH_MOD, decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        {"doc_id": 0, "text": bench_text},                      # benchmark (0 % 97 == 0)
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon somethingelse"},  # shares 5-gram
+        {"doc_id": 2, "text": "totally unrelated words here none shared"},
+        {"doc_id": 3, "text": "short doc"},                     # < 5 tokens: no grams
+    ]
+    assert 0 % BENCH_MOD == 0 and all(r["doc_id"] % BENCH_MOD != 0 for r in rows[1:])
+    out = decontaminate(ray.data.from_items(rows), n=5).to_pandas()
+    out = out.set_index("doc_id").sort_index()
+    assert list(out.index) == [1, 2, 3]  # benchmark doc excluded
+    assert out.loc[1, "contaminated"] == 1 and out.loc[1, "n_hit_grams"] == 1
+    assert out.loc[2, "contaminated"] == 0
+    assert out.loc[3, "n_hit_grams"] == 0
+
+
 def test_lang_id_unit():
     t = _docs(en="the cat and the dog", de="der hund und die katze",
               zh="这是中文文本", none="xyzzy qwerty")
