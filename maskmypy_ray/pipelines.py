@@ -587,6 +587,17 @@ def q_decontaminate(sf_dir: str):
     return decontaminate(_docs_ds(sf_dir), n=5)
 
 
+def q_dedup_semantic(sf_dir: str):
+    """SemDeDup: spherical-kmeans clusters + within-cluster greedy
+    cosine dedup (rows-only oracle — kmeans is iterative, not SQL;
+    the keep/drop invariant is pinned by pytest). Threshold 0.4 matches
+    the fixture's cosine range (the paper's ~0.95 would be vacuous on
+    synthetic gaussian-mixture embeddings whose max neighbor cos ~0.48)."""
+    from .sim.semdedup import semantic_dedup
+
+    return semantic_dedup(_emb_ds(sf_dir), threshold=0.4, nlist=16)
+
+
 def q_media_metadata(sf_dir: str):
     from .multimodal.media import media_metadata
 
@@ -623,6 +634,7 @@ QUERIES.update({
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
     "ann_pairs_lsh": q_ann_pairs_lsh,
+    "dedup_semantic": q_dedup_semantic,
     "media_metadata": q_media_metadata,
     "media_decode": q_media_decode,
 })

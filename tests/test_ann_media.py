@@ -143,3 +143,58 @@ def test_media_metadata_matches_blob(ray_session, sf_dir):
     for _, r in pages.iterrows():
         assert meta.loc[r["url"], "media_bytes"] == len(r["html"])
         assert meta.loc[r["url"], "media_md5"] == md5(r["html"]).hexdigest()
+
+
+def test_semantic_dedup_invariants(ray_session, sf_dir):
+    """SemDeDup keep/drop invariants: within a cluster, every dropped
+    vector has cos >= threshold to some kept lower-id vector, and kept
+    vectors are pairwise below threshold."""
+    import pyarrow.parquet as pq
+
+    from maskmypy_ray.sim.semdedup import semantic_dedup
+    import ray.data
+
+    thr = 0.4
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    out = semantic_dedup(ds, threshold=thr, nlist=8).to_pandas()
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    E = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    E /= np.linalg.norm(E, axis=1, keepdims=True)
+    pos = {v: i for i, v in enumerate(emb["vec_id"].to_numpy())}
+    assert out["vec_id"].is_unique and len(out) == len(emb)
+    assert out["kept"].sum() > 0 and (out["kept"] == 0).sum() > 0  # non-vacuous
+    for cl, g in out.groupby("cluster"):
+        g = g.sort_values("vec_id")
+        M = E[[pos[v] for v in g["vec_id"]]]
+        S = M @ M.T
+        kept = g["kept"].to_numpy().astype(bool)
+        for i in range(len(g)):
+            earlier = S[i, :i][kept[:i]]
+            if kept[i]:
+                assert not (earlier >= thr).any()
+            else:
+                assert (earlier >= thr).any()
+
+
+def test_semantic_dedup_single_cluster_matches_bruteforce(ray_session, sf_dir):
+    """nlist=1 reduces to the global greedy keep-first in vec_id order."""
+    import pyarrow.parquet as pq
+
+    from maskmypy_ray.sim.semdedup import semantic_dedup
+    import ray.data
+
+    thr = 0.42
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"])
+    out = semantic_dedup(ds, threshold=thr, nlist=1).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    E = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    E /= np.linalg.norm(E, axis=1, keepdims=True)
+    S = E @ E.T
+    kept = np.zeros(len(E), dtype=bool)
+    for i in range(len(E)):
+        kept[i] = not (S[i, :i][kept[:i]] >= thr).any()
+    assert (out["kept"].to_numpy().astype(bool) == kept).all()
