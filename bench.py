@@ -195,6 +195,24 @@ def bench_once(q0_only: bool = False) -> dict:
 
     queries["q4_embedding_pairs"] = timed(run_q4)
 
+    # q5: corpus-curation sweep (round-3 training-data ops): repetition
+    # signals + token counting + per-source stats + benchmark
+    # decontamination over the documents table
+    from maskmypy_ray.text.corpus import decontaminate
+    from maskmypy_ray.text.quality import repetition, source_stats, token_count
+
+    def run_q5():
+        docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                               columns=["doc_id", "text"])
+        repetition(docs).count()
+        token_count(docs).count()
+        src = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                              columns=["doc_id", "text", "source"])
+        source_stats(src).count()
+        decontaminate(docs, n=5).count()
+
+    queries["q5_curation"] = timed(run_q5)
+
     headline = queries["q0_fused_mask_k"]
     result = {
         "metric": "flagship_mask_verify_sec",

@@ -106,6 +106,9 @@ def displacement_map_data(ds, sample: int = 1000, seed: int = 0) -> dict:
 
     cols = ["doc_id", "x", "y", "mx", "my"]
     df = ds.select_columns(cols).map_batches(keep, batch_format="pyarrow").to_pandas()
+    # block arrival order is nondeterministic under load — the sampled
+    # SET is deterministic, so pin the row order too
+    df = df.sort_values("doc_id").reset_index(drop=True)
     segs = np.stack([df["x"], df["y"], df["mx"], df["my"]], axis=1)
     return {
         "segments": segs,  # (m, 4): x0, y0, x1, y1

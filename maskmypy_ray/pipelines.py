@@ -579,6 +579,14 @@ def q_source_stats(sf_dir: str):
     return source_stats(ds)
 
 
+def q_quality_filter(sf_dir: str):
+    """Fused single-pass curation decision: length + repetition +
+    stopword gates with a per-doc drop reason."""
+    from .text.quality import quality_filter
+
+    return quality_filter(_docs_ds(sf_dir))
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark n-gram decontamination: broadcast benchmark gram set,
     vectorized membership per batch (text/corpus.py)."""
@@ -625,6 +633,7 @@ QUERIES.update({
     "token_count": q_token_count,
     "repetition": q_repetition,
     "source_stats": q_source_stats,
+    "quality_filter": q_quality_filter,
     "decontaminate": q_decontaminate,
     "fingerprint_winnow": q_fingerprint_winnow,
     "dedup_minhash": q_dedup_minhash,
@@ -675,6 +684,30 @@ def _repetition_sql() -> str:
         "AS top_bigram_frac "
         "FROM t LEFT JOIN ws ON t.doc_id = ws.doc_id "
         "LEFT JOIN bgs ON t.doc_id = bgs.doc_id")
+
+
+def _quality_filter_sql(min_tokens: int = 10, max_top_word: float = 0.5,
+                        min_stop: float = 0.05) -> str:
+    tok = f"regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')"
+    stop = f"regexp_extract_all(lower(text), '{_STOP_RE_SQL}')"
+    ratio = ("CASE WHEN len(" + tok + ") > 0 THEN len(" + stop
+             + ") / CAST(greatest(len(" + tok + "), 1) AS DOUBLE) ELSE 0.0 END")
+    return (
+        f"WITH t AS (SELECT doc_id, {_TOKS_LIST_SQL} AS toks FROM documents), "
+        "w AS (SELECT doc_id, unnest(toks) AS tok FROM t), "
+        "wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM w GROUP BY doc_id, tok), "
+        "ws AS (SELECT doc_id, SUM(c) AS n, MAX(c) AS mxw FROM wc GROUP BY doc_id), "
+        f"s AS (SELECT doc_id, CAST(len({tok}) AS BIGINT) AS n, {ratio} AS r "
+        "FROM documents) "
+        "SELECT s.doc_id, "
+        f"CAST(CASE WHEN s.n >= {min_tokens} "
+        f"AND COALESCE(ws.mxw / CAST(ws.n AS DOUBLE), 0.0) < {max_top_word} "
+        f"AND s.r >= {min_stop} THEN 1 ELSE 0 END AS BIGINT) AS keep, "
+        f"CASE WHEN s.n < {min_tokens} THEN 'too_short' "
+        f"WHEN COALESCE(ws.mxw / CAST(ws.n AS DOUBLE), 0.0) >= {max_top_word} "
+        "THEN 'repetitive' "
+        f"WHEN s.r < {min_stop} THEN 'unnatural' ELSE 'kept' END AS reason "
+        "FROM s LEFT JOIN ws ON s.doc_id = ws.doc_id")
 
 
 def _source_stats_sql() -> str:
@@ -768,6 +801,7 @@ def _training_oracles() -> dict[str, str]:
         "token_count": _token_count_sql(),
         "repetition": _repetition_sql(),
         "source_stats": _source_stats_sql(),
+        "quality_filter": _quality_filter_sql(),
         "decontaminate": _decontaminate_sql(n=5, mod=97),
         "fingerprint_winnow": oracle.winnow_sql(k=5, w=4),
         "dedup_minhash": oracle.minhash_pairs_sql(threshold=0.8),

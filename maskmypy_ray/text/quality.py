@@ -308,6 +308,40 @@ def source_stats_partial_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def quality_filter_batch(batch: pa.Table, min_tokens: int = 10,
+                         max_top_word_frac: float = 0.5,
+                         min_stop_ratio: float = 0.05) -> pa.Table:
+    """Single-pass C4/Gopher-style curation decision: keep a doc iff it
+    has >= min_tokens tokens, its most frequent word takes < 50% of the
+    token stream (repetition gate), and its stopword ratio is >=
+    min_stop_ratio (natural-language gate). One fused batch pass over
+    the token-stats and repetition kernels — the decision a 100-TB
+    curation pipeline applies before anything expensive runs."""
+    stats = token_stats_batch(batch)
+    rep = repetition_batch(batch)
+    n = stats.column("n_tokens").to_numpy(zero_copy_only=False)
+    ratio = stats.column("stop_ratio").to_numpy(zero_copy_only=False)
+    topw = rep.column("top_word_frac").to_numpy(zero_copy_only=False)
+    keep = ((n >= min_tokens) & (topw < max_top_word_frac)
+            & (ratio >= min_stop_ratio))
+    reason = np.select(
+        [n < min_tokens, topw >= max_top_word_frac, ratio < min_stop_ratio],
+        ["too_short", "repetitive", "unnatural"], default="kept")
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "keep": pa.array(keep.astype(np.int64), type=pa.int64()),
+        "reason": pa.array(reason.astype(object), type=pa.string()),
+    })
+
+
+def quality_filter(ds, min_tokens: int = 10, max_top_word_frac: float = 0.5,
+                   min_stop_ratio: float = 0.05):
+    return ds.map_batches(
+        lambda b: quality_filter_batch(b, min_tokens, max_top_word_frac,
+                                       min_stop_ratio),
+        batch_format="pyarrow")
+
+
 def source_stats(ds):
     """Per-source (n_docs, n_tokens, n_chars, avg_chars): the standard
     domain-level corpus curation summary. Partial sums are combined

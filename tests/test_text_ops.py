@@ -63,6 +63,22 @@ def test_repetition_unit():
     assert r.loc[3, "top_word_frac"] == 1.0 and r.loc[3, "top_bigram_frac"] == 1.0
 
 
+def test_quality_filter_unit():
+    from maskmypy_ray.text.quality import quality_filter_batch
+
+    t = _docs(
+        kept="the cat and the dog went to the park and sat of to a and the",
+        short="tiny doc",
+        repetitive=" ".join(["spam"] * 12 + ["the and of to a"]),
+        unnatural="alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    )
+    r = quality_filter_batch(t).to_pandas().set_index("doc_id")
+    assert r.loc[0, "keep"] == 1 and r.loc[0, "reason"] == "kept"
+    assert r.loc[1, "keep"] == 0 and r.loc[1, "reason"] == "too_short"
+    assert r.loc[2, "keep"] == 0 and r.loc[2, "reason"] == "repetitive"
+    assert r.loc[3, "keep"] == 0 and r.loc[3, "reason"] == "unnatural"
+
+
 def test_source_stats_partial_unit():
     from maskmypy_ray.text.quality import source_stats_partial_batch
 
