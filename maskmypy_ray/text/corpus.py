@@ -8,10 +8,14 @@ never a shuffle join. The benchmark gram set is compiled in a Ray task
 from the filtered dataset's block refs (driver never holds the text) and
 shipped once via the object store.
 
-Gram hashing uses 64-bit truncated md5 (collision probability over a
-``|corpus grams| x |benchmark grams|`` membership test is ~1e-8 at
-billions of grams — the oracle compares exact strings, so any collision
-would surface as a hash mismatch in CORRECTNESS).
+Gram hashing is fully vectorized: one batch-wide RE2 split +
+dictionary-encode, md5 only per DISTINCT token (content-based, so hashes
+agree across batches and across the compile/flag stages), then one
+fixed-position uint64 mix over sliding windows — no per-gram Python.
+Collision probability over a ``|corpus grams| x |benchmark grams|``
+membership test is ~1e-8 at billions of grams; the oracle compares exact
+strings, so any collision would surface as a hash mismatch in
+CORRECTNESS.
 """
 
 from __future__ import annotations
@@ -21,83 +25,130 @@ from hashlib import md5
 import numpy as np
 import pyarrow as pa
 
-from .dedup import TOKEN_RE
-
 BENCH_MOD = 97  # doc_id % BENCH_MOD == 0 -> benchmark member (fixture rule)
 
+# odd 64-bit position multipliers + splitmix64 finalizer constants
+_POS_MULT = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                      0x165667B19E3779F9, 0x27D4EB2F165667C5,
+                      0x9E3779B97F4A7C55], dtype=np.uint64)
 
-def _gram_hashes64(text: str, n: int) -> np.ndarray:
-    """Distinct 64-bit hashes of the full word n-grams of ``text``
-    (strict: documents shorter than ``n`` tokens contribute none —
-    mirrors the SQL oracle's zip-based gram generation)."""
-    toks = TOKEN_RE.findall(text.lower())
-    if len(toks) < n:
-        return np.empty(0, dtype=np.uint64)
-    grams = (" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1))
-    return np.unique(np.frombuffer(
-        b"".join(md5(g.encode()).digest()[:8] for g in grams), dtype=np.uint64))
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64-style avalanche finalizer (vectorized, wraps mod 2^64)."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _batch_gram_hashes(batch: pa.Table, n: int,
+                       text_col: str = "text"):
+    """(seg, gram_hash) for every full word n-gram in the batch, position
+    ordered, duplicates included. Vectorized: tokens are dictionary-
+    encoded once, md5 runs per DISTINCT token, and each window hash is a
+    position-weighted uint64 mix of its token hashes."""
+    from .quality import _flat_tokens
+
+    assert n <= len(_POS_MULT), f"n > {len(_POS_MULT)} needs more multipliers"
+    seg, tok, vocab, nrows = _flat_tokens(batch, text_col)
+    if len(tok) < n:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64),
+                nrows)
+    # content-based hash per DISTINCT token (md5 runs |vocab| times, not
+    # |tokens| times; hashes agree across batches because they depend
+    # only on the token string)
+    words = vocab.to_pylist()
+    th_vocab = np.frombuffer(
+        b"".join(md5(w.encode()).digest()[:8] for w in words),
+        dtype=np.uint64)
+    th = th_vocab[tok]
+    # sliding windows: h = mix64(xor_i(th[pos+i] * POS_MULT[i]))
+    m = len(th) - n + 1
+    acc = th[:m] * _POS_MULT[0]
+    for i in range(1, n):
+        acc = acc ^ (th[i:m + i] * _POS_MULT[i])
+    g = _mix64(acc)
+    valid = seg[:m] == seg[n - 1:]
+    return seg[:m][valid], g[valid], nrows
+
+
+def _distinct_per_seg(seg: np.ndarray, g: np.ndarray):
+    """Drop duplicate (seg, gram) pairs; returns (seg, gram) sorted."""
+    if not len(seg):
+        return seg, g
+    order = np.lexsort((g, seg))
+    ss, gs = seg[order], g[order]
+    first = np.ones(len(ss), dtype=bool)
+    first[1:] = (gs[1:] != gs[:-1]) | (ss[1:] != ss[:-1])
+    return ss[first], gs[first]
 
 
 def _benchmark_grams_ref(ds, n: int):
-    """Union of the benchmark docs' gram hashes, compiled off-driver
-    (same block-refs-into-a-task pattern as sim.ann's broadcast matrix)."""
+    """Union of the benchmark docs' gram hashes. The heavy part (filter +
+    tokenize + hash) runs as a parallel Dataset stage; only the tiny
+    per-block distinct hash arrays reach the single union task, whose
+    result stays in the object store (driver never holds the text)."""
     import ray
 
+    def bench_hashes(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = ids % BENCH_MOD == 0
+        if not mask.any():
+            return pa.table({"g": pa.array([], type=pa.uint64())})
+        _, g, _ = _batch_gram_hashes(b.filter(pa.array(mask)), n)
+        return pa.table({"g": pa.array(np.unique(g), type=pa.uint64())})
+
+    hashed = ds.select_columns(["doc_id", "text"]).map_batches(
+        bench_hashes, batch_format="pyarrow")
+
     @ray.remote(num_cpus=1)
-    def compile_task(*blocks):
-        sets = []
-        for b in blocks:
-            tbl = b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
-            ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
-            texts = tbl.column("text").to_pylist()
-            for d, t in zip(ids, texts):
-                if d % BENCH_MOD == 0:
-                    sets.append(_gram_hashes64(t, n))
-        if not sets:
+    def union(*blocks):
+        arrs = [
+            (b if isinstance(b, pa.Table) else pa.Table.from_pandas(b))
+            .column("g").to_numpy(zero_copy_only=False)
+            for b in blocks]
+        arrs = [a for a in arrs if len(a)]
+        if not arrs:
             return np.empty(0, dtype=np.uint64)
-        return np.unique(np.concatenate(sets))
+        return np.unique(np.concatenate(arrs))
 
-    refs = ds.select_columns(["doc_id", "text"]).to_arrow_refs()
-    return compile_task.remote(*refs)
+    return union.remote(*hashed.to_arrow_refs())
 
 
-class Decontaminator:
-    """Actor-pool stage: flags non-benchmark docs sharing any full word
-    n-gram with the broadcast benchmark set. The (sorted) benchmark hash
-    array is fetched once per actor in ``__init__``; each batch is one
-    vectorized ``np.isin`` against it."""
-
-    def __init__(self, bench_ref, n: int):
-        import ray
-
-        self.bench = ray.get(bench_ref)
-        self.n = n
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        texts = batch.column("text").to_pylist()
-        keep = ids % BENCH_MOD != 0
-        out_id, out_hits = [], []
-        for d, t in zip(ids[keep], [x for x, k in zip(texts, keep) if k]):
-            g = _gram_hashes64(t, self.n)
-            out_id.append(d)
-            out_hits.append(int(np.isin(g, self.bench, assume_unique=True).sum())
-                            if len(g) else 0)
-        hits = np.asarray(out_hits, dtype=np.int64)
-        return pa.table({
-            "doc_id": pa.array(np.asarray(out_id, dtype=np.int64), type=pa.int64()),
-            "n_hit_grams": pa.array(hits, type=pa.int64()),
-            "contaminated": pa.array((hits > 0).astype(np.int64), type=pa.int64()),
-        })
+def flag_batch(batch: pa.Table, bench: np.ndarray, n: int) -> pa.Table:
+    """Per-batch contamination flags: one vectorized gram-hash pass, one
+    ``np.isin`` against the broadcast benchmark set, one bincount."""
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    seg, g, nrows = _batch_gram_hashes(batch, n)
+    dseg, dg = _distinct_per_seg(seg, g)
+    hit = np.isin(dg, bench, assume_unique=False)
+    hits_per_row = np.bincount(dseg[hit], minlength=nrows).astype(np.int64)
+    keep = ids % BENCH_MOD != 0
+    hits = hits_per_row[keep]
+    return pa.table({
+        "doc_id": pa.array(ids[keep], type=pa.int64()),
+        "n_hit_grams": pa.array(hits, type=pa.int64()),
+        "contaminated": pa.array((hits > 0).astype(np.int64), type=pa.int64()),
+    })
 
 
 def decontaminate(ds, n: int = 5):
     """(doc_id, n_hit_grams, contaminated) for every NON-benchmark doc:
     the count of its distinct word n-grams that also occur anywhere in
-    the benchmark slice (doc_id % 97 == 0)."""
-    from ..util import auto_concurrency
+    the benchmark slice (doc_id % 97 == 0).
+
+    Task-pool stage, not an actor pool: the only per-task state is one
+    ``ray.get`` of the broadcast hash array — a zero-copy shared-memory
+    read — so plain tasks reach full parallelism instantly instead of
+    paying actor-pool ramp-up (measured 2x on a 2 s job)."""
+    import ray
 
     bench_ref = _benchmark_grams_ref(ds, n)
-    return ds.map_batches(Decontaminator, batch_format="pyarrow",
-                          concurrency=auto_concurrency(),
-                          fn_constructor_args=(bench_ref, n))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        return flag_batch(batch, ray.get(bench_ref), n)
+
+    return ds.map_batches(flag, batch_format="pyarrow")

@@ -214,8 +214,10 @@ def _flat_tokens(batch: pa.Table, text_col: str = "text"):
     """Vectorized batch tokenization: one RE2 split over the whole batch,
     one C++ dictionary-encode to map tokens -> int ids.
 
-    Returns (seg, tok_id, n_vocab, n_docs): position-ordered segment id
-    (row index in the batch) and token id per non-empty token.
+    Returns (seg, tok_id, vocab, n_docs): position-ordered segment id
+    (row index in the batch) and token id per non-empty token; ``vocab``
+    is the dictionary (pa.Array of distinct token strings, indexable by
+    tok_id).
     """
     lower = pc.utf8_lower(batch.column(text_col))
     lists = pc.split_pattern_regex(lower, "[^a-z0-9]+")
@@ -228,8 +230,7 @@ def _flat_tokens(batch: pa.Table, text_col: str = "text"):
     if isinstance(enc, pa.ChunkedArray):
         enc = enc.combine_chunks()
     tok = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    vocab = len(enc.dictionary)
-    return seg[keep], tok[keep], max(vocab, 1), len(batch)
+    return seg[keep], tok[keep], enc.dictionary, len(batch)
 
 
 def repetition_batch(batch: pa.Table) -> pa.Table:
@@ -242,7 +243,8 @@ def repetition_batch(batch: pa.Table) -> pa.Table:
     np.unique over (doc, token) / (doc, bigram) composite keys with
     bincount / maximum.at segment reductions — no per-row Python.
     """
-    seg, tok, V, n = _flat_tokens(batch)
+    seg, tok, vocab, n = _flat_tokens(batch)
+    V = max(len(vocab), 1)
     n_tok = np.bincount(seg, minlength=n).astype(np.int64)
 
     # words: composite key = seg * V + tok  (tok < V, so keys decode
