@@ -579,6 +579,27 @@ def q_source_stats(sf_dir: str):
     return source_stats(ds)
 
 
+def q_ngram_topk(sf_dir: str):
+    """Corpus-wide top-20 word bigrams: partial counts per batch, one
+    groupby sum, deterministic (count desc, gram asc) top-k."""
+    from .text.quality import ngram_topk
+
+    return ngram_topk(_docs_ds(sf_dir), k=20)
+
+
+def q_sample_mix(sf_dir: str):
+    """Stratified data-mix sampling: counter-RNG keyed on doc_id vs a
+    per-source keep fraction — deterministic at any parallelism, and the
+    RNG mirrors into SQL so the oracle is bit-exact."""
+    import ray.data
+
+    from .text.corpus import stratified_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source"])
+    return stratified_sample(ds, seed=SEED)
+
+
 def q_quality_filter(sf_dir: str):
     """Fused single-pass curation decision: length + repetition +
     stopword gates with a per-doc drop reason."""
@@ -634,6 +655,8 @@ QUERIES.update({
     "repetition": q_repetition,
     "source_stats": q_source_stats,
     "quality_filter": q_quality_filter,
+    "ngram_topk": q_ngram_topk,
+    "sample_mix": q_sample_mix,
     "decontaminate": q_decontaminate,
     "fingerprint_winnow": q_fingerprint_winnow,
     "dedup_minhash": q_dedup_minhash,
@@ -708,6 +731,26 @@ def _quality_filter_sql(min_tokens: int = 10, max_top_word: float = 0.5,
         "THEN 'repetitive' "
         f"WHEN s.r < {min_stop} THEN 'unnatural' ELSE 'kept' END AS reason "
         "FROM s LEFT JOIN ws ON s.doc_id = ws.doc_id")
+
+
+def _ngram_topk_sql(k: int = 20) -> str:
+    return (
+        f"WITH t AS (SELECT doc_id, {_TOKS_LIST_SQL} AS toks FROM documents), "
+        "zz AS (SELECT doc_id, unnest(list_zip(toks, toks[2:])) AS z FROM t), "
+        "bg AS (SELECT struct_extract(z,1) || ' ' || struct_extract(z,2) AS gram "
+        "FROM zz WHERE struct_extract(z,2) IS NOT NULL) "
+        "SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY gram "
+        f"ORDER BY n DESC, gram ASC LIMIT {k}")
+
+
+def _sample_mix_sql(seed: int) -> str:
+    from .rng import sql_uniform01
+    from .text.corpus import SAMPLE_STREAM
+
+    u = sql_uniform01("doc_id", seed, SAMPLE_STREAM)
+    frac = ("(1 + CAST(regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT) % 4) "
+            "/ 5.0")
+    return (f"SELECT doc_id, source FROM documents WHERE {u} < {frac}")
 
 
 def _source_stats_sql() -> str:
@@ -802,6 +845,8 @@ def _training_oracles() -> dict[str, str]:
         "repetition": _repetition_sql(),
         "source_stats": _source_stats_sql(),
         "quality_filter": _quality_filter_sql(),
+        "ngram_topk": _ngram_topk_sql(k=20),
+        "sample_mix": _sample_mix_sql(SEED),
         "decontaminate": _decontaminate_sql(n=5, mod=97),
         "fingerprint_winnow": oracle.winnow_sql(k=5, w=4),
         "dedup_minhash": oracle.minhash_pairs_sql(threshold=0.8),

@@ -34,7 +34,10 @@ Stream index registry (keep in sync with oracle.py):
  64+  containment rejection round r uses 64+4r .. 67+4r
       (hyp, x-frac, direction, Box-Muller v)
  200  road-graph node x-jitter; 201 y-jitter; 202 edge drop
- 300+ Ripley CSR simulation s uses 300+2s / 301+2s (s < ~4800)
+ 900  displacement-map plot sampling (analysis/plots.py)
+ 910  stratified data-mix sampling (text/corpus.py)
+ 300+ Ripley CSR simulation s uses 300+2s / 301+2s (s < ~300; streams
+      900-910 are reserved above that, i.e. simulations <= 299)
 10000 ANN random hyperplanes u; 10001 v (kept clear of the Ripley range)
 ====  =======================================================
 """

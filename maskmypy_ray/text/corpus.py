@@ -118,6 +118,45 @@ def _benchmark_grams_ref(ds, n: int):
     return union.remote(*hashed.to_arrow_refs())
 
 
+SAMPLE_STREAM = 910  # rng stream registry: stratified data-mix sampling
+
+
+def _source_frac(num: np.ndarray) -> np.ndarray:
+    """Per-source keep fraction from the source's numeric suffix:
+    (1 + num % 4) / 5 -> 0.2 / 0.4 / 0.6 / 0.8 (a fixed data-mixing
+    recipe, mirrored exactly in the SQL oracle)."""
+    return (1 + num % 4) / 5.0
+
+
+def stratified_sample_batch(batch: pa.Table, seed: int) -> pa.Table:
+    """Keep each row iff its counter-RNG draw (keyed on doc_id, stream
+    910) falls below its source's mix fraction — deterministic at any
+    parallelism, no coordination, the standard hash-sampling shape for
+    training-data mixing."""
+    import pyarrow.compute as pc
+
+    from ..rng import uniform01
+
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    enc = pc.dictionary_encode(batch.column("source"))
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    nums = np.array([int("".join(ch for ch in s if ch.isdigit()) or 0)
+                     for s in enc.dictionary.to_pylist()], dtype=np.int64)
+    frac = _source_frac(nums)[idx]
+    u = uniform01(ids, seed, SAMPLE_STREAM)
+    return batch.filter(pa.array(u < frac))
+
+
+def stratified_sample(ds, seed: int = 42):
+    """Dataset of the kept (doc_id, source) rows under the per-source
+    mix fractions."""
+    return ds.map_batches(lambda b: stratified_sample_batch(b, seed),
+                          batch_format="pyarrow") \
+        .select_columns(["doc_id", "source"])
+
+
 def flag_batch(batch: pa.Table, bench: np.ndarray, n: int) -> pa.Table:
     """Per-batch contamination flags: one vectorized gram-hash pass, one
     ``np.isin`` against the broadcast benchmark set, one bincount."""

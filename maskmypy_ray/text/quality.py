@@ -310,6 +310,39 @@ def source_stats_partial_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def bigram_counts_partial_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch partial word-bigram counts: one row per DISTINCT bigram
+    in the batch (the combine-before-shuffle half of the corpus n-gram
+    count; shuffle volume = distinct grams per block, not occurrences)."""
+    seg, tok, vocab, _ = _flat_tokens(batch)
+    adj = seg[:-1] == seg[1:] if len(seg) else np.zeros(0, dtype=bool)
+    a, b = tok[:-1][adj], tok[1:][adj]
+    if not len(a):
+        return pa.table({"gram": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    V = max(len(vocab), 1)
+    up, cnt = np.unique(a * np.int64(V) + b, return_counts=True)
+    wa = pc.take(vocab, pa.array(up // V, type=pa.int64()))
+    wb = pc.take(vocab, pa.array(up % V, type=pa.int64()))
+    return pa.table({
+        "gram": pc.binary_join_element_wise(wa, wb, " "),
+        "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+    })
+
+
+def ngram_topk(ds, k: int = 20):
+    """Corpus-wide top-k word bigrams by total count (the classic
+    n-gram-statistics job): per-batch partial counts -> one
+    ``groupby(gram)`` sum -> global sort by (count desc, gram asc) ->
+    limit k. Ties at the k boundary break on the gram string, so the
+    result set is deterministic at any parallelism."""
+    from ray.data.aggregate import Sum
+
+    part = ds.map_batches(bigram_counts_partial_batch, batch_format="pyarrow")
+    agg = part.groupby("gram").aggregate(Sum("n", alias_name="n"))
+    return agg.sort(["n", "gram"], descending=[True, False]).limit(k)
+
+
 def quality_filter_batch(batch: pa.Table, min_tokens: int = 10,
                          max_top_word_frac: float = 0.5,
                          min_stop_ratio: float = 0.05) -> pa.Table:

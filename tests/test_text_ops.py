@@ -92,6 +92,36 @@ def test_source_stats_partial_unit():
     assert s.loc["s1", "n_docs"] == 1 and s.loc["s1", "n_chars"] == 5
 
 
+def test_bigram_counts_partial_unit():
+    from maskmypy_ray.text.quality import bigram_counts_partial_batch
+
+    t = _docs(a="x y x y z", b="x y", c="")
+    out = bigram_counts_partial_batch(t).to_pandas().set_index("gram")["n"]
+    # batch-wide partials: "x y" appears 2x in a + 1x in b
+    assert out["x y"] == 3 and out["y x"] == 1 and out["y z"] == 1
+
+
+def test_stratified_sample_matches_rng(ray_session, sf_dir):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from maskmypy_ray.rng import uniform01
+    from maskmypy_ray.text.corpus import SAMPLE_STREAM, _source_frac, \
+        stratified_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source"])
+    got = stratified_sample(ds, seed=7).to_pandas().sort_values("doc_id")
+    ref = pq.read_table(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "source"]).to_pandas()
+    nums = ref["source"].str.extract(r"(\d+)")[0].astype(int).to_numpy()
+    keep = uniform01(ref["doc_id"].to_numpy(), 7, SAMPLE_STREAM) \
+        < _source_frac(nums)
+    expected = ref[keep].sort_values("doc_id")
+    assert got["doc_id"].tolist() == expected["doc_id"].tolist()
+    assert 0 < len(got) < len(ref)
+
+
 def test_decontaminate_flags_benchmark_overlap(ray_session):
     import ray.data
 
