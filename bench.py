@@ -196,19 +196,27 @@ def bench_once(q0_only: bool = False) -> dict:
     queries["q4_embedding_pairs"] = timed(run_q4)
 
     # q5: corpus-curation sweep (round-3 training-data ops): repetition
-    # signals + token counting + per-source stats + benchmark
+    # signals + token counting + quality filter + bigram top-k +
+    # per-source stats + stratified mix sampling + benchmark
     # decontamination over the documents table
-    from maskmypy_ray.text.corpus import decontaminate
-    from maskmypy_ray.text.quality import repetition, source_stats, token_count
+    from maskmypy_ray.text.corpus import decontaminate, stratified_sample
+    from maskmypy_ray.text.quality import (ngram_topk, quality_filter,
+                                           repetition, source_stats,
+                                           token_count)
 
     def run_q5():
         docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
                                columns=["doc_id", "text"])
         repetition(docs).count()
         token_count(docs).count()
+        quality_filter(docs).count()
+        ngram_topk(docs, k=20).count()
         src = rd.read_parquet(f"{SF_DIR}/documents.parquet",
                               columns=["doc_id", "text", "source"])
         source_stats(src).count()
+        stratified_sample(
+            rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                            columns=["doc_id", "source"])).count()
         decontaminate(docs, n=5).count()
 
     queries["q5_curation"] = timed(run_q5)
