@@ -600,6 +600,14 @@ def q_sample_mix(sf_dir: str):
     return stratified_sample(ds, seed=SEED)
 
 
+def q_dedup_spans(sf_dir: str):
+    """Substring-level dedup signal (Lee et al. 2022 ExactSubstr,
+    fixed-k variant): word 15-grams occurring in >= 2 distinct docs."""
+    from .text.dedup import duplicated_spans
+
+    return duplicated_spans(_docs_ds(sf_dir), k=15)
+
+
 def q_quality_filter(sf_dir: str):
     """Fused single-pass curation decision: length + repetition +
     stopword gates with a per-doc drop reason."""
@@ -657,6 +665,7 @@ QUERIES.update({
     "quality_filter": q_quality_filter,
     "ngram_topk": q_ngram_topk,
     "sample_mix": q_sample_mix,
+    "dedup_spans": q_dedup_spans,
     "decontaminate": q_decontaminate,
     "fingerprint_winnow": q_fingerprint_winnow,
     "dedup_minhash": q_dedup_minhash,
@@ -731,6 +740,20 @@ def _quality_filter_sql(min_tokens: int = 10, max_top_word: float = 0.5,
         "THEN 'repetitive' "
         f"WHEN s.r < {min_stop} THEN 'unnatural' ELSE 'kept' END AS reason "
         "FROM s LEFT JOIN ws ON s.doc_id = ws.doc_id")
+
+
+def _dedup_spans_sql(k: int = 15) -> str:
+    return (
+        "WITH tl AS (SELECT doc_id, "
+        f"regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS l FROM documents), "
+        "gr AS (SELECT DISTINCT tl.doc_id, "
+        f"CAST(md5_number_upper(array_to_string(l[t.i:t.i + {k - 1}], ' ')) "
+        "& 4294967295 AS BIGINT) AS gram_hash "
+        "FROM tl, unnest(generate_series(1, "
+        f"CASE WHEN len(l) < {k} THEN 0 ELSE len(l) - {k - 1} END)) AS t(i)) "
+        "SELECT gram_hash, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "MIN(doc_id) AS first_doc "
+        "FROM gr GROUP BY gram_hash HAVING COUNT(*) >= 2")
 
 
 def _ngram_topk_sql(k: int = 20) -> str:
@@ -847,6 +870,7 @@ def _training_oracles() -> dict[str, str]:
         "quality_filter": _quality_filter_sql(),
         "ngram_topk": _ngram_topk_sql(k=20),
         "sample_mix": _sample_mix_sql(SEED),
+        "dedup_spans": _dedup_spans_sql(k=15),
         "decontaminate": _decontaminate_sql(n=5, mod=97),
         "fingerprint_winnow": oracle.winnow_sql(k=5, w=4),
         "dedup_minhash": oracle.minhash_pairs_sql(threshold=0.8),

@@ -429,6 +429,62 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text"):
 
 
 # ---------------------------------------------------------------------------
+# substring (duplicated-span) dedup — Lee et al. 2022, arXiv:2107.06499
+# ---------------------------------------------------------------------------
+
+
+def span_hashes_batch(batch: pa.Table, k: int = 15,
+                      text_col: str = "text") -> pa.Table:
+    """Distinct positional word-k-gram hashes per doc (md5[:4] little —
+    the same 32-bit convention as the winnow/minhash grams, so DuckDB's
+    ``md5_number_upper(g) & 0xFFFFFFFF`` mirrors it bit-for-bit). Docs
+    shorter than ``k`` tokens contribute no spans."""
+    from hashlib import md5 as _md5
+
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = batch.column(text_col).to_pylist()
+    out_doc, out_hash = [], []
+    for d, t in zip(doc_ids, texts):
+        toks = TOKEN_RE.findall(t.lower())
+        if len(toks) < k:
+            continue
+        hs = np.unique(np.array(
+            [int.from_bytes(_md5(" ".join(toks[i:i + k]).encode())
+                            .digest()[:4], "little")
+             for i in range(len(toks) - k + 1)], dtype=np.int64))
+        out_doc.append(np.full(len(hs), d, dtype=np.int64))
+        out_hash.append(hs)
+    if not out_doc:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "gram_hash": pa.array([], type=pa.int64())})
+    return pa.table({
+        "doc_id": pa.array(np.concatenate(out_doc), type=pa.int64()),
+        "gram_hash": pa.array(np.concatenate(out_hash), type=pa.int64()),
+    })
+
+
+def duplicated_spans(ds, k: int = 15, text_col: str = "text"):
+    """Exact substring-level dedup signal: every word k-gram that occurs
+    in >= 2 distinct documents, with its document count and the lowest
+    containing doc_id. One explode + one ``groupby(gram_hash)`` — the
+    suffix-array-free approximation of Lee et al.'s ExactSubstr (fixed
+    span length k instead of maximal matches; at 100 TB the explode
+    shuffles ~tokens-per-doc rows/doc, the same order as the MinHash
+    band explode)."""
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Count, Min
+
+    grams = ds.map_batches(lambda b: span_hashes_batch(b, k, text_col),
+                           batch_format="pyarrow")
+    agg = grams.groupby("gram_hash").aggregate(
+        Count("doc_id", alias_name="n_docs"),
+        Min("doc_id", alias_name="first_doc"))
+    return agg.map_batches(
+        lambda b: b.filter(_pc.greater_equal(b.column("n_docs"), 2)),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # near-dup corpus helper (mutated copies for recall tests / demos)
 # ---------------------------------------------------------------------------
 

@@ -92,6 +92,25 @@ def test_source_stats_partial_unit():
     assert s.loc["s1", "n_docs"] == 1 and s.loc["s1", "n_chars"] == 5
 
 
+def test_duplicated_spans_unit(ray_session):
+    import ray.data
+
+    from maskmypy_ray.text.dedup import duplicated_spans
+
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        {"doc_id": 0, "text": shared + " alpha beta"},
+        {"doc_id": 1, "text": "prefix words here " + shared},
+        {"doc_id": 2, "text": "completely different content with many words "
+                              "that do not repeat anything at all truly"},
+        {"doc_id": 3, "text": "short"},
+    ]
+    out = duplicated_spans(ray.data.from_items(rows), k=10).to_pandas()
+    # exactly the shared 10-gram (one positional window in each doc)
+    assert len(out) == 1
+    assert out.iloc[0]["n_docs"] == 2 and out.iloc[0]["first_doc"] == 0
+
+
 def test_bigram_counts_partial_unit():
     from maskmypy_ray.text.quality import bigram_counts_partial_batch
 
