@@ -1109,10 +1109,21 @@ def q_range_join(sf_dir: str):
     return range_join_parts(ev, part)
 
 
+def q_sessionize(sf_dir: str):
+    import ray.data
+
+    from .stages.events import sessionize
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+    return sessionize(ev)
+
+
 QUERIES.update({
     "tumbling_window": q_tumbling_window,
     "asof_join": q_asof_join,
     "range_join": q_range_join,
+    "sessionize": q_sessionize,
 })
 
 
@@ -1133,6 +1144,13 @@ def _events_oracles() -> dict[str, str]:
             "WHERE p.p_retailprice >= 900.0 + e.value / 5.0 - 10.0 "
             "AND p.p_retailprice <= 900.0 + e.value / 5.0 + 10.0) AS BIGINT) "
             "AS n_parts FROM events e"),
+        "sessionize": (
+            "SELECT event_id, user_id, CAST(SUM(CASE WHEN prev IS NOT NULL "
+            "AND epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq "
+            "FROM (SELECT event_id, user_id, ts, lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)"),
     }
 
 

@@ -69,6 +69,32 @@ def tumbling_window(events_ds, window_us: int = WINDOW_US):
         batch_format="pyarrow")
 
 
+SESSION_GAP_US = 1_800_000_000  # 30 minutes
+
+
+def sessionize(events_ds, gap_us: int = SESSION_GAP_US):
+    """Gap-based sessionization: per user, events sorted by
+    (ts, event_id) belong to the same session until a gap > ``gap_us``
+    opens a new one; ``session_seq`` is the 0-based session index within
+    the user. ONE shuffle (groupby user_id); the per-group kernel is a
+    vectorized diff + cumsum. Mirrored exactly by the SQL lag/sum window
+    oracle."""
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="stable")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new = np.zeros(len(g), dtype=np.int64)
+        if len(ts) > 1:
+            new[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "user_id": g["user_id"].to_numpy(),
+            "session_seq": np.cumsum(new),
+        })
+
+    return events_ds.select_columns(["event_id", "user_id", "ts"]) \
+        .groupby("user_id").map_groups(assign, batch_format="pandas")
+
+
 def compile_orders_asof(orders_table: pa.Table):
     """Composite-key arrays for a fully vectorized as-of lookup
     (VERDICT r02 #5 — replaces the per-event Python searchsorted loop).

@@ -114,3 +114,23 @@ def test_summarize_column_distributed_median(ray_session, monkeypatch):
     s = aggregates.summarize_column(ds, "v")
     assert s["median"] == float(np.median(v))
     assert s["count"] == 4001
+
+
+def test_sessionize_unit(ray_session):
+    import ray.data
+
+    from maskmypy_ray.stages.events import sessionize
+
+    m = 60_000_000  # one minute in us
+    ts = pa.array(np.array([0, 10 * m, 50 * m, 55 * m, 0, 40 * m],
+                           dtype="datetime64[us]"))
+    ev = pa.table({
+        "event_id": pa.array([0, 1, 2, 3, 4, 5], type=pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, 2, 2], type=pa.int64()),
+        "ts": ts,
+    })
+    out = sessionize(ray.data.from_arrow(ev), gap_us=30 * m).to_pandas() \
+        .sort_values("event_id")
+    # user 1: 0,10 (session 0), 50,55 (gap 40 min -> session 1)
+    # user 2: 0 (session 0), 40 (gap 40 min -> session 1)
+    assert out["session_seq"].tolist() == [0, 0, 1, 1, 0, 1]
