@@ -771,8 +771,11 @@ def _sample_mix_sql(seed: int) -> str:
     from .text.corpus import SAMPLE_STREAM
 
     u = sql_uniform01("doc_id", seed, SAMPLE_STREAM)
-    frac = ("(1 + CAST(regexp_replace(source, '[^0-9]', '', 'g') AS BIGINT) % 4) "
-            "/ 5.0")
+    # NULLIF/COALESCE: a digitless source parses to 0 on both sides
+    # (engine: int('' or 0); bare CAST('' AS BIGINT) would error)
+    frac = ("(1 + CAST(COALESCE(NULLIF("
+            "regexp_replace(source, '[^0-9]', '', 'g'), ''), '0') AS BIGINT) "
+            "% 4) / 5.0")
     return (f"SELECT doc_id, source FROM documents WHERE {u} < {frac}")
 
 
