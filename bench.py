@@ -221,6 +221,28 @@ def bench_once(q0_only: bool = False) -> dict:
 
     queries["q5_curation"] = timed(run_q5)
 
+    # q6: PII masking + chunk-level dedup + exact distributed quantiles
+    # (round-3 additions): one RE2 scan-and-replace pass over the corpus,
+    # the 2-shuffle chunk dedup reassembly, and the multi-rank
+    # histogram-descent quantiles over lineitem (4 scans total for 5
+    # quantiles).
+    from maskmypy_ray.analysis.aggregates import exact_quantiles_distributed
+    from maskmypy_ray.text.chunks import chunk_dedup
+    from maskmypy_ray.text.pii import pii_redact
+
+    def run_q6():
+        docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                               columns=["doc_id", "text"])
+        pii_redact(docs).count()
+        chunk_dedup(docs).count()
+        li = rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                             columns=["l_extendedprice"])
+        exact_quantiles_distributed(li, "l_extendedprice",
+                                    [0.01, 0.25, 0.5, 0.75, 0.99],
+                                    max_collect=65536)
+
+    queries["q6_pii_chunkdedup_quantiles"] = timed(run_q6)
+
     headline = queries["q0_fused_mask_k"]
     result = {
         "metric": "flagship_mask_verify_sec",

@@ -117,23 +117,17 @@ def central_drift(ds, round_to: int = 6) -> float:
     return round(float(np.hypot(dx, dy)), round_to)
 
 
-def exact_median_distributed(ds, col: str, max_collect: int = 1_000_000) -> float:
-    """Exact median without collecting the column (SURVEY.md §7.5.7).
+def _finite_stats(ds, col: str) -> tuple[int, float, float]:
+    """(count, min, max) over the FINITE values of one column.
 
-    Iterative histogram refinement: one Min/Max/Count pass, then per-pass
-    1024-bin counting over a shrinking value range until the bin(s)
-    holding the median rank(s) contain few enough values to collect
-    exactly. O(passes * scan) with passes ~ log_1024(range/precision);
-    2-3 passes in practice. Result equals ``numpy.median`` bit-for-bit
-    (it returns the exact order statistics).
+    NaN-aware first pass (ADVICE r02): Ray's Count counts NaN floats as
+    valid but the histogram kernel drops them, which would shift ranks —
+    so min/max/n are computed over the finite values only, in one
+    map_batches + scalar aggregate (same cost as the plain aggregate).
     """
     import pyarrow as pa
     from ray.data.aggregate import Max, Min, Sum
 
-    # NaN-aware first pass (ADVICE r02): Ray's Count counts NaN floats as
-    # valid but the histogram below drops them, which would shift ranks —
-    # so min/max/n are computed over the finite values only, in one
-    # map_batches + scalar aggregate (same cost as the plain aggregate).
     def stats_part(b: pa.Table) -> pa.Table:
         v = b.column(col).to_numpy(zero_copy_only=False)
         if v.dtype.kind == "f":
@@ -146,51 +140,197 @@ def exact_median_distributed(ds, col: str, max_collect: int = 1_000_000) -> floa
 
     a = ds.map_batches(stats_part, batch_format="pyarrow").aggregate(
         Min("vmin"), Max("vmax"), Sum("n"))
-    n = int(a["sum(n)"] or 0)
+    return int(a["sum(n)"] or 0), float(a["min(vmin)"] or 0.0), float(a["max(vmax)"] or 0.0)
+
+
+def _refinable(lo: float, hi: float) -> bool:
+    """True if [lo, hi] can host another 1024-bin histogram pass —
+    i.e. its 1025-point linspace is strictly increasing (np.histogram
+    rejects duplicate edges, which appear once the window narrows to a
+    few ulps around a tie run)."""
+    if not hi > lo:
+        return False
+    return bool(np.all(np.diff(np.linspace(lo, hi, 1025)) > 0))
+
+
+def _kth_value(ds, col: str, rank: int, vmin: float, vmax: float,
+               max_collect: int) -> float:
+    """Exact rank-``rank`` (0-based) order statistic of one column by
+    iterative 1024-bin histogram refinement — the column never leaves
+    the cluster; only (1024,) counter vectors reach the driver."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    lo, hi = vmin, vmax
+    below = 0  # values strictly below current [lo, hi] window
+    while True:
+        if not _refinable(lo, hi):
+            # window narrowed to a tie run (or a single value): every
+            # value in it is within a few ulps — collect it whole
+            def collect_win(t: pa.Table) -> pa.Table:
+                v = t.column(col).to_numpy(zero_copy_only=False)
+                return pa.table({col: pa.array(v[(v >= lo) & (v <= hi)])})
+
+            vals = np.sort(ds.map_batches(collect_win, batch_format="pyarrow")
+                           .to_pandas()[col].to_numpy())
+            return float(vals[rank - below])
+        # count values in [lo, hi] bucketed into 1024 bins
+        edges = np.linspace(lo, hi, 1025)
+
+        def hist(b: pa.Table) -> pa.Table:
+            v = b.column(col).to_numpy(zero_copy_only=False)
+            v = v[(v >= lo) & (v <= hi)]
+            c, _ = np.histogram(v, bins=edges)
+            return pa.table({"bin": pa.array(np.arange(1024, dtype=np.int64)),
+                             "c": pa.array(c.astype(np.int64))})
+
+        counts = ds.map_batches(hist, batch_format="pyarrow") \
+            .groupby("bin").aggregate(Sum("c", alias_name="n")).to_pandas() \
+            .set_index("bin")["n"].reindex(range(1024), fill_value=0).to_numpy()
+        cum = np.cumsum(counts)
+        target = rank - below
+        b = int(np.searchsorted(cum, target + 1))
+        in_bin = int(counts[b])
+        # second/third disjunct: the target bin cannot be subdivided
+        # further (zero width, or a tie run so narrow its 1024-linspace
+        # would repeat edges) — collect the ties regardless of max_collect
+        if (in_bin <= max_collect
+                or not _refinable(edges[b], edges[b + 1])):
+            blo, bhi = edges[b], edges[b + 1]
+            is_last = b == 1023
+
+            def collect(t: pa.Table) -> pa.Table:
+                v = t.column(col).to_numpy(zero_copy_only=False)
+                sel = (v >= blo) & ((v <= bhi) if is_last else (v < bhi))
+                return pa.table({col: pa.array(v[sel])})
+
+            vals = np.sort(ds.map_batches(collect, batch_format="pyarrow")
+                           .to_pandas()[col].to_numpy())
+            offset = target - (int(cum[b - 1]) if b else 0)
+            return float(vals[offset])
+        below += int(cum[b - 1]) if b else 0
+        lo, hi = edges[b], edges[b + 1]
+
+
+def exact_median_distributed(ds, col: str, max_collect: int = 1_000_000) -> float:
+    """Exact median without collecting the column (SURVEY.md §7.5.7).
+
+    Iterative histogram refinement: one Min/Max/Count pass, then per-pass
+    1024-bin counting over a shrinking value range until the bin(s)
+    holding the median rank(s) contain few enough values to collect
+    exactly. O(passes * scan) with passes ~ log_1024(range/precision);
+    2-3 passes in practice. Result equals ``numpy.median`` bit-for-bit
+    (it returns the exact order statistics).
+    """
+    n, vmin, vmax = _finite_stats(ds, col)
     if n == 0:
         return float("nan")
     lo_rank = (n - 1) // 2
     hi_rank = n // 2
+    v_lo = _kth_value(ds, col, lo_rank, vmin, vmax, max_collect)
+    v_hi = v_lo if hi_rank == lo_rank else _kth_value(
+        ds, col, hi_rank, vmin, vmax, max_collect)
+    return float((v_lo + v_hi) / 2.0)
 
-    def kth_value(rank: int) -> float:
-        lo, hi = float(a["min(vmin)"]), float(a["max(vmax)"])
-        below = 0  # values strictly below current [lo, hi] window
-        while True:
-            # count values in [lo, hi] bucketed into 1024 bins
-            edges = np.linspace(lo, hi, 1025)
 
-            def hist(b: pa.Table) -> pa.Table:
-                v = b.column(col).to_numpy(zero_copy_only=False)
-                v = v[(v >= lo) & (v <= hi)]
-                c, _ = np.histogram(v, bins=edges)
-                return pa.table({"bin": pa.array(np.arange(1024, dtype=np.int64)),
-                                 "c": pa.array(c.astype(np.int64))})
+def exact_quantiles_distributed(ds, col: str, qs: list[float],
+                                max_collect: int = 1_000_000) -> list[float]:
+    """Exact lower-order-statistic quantiles of one column, distributed.
 
-            from ray.data.aggregate import Sum
+    For each q, returns the element at 0-based rank ``floor(q * (n - 1))``
+    of the sorted finite values — the "lower" rule, SQL-expressible as
+    ``ORDER BY col LIMIT 1 OFFSET rank`` (the oracle's form).
 
-            counts = ds.map_batches(hist, batch_format="pyarrow") \
-                .groupby("bin").aggregate(Sum("c", alias_name="n")).to_pandas() \
-                .set_index("bin")["n"].reindex(range(1024), fill_value=0).to_numpy()
+    All requested quantiles descend TOGETHER: each refinement pass is
+    ONE map_batches that histograms every still-active window (rows
+    ``(window, bin, count)``, combined by one tiny groupby), and the
+    final pass is ONE tagged collect over the union of resolved bins —
+    total scans = 1 stats + ~2 refinement + 1 collect regardless of
+    ``len(qs)``, vs (2-3) x len(qs) for independent descents."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    n, vmin, vmax = _finite_stats(ds, col)
+    if n == 0:
+        return [float("nan")] * len(qs)
+
+    # state per quantile: (lo, hi, below) — rank's bin window + count of
+    # values strictly below it
+    ranks = [int(np.floor(q * (n - 1))) for q in qs]
+    resolved: dict[int, tuple[float, float, bool, int]] = {}  # i -> (blo, bhi, is_last, offset)
+    if _refinable(vmin, vmax):
+        state = {i: (vmin, vmax, 0) for i in range(len(qs))}
+    else:
+        # whole column is one tie run — collect it directly
+        state = {}
+        for i in range(len(qs)):
+            resolved[i] = (vmin, vmax, True, ranks[i])
+
+    while state:
+        windows = sorted({(lo, hi) for lo, hi, _ in state.values()})
+        w_edges = {w: np.linspace(w[0], w[1], 1025) for w in windows}
+
+        def hist(b: pa.Table, windows=windows, w_edges=w_edges) -> pa.Table:
+            v = b.column(col).to_numpy(zero_copy_only=False)
+            ws, bins, cs = [], [], []
+            for wi, (lo, hi) in enumerate(windows):
+                vv = v[(v >= lo) & (v <= hi)]
+                c, _ = np.histogram(vv, bins=w_edges[(lo, hi)])
+                ws.append(np.full(1024, wi, dtype=np.int64))
+                bins.append(np.arange(1024, dtype=np.int64))
+                cs.append(c.astype(np.int64))
+            return pa.table({"w": pa.array(np.concatenate(ws)),
+                             "bin": pa.array(np.concatenate(bins)),
+                             "c": pa.array(np.concatenate(cs))})
+
+        cdf = ds.map_batches(hist, batch_format="pyarrow") \
+            .groupby(["w", "bin"]).aggregate(Sum("c", alias_name="n")).to_pandas()
+        counts_by_w = {}
+        for wi in range(len(windows)):
+            sub = cdf[cdf["w"] == wi].set_index("bin")["n"]
+            counts_by_w[wi] = sub.reindex(range(1024), fill_value=0).to_numpy()
+
+        nxt = {}
+        for i, (lo, hi, below) in state.items():
+            wi = windows.index((lo, hi))
+            counts = counts_by_w[wi]
+            edges = w_edges[(lo, hi)]
             cum = np.cumsum(counts)
-            target = rank - below
+            target = ranks[i] - below
             b = int(np.searchsorted(cum, target + 1))
             in_bin = int(counts[b])
-            if in_bin <= max_collect or edges[b + 1] - edges[b] <= 0:
-                blo, bhi = edges[b], edges[b + 1]
-                is_last = b == 1023
+            off = target - (int(cum[b - 1]) if b else 0)
+            # tie-run guard as in _kth_value: collect any bin that
+            # cannot be subdivided further
+            if (in_bin <= max_collect
+                    or not _refinable(edges[b], edges[b + 1])):
+                # np.histogram's LAST bin is closed on the right — the
+                # collect filter must mirror that per-window rule
+                resolved[i] = (float(edges[b]), float(edges[b + 1]),
+                               b == 1023, off)
+            else:
+                nxt[i] = (float(edges[b]), float(edges[b + 1]),
+                          below + (int(cum[b - 1]) if b else 0))
+        state = nxt
 
-                def collect(t: pa.Table) -> pa.Table:
-                    v = t.column(col).to_numpy(zero_copy_only=False)
-                    sel = (v >= blo) & ((v <= bhi) if is_last else (v < bhi))
-                    return pa.table({col: pa.array(v[sel])})
+    # one tagged collect over the union of resolved bins
+    spans = sorted({(blo, bhi, last) for blo, bhi, last, _ in resolved.values()})
 
-                vals = np.sort(ds.map_batches(collect, batch_format="pyarrow")
-                               .to_pandas()[col].to_numpy())
-                offset = target - (int(cum[b - 1]) if b else 0)
-                return float(vals[offset])
-            below += int(cum[b - 1]) if b else 0
-            lo, hi = edges[b], edges[b + 1]
+    def collect(t: pa.Table, spans=spans) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False)
+        tags, vals = [], []
+        for si, (blo, bhi, last) in enumerate(spans):
+            sel = (v >= blo) & ((v <= bhi) if last else (v < bhi))
+            vals.append(v[sel])
+            tags.append(np.full(int(sel.sum()), si, dtype=np.int64))
+        return pa.table({"tag": pa.array(np.concatenate(tags)),
+                         col: pa.array(np.concatenate(vals))})
 
-    v_lo = kth_value(lo_rank)
-    v_hi = v_lo if hi_rank == lo_rank else kth_value(hi_rank)
-    return float((v_lo + v_hi) / 2.0)
+    got = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
+    out = []
+    for i in range(len(qs)):
+        blo, bhi, last, off = resolved[i]
+        si = spans.index((blo, bhi, last))
+        vals = np.sort(got.loc[got["tag"] == si, col].to_numpy())
+        out.append(float(vals[off]))
+    return out

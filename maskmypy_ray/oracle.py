@@ -699,3 +699,110 @@ wm AS (
   FROM gr)
 SELECT DISTINCT doc_id, minh AS gram_hash FROM wm
 WHERE i <= greatest(m - {w} + 1, 1)"""
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (mirror of text.pii — both sides are RE2,
+# so counts and replacements are byte-identical).
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_SQL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PII_IPV4_SQL = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE_SQL = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_docs_cte(every: int = 5) -> str:
+    """Mirror of text.pii.with_pii over the documents view."""
+    return (
+        "docs AS (SELECT doc_id, CASE WHEN doc_id % " + str(every) + " = 0 "
+        "THEN text || ' contact user' || doc_id || '@example.com at 10.' || "
+        "(doc_id % 256) || '.' || (doc_id * 7 % 256) || '.' || "
+        "(doc_id * 13 % 256) || ' or 555-' || "
+        "lpad(CAST(doc_id % 900 AS VARCHAR), 3, '0') || '-' || "
+        "lpad(CAST(doc_id % 9000 AS VARCHAR), 4, '0') "
+        "ELSE text END AS text FROM documents)")
+
+
+def pii_stats_sql(every: int = 5) -> str:
+    return f"""WITH {pii_docs_cte(every)}
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{PII_EMAIL_SQL}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(text, '{PII_IPV4_SQL}')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(text, '{PII_PHONE_SQL}')) AS BIGINT) AS n_phone
+FROM docs"""
+
+
+def pii_redact_sql(every: int = 5) -> str:
+    return f"""WITH {pii_docs_cte(every)}
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '{PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+    '{PII_IPV4_SQL}', '<IP>', 'g'),
+    '{PII_PHONE_SQL}', '<PHONE>', 'g') AS text,
+  CAST(len(regexp_extract_all(text, '{PII_EMAIL_SQL}'))
+     + len(regexp_extract_all(text, '{PII_IPV4_SQL}'))
+     + len(regexp_extract_all(text, '{PII_PHONE_SQL}')) AS BIGINT) AS n_redacted
+FROM docs"""
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level dedup (mirror of text.chunks.chunk_dedup over corpus +
+# mutated copies): first (doc_id, chunk_idx) occurrence of each exact
+# size-token chunk survives; docs reassemble from survivors.
+# ---------------------------------------------------------------------------
+
+
+def chunk_dedup_sql(size: int = 16) -> str:
+    return f"""WITH {_mutated_docs_cte()},
+tl AS (SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_SQL}') AS l FROM docs),
+ch AS (
+  SELECT tl.doc_id, t.i AS chunk_idx,
+         array_to_string(l[(t.i*{size}+1):((t.i+1)*{size})], ' ') AS ctext
+  FROM tl, unnest(generate_series(0, CAST(ceil(len(l)/{size}.0) AS BIGINT) - 1)) AS t(i)
+  WHERE len(l) > 0),
+win AS (
+  SELECT doc_id, chunk_idx, ctext,
+         row_number() OVER (PARTITION BY md5(ctext)
+                            ORDER BY doc_id, chunk_idx) AS rn
+  FROM ch),
+agg AS (
+  SELECT doc_id,
+         coalesce(string_agg(CASE WHEN rn = 1 THEN ctext END, ' '
+                             ORDER BY chunk_idx), '') AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(count(*) - count(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_dropped
+  FROM win GROUP BY doc_id)
+SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+       coalesce(a.n_chunks, 0) AS n_chunks,
+       coalesce(a.n_dropped, 0) AS n_dropped
+FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster connected components (mirror of
+# text.clusters.duplicate_clusters): transitive closure over the exact
+# ngram-Jaccard pair edges via a recursive CTE, cluster id = min
+# reachable doc_id.
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters_sql(threshold: float = 0.8, ngram: int = 5) -> str:
+    return f"""WITH RECURSIVE {_mutated_docs_cte()},
+{_shingle_ctes(ngram)},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY 1),
+inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+  FROM shd x JOIN shd y ON x.sh = y.sh AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+jac AS (
+  SELECT i.doc_a, i.doc_b, i.i, sa.sz AS la, sb.sz AS lb
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b),
+e AS (SELECT doc_a AS a, doc_b AS b FROM jac
+      WHERE i / CAST(la + lb - i AS DOUBLE) >= {threshold}),
+sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM docs
+  UNION
+  SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node)
+SELECT node, min(label) AS cluster_id FROM reach GROUP BY node"""

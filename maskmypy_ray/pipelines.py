@@ -1164,3 +1164,139 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
     out = _BASE_ORACLE_QUERIES3()
     out.update(_events_oracles())
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round-3 curation additions: PII masking, chunk dedup, duplicate
+# clustering, exact quantiles, hopping window, per-source top-k.
+# ---------------------------------------------------------------------------
+
+
+def _docs_with_source(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "source"])
+
+
+def q_pii_stats(sf_dir: str):
+    """PII match counts per doc over the deterministically-seeded
+    corpus (text.pii; the masking engine's string-space twin)."""
+    from .text.pii import pii_stats, with_pii
+
+    return pii_stats(with_pii(_docs_ds(sf_dir)))
+
+
+def q_pii_redact(sf_dir: str):
+    """Redacted corpus: emails/IPs/phones replaced by typed tokens."""
+    from .text.pii import pii_redact, with_pii
+
+    return pii_redact(with_pii(_docs_ds(sf_dir)))
+
+
+def q_chunk_dedup(sf_dir: str):
+    """Cross-document duplicate 16-token chunks removed; docs
+    reassembled from surviving chunks (text.chunks)."""
+    from .text.chunks import chunk_dedup
+    from .text.dedup import with_mutated_copies
+
+    return chunk_dedup(with_mutated_copies(_docs_ds(sf_dir)))
+
+
+def q_dup_clusters(sf_dir: str):
+    """Connected-component cluster id per doc over exact 5-gram-Jaccard
+    >= 0.8 pair edges (text.clusters hash-min label propagation)."""
+    from .text.clusters import duplicate_clusters
+
+    return duplicate_clusters(_docs_ds(sf_dir), threshold=0.8, ngram=5)
+
+
+_QUANTILE_QS = [0.01, 0.25, 0.5, 0.75, 0.99]
+
+
+def q_quantiles(sf_dir: str):
+    """Exact lower-order-statistic quantiles of lineitem extendedprice
+    via the distributed histogram-refinement kernel — the column never
+    reaches the driver."""
+    import ray.data
+
+    from .analysis.aggregates import exact_quantiles_distributed
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_extendedprice"])
+    vals = exact_quantiles_distributed(li, "l_extendedprice", _QUANTILE_QS,
+                                       max_collect=4096)
+    return pa.table({
+        "q": pa.array(_QUANTILE_QS, type=pa.float64()),
+        "value": pa.array(vals, type=pa.float64()),
+    })
+
+
+def q_hopping_window(sf_dir: str):
+    import ray.data
+
+    from .stages.events import hopping_window
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type", "value"])
+    return hopping_window(ev)
+
+
+def q_top_quality_per_source(sf_dir: str):
+    from .text.quality import top_quality_per_source
+
+    return top_quality_per_source(_docs_with_source(sf_dir), k=3)
+
+
+QUERIES.update({
+    "pii_stats": q_pii_stats,
+    "pii_redact": q_pii_redact,
+    "chunk_dedup": q_chunk_dedup,
+    "dup_clusters": q_dup_clusters,
+    "quantiles": q_quantiles,
+    "hopping_window": q_hopping_window,
+    "top_quality_per_source": q_top_quality_per_source,
+})
+
+
+def _curation_oracles() -> dict[str, str]:
+    return {
+        "pii_stats": oracle.pii_stats_sql(every=5),
+        "pii_redact": oracle.pii_redact_sql(every=5),
+        "chunk_dedup": oracle.chunk_dedup_sql(size=16),
+        "dup_clusters": oracle.dup_clusters_sql(threshold=0.8, ngram=5),
+        "quantiles": (
+            "WITH s AS (SELECT l_extendedprice AS v, "
+            "row_number() OVER (ORDER BY l_extendedprice) - 1 AS r, "
+            "count(*) OVER () AS n FROM lineitem), "
+            "qs AS (SELECT unnest([0.01, 0.25, 0.5, 0.75, 0.99]) AS q) "
+            "SELECT qs.q, s.v AS value FROM qs "
+            "JOIN s ON s.r = CAST(floor(qs.q * (s.n - 1)) AS BIGINT)"),
+        "hopping_window": (
+            "SELECT (epoch_us(ts) // 900000000 - t.i) * 900000000 AS window_start, "
+            "event_type, CAST(count(*) AS BIGINT) AS n_events, "
+            "round(sum(value), 6) AS sum_value "
+            "FROM events, unnest(generate_series(0, 3)) AS t(i) "
+            "GROUP BY 1, 2"),
+        "top_quality_per_source": (
+            "WITH tok AS (SELECT doc_id, source, "
+            f"len(regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')) AS nt, "
+            f"len(regexp_extract_all(lower(text), '{_STOP_RE_SQL}')) AS ns "
+            "FROM documents), "
+            "sc AS (SELECT doc_id, source, least(nt / 50.0, 1.0) * 0.5 "
+            "+ least((CASE WHEN nt > 0 THEN ns / CAST(greatest(nt, 1) AS DOUBLE) "
+            "ELSE 0.0 END) * 5.0, 1.0) * 0.5 AS quality_score FROM tok), "
+            "rk AS (SELECT source, doc_id, quality_score, "
+            "CAST(row_number() OVER (PARTITION BY source "
+            "ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rank FROM sc) "
+            "SELECT source, doc_id, quality_score, rank FROM rk WHERE rank <= 3"),
+    }
+
+
+_BASE_ORACLE_QUERIES4 = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
+    out = _BASE_ORACLE_QUERIES4()
+    out.update(_curation_oracles())
+    return out

@@ -69,6 +69,60 @@ def tumbling_window(events_ds, window_us: int = WINDOW_US):
         batch_format="pyarrow")
 
 
+HOP_US = WINDOW_US // 4  # 15 minutes
+
+
+def hopping_window(events_ds, window_us: int = WINDOW_US, hop_us: int = HOP_US):
+    """Overlapping (hopping/sliding) windows: size ``window_us``, start
+    every ``hop_us`` — each event lands in ``window_us / hop_us``
+    windows. Returns (window_start [us], event_type, n_events,
+    sum_value rounded 6).
+
+    Scale shape: the k-fold replication happens INSIDE the partial
+    kernel (np.repeat) and is immediately pre-aggregated to
+    per-(window, type) partial sums before the single global
+    ``groupby`` — the shuffle moves one row per distinct
+    (window, type) per batch, not k rows per event."""
+    assert window_us % hop_us == 0
+    k = window_us // hop_us
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = _ts_us(b)
+        # window starts (t // hop - i) * hop for i in 0..k-1 all satisfy
+        # start <= t < start + window
+        base = t // hop_us
+        starts = ((np.repeat(base, k) - np.tile(np.arange(k, dtype=np.int64),
+                                                len(t))) * hop_us)
+        df = pd.DataFrame({
+            "window_start": starts,
+            "event_type": np.repeat(
+                b.column("event_type").to_numpy(zero_copy_only=False), k),
+            "value": np.repeat(
+                b.column("value").to_numpy(zero_copy_only=False), k),
+        })
+        g = df.groupby(["window_start", "event_type"], sort=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = events_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["window_start", "event_type"]).aggregate(
+            Sum("n_events", alias_name="n_events_sum"),
+            Sum("sum_value", alias_name="value_sum"))
+    return out.map_batches(
+        lambda b: pa.table({
+            "window_start": b.column("window_start"),
+            "event_type": b.column("event_type"),
+            "n_events": pa.array(
+                b.column("n_events_sum").to_numpy(zero_copy_only=False),
+                type=pa.int64()),
+            "sum_value": pa.array(
+                np.round(b.column("value_sum").to_numpy(zero_copy_only=False), 6),
+                type=pa.float64()),
+        }),
+        batch_format="pyarrow")
+
+
 SESSION_GAP_US = 1_800_000_000  # 30 minutes
 
 

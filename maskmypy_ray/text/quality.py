@@ -95,6 +95,44 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def top_per_source_partial(batch: pa.Table, k: int) -> pa.Table:
+    """Per-batch partial top-k per source: score the batch, keep only
+    each source's k best rows — caps the shuffle at k rows per
+    (source, batch) like the ANN partial top-k."""
+    import pandas as pd
+
+    scores = quality_score_batch(batch)
+    df = pd.DataFrame({
+        "source": batch.column("source").to_numpy(zero_copy_only=False),
+        "doc_id": batch.column("doc_id").to_numpy(zero_copy_only=False),
+        "quality_score": scores.column("quality_score").to_numpy(
+            zero_copy_only=False),
+    })
+    df = df.sort_values(["source", "quality_score", "doc_id"],
+                        ascending=[True, False, True], kind="mergesort")
+    out = df.groupby("source", sort=False).head(k)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def top_quality_per_source(ds, k: int = 3):
+    """Top-k docs per source by quality score (ties -> lower doc_id):
+    (source, doc_id, quality_score, rank 1..k).
+
+    Per-batch partial top-k then one tiny ``groupby(source)`` final —
+    the shuffle carries at most k rows per (source, batch)."""
+    import pandas as pd
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["quality_score", "doc_id"],
+                          ascending=[False, True], kind="mergesort").head(k)
+        g = g.assign(rank=np.arange(1, len(g) + 1, dtype=np.int64))
+        return g[["source", "doc_id", "quality_score", "rank"]]
+
+    partial = ds.map_batches(lambda b: top_per_source_partial(b, k),
+                             batch_format="pyarrow")
+    return partial.groupby("source").map_groups(final, batch_format="pandas")
+
+
 def token_stats(ds):
     return ds.map_batches(token_stats_batch, batch_format="pyarrow")
 

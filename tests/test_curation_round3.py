@@ -1,0 +1,234 @@
+"""Round-3 curation operators: PII masking, chunk dedup, duplicate
+clustering, exact quantiles, hopping windows, per-source top-k."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _docs(ray, rows):
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows], type=pa.string()),
+    }))
+
+
+# ---------------------------------------------------------------------------
+# PII
+# ---------------------------------------------------------------------------
+
+
+def test_pii_stats_and_redact(ray_session):
+    from maskmypy_ray.text.pii import pii_redact, pii_stats
+
+    ds = _docs(ray_session, [
+        (0, "mail a@b.io and c.d+e@f-g.org at 10.0.0.1 call 555-123-4567"),
+        (1, "nothing here"),
+        (2, "1.2.3.4 5.6.7.8"),
+    ])
+    st = pii_stats(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert st["n_email"].tolist() == [2, 0, 0]
+    assert st["n_ipv4"].tolist() == [1, 0, 2]
+    assert st["n_phone"].tolist() == [1, 0, 0]
+
+    red = pii_redact(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert red["text"].tolist() == [
+        "mail <EMAIL> and <EMAIL> at <IP> call <PHONE>",
+        "nothing here",
+        "<IP> <IP>",
+    ]
+    assert red["n_redacted"].tolist() == [4, 0, 2]
+
+
+def test_with_pii_injection_deterministic(ray_session):
+    from maskmypy_ray.text.pii import pii_stats, with_pii
+
+    ds = _docs(ray_session, [(i, f"doc {i}") for i in range(10)])
+    st = pii_stats(with_pii(ds, every=5)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # docs 0 and 5 get exactly one of each PII kind
+    assert st["n_email"].tolist() == [1, 0, 0, 0, 0, 1, 0, 0, 0, 0]
+    assert st["n_ipv4"].tolist() == st["n_email"].tolist()
+    assert st["n_phone"].tolist() == st["n_email"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# Chunk dedup
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_dedup_small(ray_session):
+    from maskmypy_ray.text.chunks import chunk_dedup
+
+    ds = _docs(ray_session, [
+        (0, "a b c d e f"),
+        (1, "c d e f g h"),
+        (2, ""),
+        (3, "a b c d e f x"),
+    ])
+    out = chunk_dedup(ds, size=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [0, 1, 2, 3]
+    # doc 3's first chunk "a b c d" duplicates doc 0's; its tail survives
+    assert out["clean_text"].tolist() == [
+        "a b c d e f", "c d e f g h", "", "e f x"]
+    assert out["n_chunks"].tolist() == [2, 2, 0, 2]
+    assert out["n_dropped"].tolist() == [0, 0, 0, 1]
+
+
+def test_chunk_dedup_within_doc(ray_session):
+    from maskmypy_ray.text.chunks import chunk_dedup
+
+    ds = _docs(ray_session, [(7, "x y x y")])
+    out = chunk_dedup(ds, size=2).to_pandas()
+    # second "x y" chunk inside the SAME doc is dropped too
+    assert out["clean_text"].tolist() == ["x y"]
+    assert out["n_dropped"].tolist() == [1]
+
+
+# ---------------------------------------------------------------------------
+# Connected components / duplicate clusters
+# ---------------------------------------------------------------------------
+
+
+def _union_find(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-id representative per component
+    comp = {}
+    for i in range(n_nodes):
+        r = find(i)
+        comp.setdefault(r, min(comp.get(r, i), i))
+    return [min(j for j in range(n_nodes) if find(j) == find(i))
+            for i in range(n_nodes)]
+
+
+def test_connected_components_random_graph(ray_session):
+    from maskmypy_ray.text.clusters import connected_components
+
+    rng = np.random.default_rng(11)
+    n = 60
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, (40, 2))
+             if a != b]
+    nodes = ray_session.data.from_arrow(
+        pa.table({"node": pa.array(range(n), type=pa.int64())}))
+    eds = ray_session.data.from_arrow(pa.table({
+        "doc_a": pa.array([a for a, _ in edges], type=pa.int64()),
+        "doc_b": pa.array([b for _, b in edges], type=pa.int64()),
+    }))
+    got = connected_components(nodes, eds).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    want = _union_find(n, edges)
+    assert got["cluster_id"].tolist() == want
+
+
+def test_connected_components_chain(ray_session):
+    """A long path graph exercises multi-round propagation."""
+    from maskmypy_ray.text.clusters import connected_components
+
+    n = 17
+    nodes = ray_session.data.from_arrow(
+        pa.table({"node": pa.array(range(n), type=pa.int64())}))
+    eds = ray_session.data.from_arrow(pa.table({
+        "doc_a": pa.array(range(n - 1), type=pa.int64()),
+        "doc_b": pa.array(range(1, n), type=pa.int64()),
+    }))
+    got = connected_components(nodes, eds).to_pandas()
+    assert set(got["cluster_id"]) == {0}
+    assert len(got) == n
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed quantiles
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("arr", [
+    np.random.default_rng(3).normal(0, 1, 4000),
+    np.random.default_rng(4).integers(0, 20, 3000).astype(np.float64),
+    np.full(500, 2.5),
+])
+def test_exact_quantiles_vs_numpy(ray_session, arr):
+    from maskmypy_ray.analysis.aggregates import exact_quantiles_distributed
+
+    ds = ray_session.data.from_pandas(pd.DataFrame({"v": arr})).repartition(4)
+    qs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    got = exact_quantiles_distributed(ds, "v", qs, max_collect=32)
+    fin = np.sort(arr)
+    want = [float(fin[int(np.floor(q * (len(fin) - 1)))]) for q in qs]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Hopping window
+# ---------------------------------------------------------------------------
+
+
+def test_hopping_window_vs_pandas(ray_session, sf_dir):
+    from maskmypy_ray.stages.events import hopping_window
+
+    ev = ray_session.data.read_parquet(f"{sf_dir}/events.parquet",
+                                       columns=["ts", "event_type", "value"])
+    got = hopping_window(ev).to_pandas() \
+        .sort_values(["window_start", "event_type"]).reset_index(drop=True)
+
+    df = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+    t = df["ts"].astype("datetime64[us]").astype(np.int64)
+    frames = []
+    for i in range(4):
+        frames.append(pd.DataFrame({
+            "window_start": (t // 900_000_000 - i) * 900_000_000,
+            "event_type": df["event_type"],
+            "value": df["value"],
+        }))
+    allw = pd.concat(frames)
+    want = allw.groupby(["window_start", "event_type"]).agg(
+        n_events=("value", "size"), sum_value=("value", "sum")).reset_index()
+    want["sum_value"] = want["sum_value"].round(6)
+    want = want.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    assert np.allclose(got["sum_value"], want["sum_value"], atol=1e-6)
+    # every event appears in exactly window/hop = 4 windows
+    assert got["n_events"].sum() == 4 * len(df)
+
+
+# ---------------------------------------------------------------------------
+# Per-source top-k quality
+# ---------------------------------------------------------------------------
+
+
+def test_top_quality_per_source(ray_session, sf_dir):
+    from maskmypy_ray.text.quality import quality_score, top_quality_per_source
+
+    ds = ray_session.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                       columns=["doc_id", "text", "source"])
+    got = top_quality_per_source(ds, k=3).to_pandas() \
+        .sort_values(["source", "rank"]).reset_index(drop=True)
+
+    scores = quality_score(
+        ray_session.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                      columns=["doc_id", "text"])).to_pandas()
+    src = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "source"])
+    full = scores.merge(src, on="doc_id")
+    full = full.sort_values(["source", "quality_score", "doc_id"],
+                            ascending=[True, False, True], kind="mergesort")
+    want = full.groupby("source", sort=True).head(3).reset_index(drop=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert (got.groupby("source")["rank"].apply(
+        lambda s: s.tolist() == list(range(1, len(s) + 1)))).all()
