@@ -1300,3 +1300,86 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
     out = _BASE_ORACLE_QUERIES4()
     out.update(_curation_oracles())
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions, part 2: normalization, domain stats, unigram-LM
+# quality scoring.
+# ---------------------------------------------------------------------------
+
+
+def q_normalize_text(sf_dir: str):
+    """Canonical normalization pass (lowercase, collapse punct runs,
+    trim) with a changed flag — the standard pre-dedup cleanup."""
+    from .text.quality import normalize_text
+
+    return normalize_text(_docs_ds(sf_dir))
+
+
+def q_domain_stats(sf_dir: str):
+    """Per-URL-host page counts/bytes over the derived web corpus —
+    the domain-blocklist / per-site-cap aggregation."""
+    from .text.corpus import domain_stats
+
+    return domain_stats(read_webpages(sf_dir, seed=SEED, include_html=False)
+                        .select_columns(["url", "text"]))
+
+
+def q_unigram_logprob(sf_dir: str):
+    """Per-doc unigram-LM negative log-likelihood (model-based quality
+    filter): corpus-trained token counts, broadcast vocab, quantized
+    integer log-sums for bit-exact SQL parity."""
+    from .text.lm import unigram_logprob
+
+    return unigram_logprob(_docs_ds(sf_dir))
+
+
+QUERIES.update({
+    "normalize_text": q_normalize_text,
+    "domain_stats": q_domain_stats,
+    "unigram_logprob": q_unigram_logprob,
+})
+
+
+def _curation2_oracles() -> dict[str, str]:
+    norm = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' ')"
+    return {
+        "normalize_text": (
+            f"SELECT doc_id, {norm} AS text, "
+            f"CAST(CASE WHEN {norm} <> text THEN 1 ELSE 0 END AS BIGINT) "
+            "AS changed FROM documents"),
+        "domain_stats": (
+            f"WITH {oracle.pages_cte(SEED)} "
+            "SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host, "
+            "CAST(count(*) AS BIGINT) AS n_pages, "
+            "CAST(sum(length(text)) AS BIGINT) AS n_chars "
+            "FROM pages GROUP BY 1"),
+        "unigram_logprob": f"""WITH docs AS (SELECT doc_id, text FROM documents),
+tl AS (SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS l FROM docs),
+tok AS (SELECT doc_id, unnest(l) AS tok FROM tl),
+cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+tot AS (SELECT greatest(sum(c), 1) AS N FROM cnt),
+vocab AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT 4096),
+per AS (
+  SELECT t.doc_id,
+    CAST(floor(1000000 * ln(CAST(COALESCE(v.c, 1) AS DOUBLE)
+                            / CAST((SELECT N FROM tot) AS DOUBLE)))
+         AS BIGINT) AS li
+  FROM tok t LEFT JOIN vocab v ON t.tok = v.tok),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, sum(li) AS s
+        FROM per GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+  CASE WHEN a.n_tokens > 0
+       THEN (-CAST(a.s AS DOUBLE)) / (1000000.0 * a.n_tokens)
+       ELSE 0.0 END AS nll
+FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id""",
+    }
+
+
+_BASE_ORACLE_QUERIES5 = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
+    out = _BASE_ORACLE_QUERIES5()
+    out.update(_curation2_oracles())
+    return out

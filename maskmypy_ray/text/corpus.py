@@ -191,3 +191,48 @@ def decontaminate(ds, n: int = 5):
         return flag_batch(batch, ray.get(bench_ref), n)
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+HOST_RE = r"^https?://(?P<host>[^/]+)"
+
+
+def domain_stats_partial_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch partial aggregate of per-HOST page stats over the web
+    corpus (url column): (host, n_pages, n_chars) sums — the domain-level
+    twin of source_stats (domain blocklists / per-site caps are standard
+    web-curation steps)."""
+    import pyarrow.compute as pc
+
+    ex = pc.extract_regex(batch.column("url"), HOST_RE)
+    host = pc.struct_field(ex, "host")
+    enc = pc.dictionary_encode(host)
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    hosts = enc.dictionary.to_pylist()
+    n_chr = pc.utf8_length(batch.column("text")).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    k = len(hosts)
+    return pa.table({
+        "host": pa.array(hosts, type=pa.string()),
+        "n_pages": pa.array(np.bincount(idx, minlength=k), type=pa.int64()),
+        "n_chars": pa.array(
+            np.bincount(idx, weights=n_chr, minlength=k).astype(np.int64),
+            type=pa.int64()),
+    })
+
+
+def domain_stats(ds):
+    """(host, n_pages, n_chars) per URL host, pre-aggregated before the
+    one tiny groupby (shuffle = hosts x blocks)."""
+    from ray.data.aggregate import Sum
+
+    part = ds.map_batches(domain_stats_partial_batch, batch_format="pyarrow")
+    return part.groupby("host").aggregate(
+        Sum("n_pages", alias_name="n_pages"),
+        Sum("n_chars", alias_name="n_chars"),
+    ).map_batches(lambda b: pa.table({
+        "host": b.column("host"),
+        "n_pages": b.column("n_pages"),
+        "n_chars": b.column("n_chars"),
+    }), batch_format="pyarrow")

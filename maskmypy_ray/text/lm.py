@@ -1,0 +1,98 @@
+"""Unigram language-model quality scoring (KenLM-style filter shape).
+
+The standard model-based curation filter scores each doc by its mean
+negative log-probability under a corpus-level language model; docs far
+from the corpus distribution (gibberish, boilerplate, wrong language)
+score high and get dropped. This is the unigram instance: two passes,
+
+1. **Train**: token counts via per-batch partial aggregation + one
+   ``groupby(token).sum``; the vocabulary = top-``top_v`` tokens by
+   (count desc, token asc) via a distributed sort + limit. N = total
+   token count (all tokens, not just the vocab).
+2. **Score**: the vocab (≤ ``top_v`` rows) is broadcast; each batch
+   maps its tokens through it vectorized (pandas factorize + numpy
+   take) — out-of-vocabulary tokens get count 1 (floor).
+
+Exactness trick: per-token contributions are quantized to int64 as
+``floor(1e6 * ln(c / N))`` BEFORE the per-doc sum, so the sum is
+order-independent integer arithmetic and the final score
+``-sum / (1e6 * n)`` is one exact float division — the DuckDB oracle
+reproduces it bit-for-bit (both sides call the same libm ``ln``; the
+1e-6 quantization absorbs any sub-ulp disagreement except on exact
+boundaries, which the fixture corpus does not hit).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .dedup import TOKEN_RE
+
+TOP_V = 4096
+_Q = 1_000_000  # log quantization (1e-6 nats)
+
+
+def token_counts(ds, text_col: str = "text"):
+    """(tok, c) global token counts — partial per batch, one groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in b.column(text_col).to_pylist():
+            toks.extend(TOKEN_RE.findall(t.lower()))
+        if not toks:
+            return pa.table({"tok": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64())})
+        u, cnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.table({"tok": pa.array(u, type=pa.string()),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("tok").aggregate(Sum("c", alias_name="c"))
+
+
+def unigram_logprob(ds, top_v: int = TOP_V, text_col: str = "text"):
+    """Per-doc unigram NLL: ``(doc_id, n_tokens, nll)`` with
+    nll = -mean over tokens of quantized ln(count/N) (0.0 for empty
+    docs). OOV tokens score as count 1."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    counts = token_counts(ds, text_col).materialize()
+    total = int(counts.aggregate(Sum("c"))["sum(c)"] or 0)
+    vocab_rows = counts.sort(["c", "tok"], descending=[True, False]) \
+        .limit(top_v).take_all()
+    vocab = {r["tok"]: int(r["c"]) for r in vocab_rows}
+    vocab_ref = ray.put(vocab)
+    n_total = max(total, 1)
+
+    def score(b: pa.Table) -> pa.Table:
+        v: dict = ray.get(vocab_ref)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        flat: list[str] = []
+        bounds = [0]
+        for t in b.column(text_col).to_pylist():
+            flat.extend(TOKEN_RE.findall(t.lower()))
+            bounds.append(len(flat))
+        bounds = np.asarray(bounds, dtype=np.int64)
+        n_out = np.diff(bounds)
+        s_out = np.zeros(len(ids), dtype=np.int64)
+        if flat:
+            # vocab lookups once per DISTINCT token in the batch, then a
+            # vectorized gather + segment sum
+            codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+            cu = np.array([v.get(u, 1) for u in uniq], dtype=np.float64)
+            lu = np.floor(_Q * np.log(cu / n_total)).astype(np.int64)
+            li = lu[codes]
+            nz = n_out > 0
+            s_out[nz] = np.add.reduceat(li, bounds[:-1][nz])
+        nll = np.where(n_out > 0, -s_out / (_Q * np.maximum(n_out, 1)), 0.0)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": pa.array(n_out),
+            "nll": pa.array(nll, type=pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -95,6 +95,27 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def normalize_text_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Canonical text normalization: lowercase, collapse every
+    non-alphanumeric run to one space, trim — the usual pre-dedup /
+    pre-tokenize cleanup pass. Three RE2/Arrow kernel calls per batch,
+    no Python rows; DuckDB mirrors byte-for-byte."""
+    t = pc.utf8_lower(batch.column(text_col))
+    t = pc.replace_substring_regex(t, "[^a-z0-9]+", " ")
+    t = pc.utf8_trim(t, " ")
+    changed = pc.cast(pc.not_equal(t, batch.column(text_col)), pa.int64())
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "text": t,
+        "changed": changed,
+    })
+
+
+def normalize_text(ds, text_col: str = "text"):
+    return ds.map_batches(lambda b: normalize_text_batch(b, text_col),
+                          batch_format="pyarrow")
+
+
 def top_per_source_partial(batch: pa.Table, k: int) -> pa.Table:
     """Per-batch partial top-k per source: score the batch, keep only
     each source's k best rows — caps the shuffle at k rows per

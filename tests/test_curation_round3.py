@@ -232,3 +232,71 @@ def test_top_quality_per_source(ray_session, sf_dir):
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert (got.groupby("source")["rank"].apply(
         lambda s: s.tolist() == list(range(1, len(s) + 1)))).all()
+
+
+# ---------------------------------------------------------------------------
+# Normalization / domain stats / unigram LM (round-3 part 2)
+# ---------------------------------------------------------------------------
+
+
+def test_normalize_text(ray_session):
+    from maskmypy_ray.text.quality import normalize_text
+
+    ds = _docs(ray_session, [
+        (0, "  Hello,   WORLD!! 42 "),
+        (1, "already clean"),
+        (2, ""),
+    ])
+    out = normalize_text(ds).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert out["text"].tolist() == ["hello world 42", "already clean", ""]
+    assert out["changed"].tolist() == [1, 0, 0]
+
+
+def test_domain_stats(ray_session, sf_dir):
+    from maskmypy_ray.sources.webpages import read_webpages
+    from maskmypy_ray.text.corpus import domain_stats
+
+    pages = read_webpages(sf_dir, seed=42, include_html=False) \
+        .select_columns(["url", "text"])
+    got = domain_stats(pages).to_pandas().sort_values("host") \
+        .reset_index(drop=True)
+    ref = pages.to_pandas()
+    ref["host"] = ref["url"].str.extract(r"^https?://([^/]+)")
+    want = ref.groupby("host").agg(
+        n_pages=("url", "size"),
+        n_chars=("text", lambda s: s.str.len().sum())).reset_index() \
+        .sort_values("host").reset_index(drop=True)
+    assert got["host"].tolist() == want["host"].tolist()
+    assert got["n_pages"].tolist() == want["n_pages"].tolist()
+    assert got["n_chars"].tolist() == want["n_chars"].tolist()
+
+
+def test_unigram_logprob_hand_computed(ray_session):
+    from maskmypy_ray.text.lm import unigram_logprob
+
+    # corpus: "a a b" + "b c" -> counts a=2 b=2 c=1, N=5
+    ds = _docs(ray_session, [(0, "a a b"), (1, "b c"), (2, "")])
+    out = unigram_logprob(ds).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    q = 1_000_000
+    l = {t: int(np.floor(q * np.log(c / 5.0)))
+         for t, c in {"a": 2, "b": 2, "c": 1}.items()}
+    want0 = -(l["a"] + l["a"] + l["b"]) / (q * 3)
+    want1 = -(l["b"] + l["c"]) / (q * 2)
+    assert out["n_tokens"].tolist() == [3, 2, 0]
+    assert out["nll"].tolist() == [want0, want1, 0.0]
+    # rarer tokens score worse
+    assert out["nll"][1] > out["nll"][0]
+
+
+def test_unigram_logprob_oov_floor(ray_session):
+    from maskmypy_ray.text.lm import unigram_logprob
+
+    # top_v=1 keeps only the most frequent token; the rest score as c=1
+    ds = _docs(ray_session, [(0, "x x y")])
+    out = unigram_logprob(ds, top_v=1).to_pandas()
+    q = 1_000_000
+    lx = int(np.floor(q * np.log(2 / 3.0)))
+    ly = int(np.floor(q * np.log(1 / 3.0)))  # OOV floor c=1
+    assert out["nll"].tolist() == [-(lx + lx + ly) / (q * 3)]
