@@ -1203,12 +1203,25 @@ def q_chunk_dedup(sf_dir: str):
     return chunk_dedup(with_mutated_copies(_docs_ds(sf_dir)))
 
 
+_DUP_CLUSTERS_CACHE: dict = {}
+
+
+def _dup_clusters_materialized(sf_dir: str):
+    """duplicate_clusters over the mutated corpus, materialized once per
+    (session, sf_dir) — dup_clusters and dedup_survivors share the same
+    label-propagation result instead of re-running it."""
+    if sf_dir not in _DUP_CLUSTERS_CACHE:
+        from .text.clusters import duplicate_clusters
+
+        _DUP_CLUSTERS_CACHE[sf_dir] = duplicate_clusters(
+            _docs_ds(sf_dir), threshold=0.8, ngram=5).materialize()
+    return _DUP_CLUSTERS_CACHE[sf_dir]
+
+
 def q_dup_clusters(sf_dir: str):
     """Connected-component cluster id per doc over exact 5-gram-Jaccard
     >= 0.8 pair edges (text.clusters hash-min label propagation)."""
-    from .text.clusters import duplicate_clusters
-
-    return duplicate_clusters(_docs_ds(sf_dir), threshold=0.8, ngram=5)
+    return _dup_clusters_materialized(sf_dir)
 
 
 _QUANTILE_QS = [0.01, 0.25, 0.5, 0.75, 0.99]
@@ -1382,4 +1395,35 @@ _BASE_ORACLE_QUERIES5 = oracle_queries
 def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
     out = _BASE_ORACLE_QUERIES5()
     out.update(_curation2_oracles())
+    return out
+
+
+def q_dedup_survivors(sf_dir: str):
+    """End-to-end near-dup removal: cluster by exact-Jaccard edges, keep
+    ONE doc per duplicate cluster (the min doc_id). Production dedup
+    keeps per-cluster survivors, not per-pair drops — this is the
+    composition of dup_clusters + keep node == cluster_id."""
+    cc = _dup_clusters_materialized(sf_dir)
+    return cc.filter(expr="node == cluster_id").map_batches(
+        lambda b: pa.table({"doc_id": b.column("node")}),
+        batch_format="pyarrow")
+
+
+QUERIES.update({"dedup_survivors": q_dedup_survivors})
+
+
+def _curation3_oracles() -> dict[str, str]:
+    return {
+        "dedup_survivors": (
+            f"SELECT node AS doc_id FROM ({oracle.dup_clusters_sql(0.8, 5)}) "
+            "WHERE node = cluster_id"),
+    }
+
+
+_BASE_ORACLE_QUERIES6 = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
+    out = _BASE_ORACLE_QUERIES6()
+    out.update(_curation3_oracles())
     return out
