@@ -1427,3 +1427,34 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
     out = _BASE_ORACLE_QUERIES6()
     out.update(_curation3_oracles())
     return out
+
+
+def q_window_distinct_users(sf_dir: str):
+    import ray.data
+
+    from .stages.events import window_distinct_users
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return window_distinct_users(ev)
+
+
+QUERIES.update({"window_distinct_users": q_window_distinct_users})
+
+
+def _curation4_oracles() -> dict[str, str]:
+    return {
+        "window_distinct_users": (
+            "SELECT epoch_us(ts) // 3600000000 AS window_id, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY 1"),
+    }
+
+
+_BASE_ORACLE_QUERIES7 = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
+    out = _BASE_ORACLE_QUERIES7()
+    out.update(_curation4_oracles())
+    return out

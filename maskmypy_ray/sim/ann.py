@@ -185,10 +185,13 @@ def cosine_pairs_lsh(ds, threshold: float = 0.4, bits_per_band: int = 4,
             }))
         return pa.concat_tables(out)
 
+    dedup_partitions = 64
+
     def verify_group(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"vec_a": pd.array([], dtype="int64"),
                               "vec_b": pd.array([], dtype="int64"),
-                              "sim": pd.array([], dtype="float64")})
+                              "sim": pd.array([], dtype="float64"),
+                              "pq": pd.array([], dtype="int64")})
         g = g.drop_duplicates("vec_id").sort_values("vec_id")
         if len(g) < 2:
             return empty
@@ -199,13 +202,19 @@ def cosine_pairs_lsh(ds, threshold: float = 0.4, bits_per_band: int = 4,
         ok = sims[a, b] >= threshold
         if not ok.any():
             return empty
-        return pd.DataFrame({"vec_a": ids[a[ok]], "vec_b": ids[b[ok]],
-                             "sim": sims[a[ok], b[ok]]})
+        va, vb = ids[a[ok]], ids[b[ok]]
+        return pd.DataFrame({"vec_a": va, "vec_b": vb,
+                             "sim": sims[a[ok], b[ok]],
+                             "pq": (va * 1_000_003 + vb) % dedup_partitions})
 
     pairs = ds.map_batches(explode, batch_format="pyarrow") \
         .groupby(["band", "key"]).map_groups(verify_group, batch_format="pandas")
-    return pairs.groupby(["vec_a", "vec_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    # a pair reached from several bands has the identical sim — coarse
+    # hash-partition dedup instead of a per-pair groupby
+    return pairs.groupby("pq").map_groups(
+        lambda g: g.drop_duplicates(["vec_a", "vec_b"])[
+            ["vec_a", "vec_b", "sim"]],
+        batch_format="pandas")
 
 
 def lsh_buckets_batch(batch: pa.Table, planes: np.ndarray) -> pa.Table:

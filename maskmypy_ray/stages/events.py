@@ -123,6 +123,46 @@ def hopping_window(events_ds, window_us: int = WINDOW_US, hop_us: int = HOP_US):
         batch_format="pyarrow")
 
 
+def window_distinct_users(events_ds, window_us: int = WINDOW_US):
+    """Exact distinct-user count per tumbling window: (window_id,
+    n_users).
+
+    The canonical exact count-distinct shape: per-batch local dedup of
+    (window, user) pairs, one ``groupby`` to global-dedup them, then a
+    partial-sum count per window — no per-window row lists ever
+    materialize anywhere."""
+    from ray.data.aggregate import Sum
+
+    def pairs(b: pa.Table) -> pa.Table:
+        w = _ts_us(b) // window_us
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        uniq = np.unique(np.stack([w, u], axis=1), axis=0)
+        return pa.table({"window_id": pa.array(uniq[:, 0]),
+                         "user_id": pa.array(uniq[:, 1])})
+
+    from ray.data.aggregate import Count
+
+    dedup = events_ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby(["window_id", "user_id"]).aggregate(Count())
+
+    def partial(b: pa.Table) -> pa.Table:
+        w = b.column("window_id").to_numpy(zero_copy_only=False)
+        uw, c = np.unique(w, return_counts=True)
+        return pa.table({"window_id": pa.array(uw),
+                         "n": pa.array(c.astype(np.int64))})
+
+    out = dedup.map_batches(partial, batch_format="pyarrow") \
+        .groupby("window_id").aggregate(Sum("n", alias_name="n_users"))
+    return out.map_batches(
+        lambda b: pa.table({
+            "window_id": b.column("window_id"),
+            "n_users": pa.array(
+                b.column("n_users").to_numpy(zero_copy_only=False),
+                type=pa.int64()),
+        }),
+        batch_format="pyarrow")
+
+
 SESSION_GAP_US = 1_800_000_000  # 30 minutes
 
 

@@ -300,3 +300,18 @@ def test_unigram_logprob_oov_floor(ray_session):
     lx = int(np.floor(q * np.log(2 / 3.0)))
     ly = int(np.floor(q * np.log(1 / 3.0)))  # OOV floor c=1
     assert out["nll"].tolist() == [-(lx + lx + ly) / (q * 3)]
+
+
+def test_window_distinct_users(ray_session, sf_dir):
+    from maskmypy_ray.stages.events import window_distinct_users
+
+    ev = ray_session.data.read_parquet(f"{sf_dir}/events.parquet",
+                                       columns=["user_id", "ts"])
+    got = window_distinct_users(ev).to_pandas() \
+        .sort_values("window_id").reset_index(drop=True)
+    df = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    w = df["ts"].astype("datetime64[us]").astype(np.int64) // 3_600_000_000
+    want = df.assign(window_id=w).groupby("window_id")["user_id"].nunique() \
+        .rename("n_users").reset_index()
+    assert got["window_id"].tolist() == want["window_id"].tolist()
+    assert got["n_users"].tolist() == want["n_users"].tolist()
