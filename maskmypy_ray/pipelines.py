@@ -1458,3 +1458,39 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
     out = _BASE_ORACLE_QUERIES7()
     out.update(_curation4_oracles())
     return out
+
+
+def q_window_top_types(sf_dir: str):
+    import ray.data
+
+    from .stages.events import window_top_types
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+    return window_top_types(ev)
+
+
+QUERIES.update({"window_top_types": q_window_top_types})
+
+
+def _curation5_oracles() -> dict[str, str]:
+    return {
+        "window_top_types": (
+            "WITH c AS (SELECT epoch_us(ts) // 3600000000 AS window_id, "
+            "event_type, CAST(count(*) AS BIGINT) AS n_events "
+            "FROM events GROUP BY 1, 2), "
+            "r AS (SELECT window_id, event_type, n_events, "
+            "CAST(row_number() OVER (PARTITION BY window_id "
+            "ORDER BY n_events DESC, event_type) AS BIGINT) AS rank FROM c) "
+            "SELECT window_id, event_type, n_events, rank FROM r "
+            "WHERE rank <= 3"),
+    }
+
+
+_BASE_ORACLE_QUERIES8 = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
+    out = _BASE_ORACLE_QUERIES8()
+    out.update(_curation5_oracles())
+    return out

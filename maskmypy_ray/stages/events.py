@@ -163,6 +163,48 @@ def window_distinct_users(events_ds, window_us: int = WINDOW_US):
         batch_format="pyarrow")
 
 
+def window_top_types(events_ds, window_us: int = WINDOW_US, k: int = 3,
+                     partitions: int = 64):
+    """Trending event types: top-``k`` types per tumbling window by
+    count (ties -> lexicographically smaller type): (window_id,
+    event_type, n_events, rank 1..k).
+
+    Counts come from the pre-aggregated tumbling shape; the rank step
+    shuffles on ``window_id % P`` and ranks every window in a partition
+    with one vectorized pandas sort + groupby.head — not a per-window
+    apply."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        w = _ts_us(b) // window_us
+        df = pd.DataFrame({
+            "window_id": w,
+            "event_type": b.column("event_type").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["window_id", "event_type"], sort=False) \
+            .size().rename("n").reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = events_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["window_id", "event_type"]).aggregate(
+            Sum("n", alias_name="n_events"))
+
+    def add_pw(b: pa.Table) -> pa.Table:
+        w = b.column("window_id").to_numpy(zero_copy_only=False)
+        return b.append_column("pw", pa.array(w % partitions))
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["window_id", "n_events", "event_type"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = g.groupby("window_id", sort=False).head(k).copy()
+        top["rank"] = top.groupby("window_id", sort=False).cumcount() + 1
+        top["n_events"] = top["n_events"].astype(np.int64)
+        return top[["window_id", "event_type", "n_events", "rank"]]
+
+    return counts.map_batches(add_pw, batch_format="pyarrow") \
+        .groupby("pw").map_groups(rank_part, batch_format="pandas")
+
+
 SESSION_GAP_US = 1_800_000_000  # 30 minutes
 
 

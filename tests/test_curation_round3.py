@@ -315,3 +315,23 @@ def test_window_distinct_users(ray_session, sf_dir):
         .rename("n_users").reset_index()
     assert got["window_id"].tolist() == want["window_id"].tolist()
     assert got["n_users"].tolist() == want["n_users"].tolist()
+
+
+def test_window_top_types(ray_session, sf_dir):
+    from maskmypy_ray.stages.events import window_top_types
+
+    ev = ray_session.data.read_parquet(f"{sf_dir}/events.parquet",
+                                       columns=["event_type", "ts"])
+    got = window_top_types(ev, k=2).to_pandas() \
+        .sort_values(["window_id", "rank"]).reset_index(drop=True)
+    df = pd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "ts"])
+    w = df["ts"].astype("datetime64[us]").astype(np.int64) // 3_600_000_000
+    c = df.assign(window_id=w).groupby(["window_id", "event_type"]) \
+        .size().rename("n_events").reset_index()
+    c = c.sort_values(["window_id", "n_events", "event_type"],
+                      ascending=[True, False, True], kind="mergesort")
+    want = c.groupby("window_id", sort=False).head(2).reset_index(drop=True)
+    assert got["event_type"].tolist() == want["event_type"].tolist()
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    assert (got.groupby("window_id")["rank"].min() == 1).all()
