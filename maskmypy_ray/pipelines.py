@@ -1494,3 +1494,95 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
     out = _BASE_ORACLE_QUERIES8()
     out.update(_curation5_oracles())
     return out
+
+
+# ---------------------------------------------------------------------------
+# Relational analytics over the TPC-H-shaped tables (Q1/Q3 shapes,
+# integer fixed-point money so Ray partials == SQL aggregates exactly).
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str):
+    import ray.data
+
+    from .relational import pricing_summary
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"])
+    return pricing_summary(li)
+
+
+def q_top_orders(sf_dir: str):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .relational import top_orders
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    od = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    return top_orders(li, od, cust)
+
+
+QUERIES.update({
+    "pricing_summary": q_pricing_summary,
+    "top_orders": q_top_orders,
+})
+
+
+def _relational_oracles() -> dict[str, str]:
+    cents = "CAST(round({col} * 100) AS BIGINT)"
+    q = cents.format(col="l_quantity")
+    e = cents.format(col="l_extendedprice")
+    d = cents.format(col="l_discount")
+    t = cents.format(col="l_tax")
+    return {
+        "pricing_summary": f"""WITH f AS (
+  SELECT l_returnflag, l_linestatus, {q} AS qc, {e} AS ec, {d} AS dc, {t} AS tc
+  FROM lineitem WHERE epoch_us(l_shipdate) <= 991353600000000),
+a AS (
+  SELECT l_returnflag, l_linestatus,
+    sum(qc) AS qty_c, sum(ec) AS ext_c, sum(dc) AS disc_c,
+    sum(ec * (100 - dc)) AS dp_e4,
+    sum(ec * (100 - dc) * (100 + tc)) AS ch_e6,
+    CAST(count(*) AS BIGINT) AS n
+  FROM f GROUP BY 1, 2)
+SELECT l_returnflag, l_linestatus,
+  qty_c / 100.0 AS sum_qty,
+  ext_c / 100.0 AS sum_base_price,
+  dp_e4 / 10000.0 AS sum_disc_price,
+  ch_e6 / 1000000.0 AS sum_charge,
+  qty_c / (100.0 * n) AS avg_qty,
+  ext_c / (100.0 * n) AS avg_price,
+  disc_c / (100.0 * n) AS avg_disc,
+  n AS count_order
+FROM a""",
+        "top_orders": f"""WITH f AS (
+  SELECT l.l_orderkey, sum({e.replace('l_', 'l.l_')} * (100 - {d.replace('l_', 'l.l_')})) AS rev_e4,
+         epoch_us(o.o_orderdate) AS o_orderdate, o.o_orderpriority
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND epoch_us(o.o_orderdate) < 959817600000000
+    AND epoch_us(l.l_shipdate) > 959817600000000
+  GROUP BY 1, 3, 4)
+SELECT l_orderkey, rev_e4 / 10000.0 AS revenue, o_orderdate, o_orderpriority
+FROM f ORDER BY rev_e4 DESC, l_orderkey LIMIT 10""",
+    }
+
+
+_BASE_ORACLE_QUERIES9 = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
+    out = _BASE_ORACLE_QUERIES9()
+    out.update(_relational_oracles())
+    return out

@@ -335,3 +335,63 @@ def test_window_top_types(ray_session, sf_dir):
     assert got["event_type"].tolist() == want["event_type"].tolist()
     assert got["n_events"].tolist() == want["n_events"].tolist()
     assert (got.groupby("window_id")["rank"].min() == 1).all()
+
+
+# ---------------------------------------------------------------------------
+# Relational Q1/Q3 shapes (integer fixed-point money)
+# ---------------------------------------------------------------------------
+
+
+def test_pricing_summary_vs_pandas(ray_session, sf_dir):
+    from maskmypy_ray.relational import Q1_CUTOFF_US, pricing_summary
+
+    li = ray_session.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"])
+    got = pricing_summary(li).to_pandas() \
+        .sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    df = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    ts = df["l_shipdate"].astype("datetime64[us]").astype(np.int64)
+    df = df[ts <= Q1_CUTOFF_US]
+    want = df.groupby(["l_returnflag", "l_linestatus"]).agg(
+        sum_qty=("l_quantity", "sum"), count_order=("l_quantity", "size"),
+        avg_disc=("l_discount", "mean")).reset_index() \
+        .sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    assert got["count_order"].tolist() == want["count_order"].tolist()
+    assert np.allclose(got["sum_qty"], want["sum_qty"])
+    assert np.allclose(got["avg_disc"], want["avg_disc"])
+
+
+def test_top_orders_vs_pandas(ray_session, sf_dir):
+    import pyarrow.parquet as pq
+
+    from maskmypy_ray.relational import Q3_CUTOFF_US, top_orders
+
+    li = ray_session.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    od = ray_session.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    got = top_orders(li, od, cust, k=5).to_pandas()
+
+    ldf = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    odf = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cdf = pq.read_table(f"{sf_dir}/customer.parquet").to_pandas()
+    odf = odf[odf["o_custkey"].isin(
+        cdf.loc[cdf["c_mktsegment"] == "BUILDING", "c_custkey"])]
+    odf = odf[odf["o_orderdate"].astype("datetime64[us]").astype(np.int64)
+              < Q3_CUTOFF_US]
+    ldf = ldf[ldf["l_shipdate"].astype("datetime64[us]").astype(np.int64)
+              > Q3_CUTOFF_US]
+    rev = (np.round(ldf["l_extendedprice"] * 100).astype(np.int64)
+           * (100 - np.round(ldf["l_discount"] * 100).astype(np.int64)))
+    agg = ldf.assign(rev=rev).groupby("l_orderkey")["rev"].sum().reset_index()
+    m = agg.merge(odf, left_on="l_orderkey", right_on="o_orderkey")
+    m = m.sort_values(["rev", "l_orderkey"], ascending=[False, True],
+                      kind="mergesort").head(5)
+    assert got["l_orderkey"].tolist() == m["l_orderkey"].tolist()
+    assert np.allclose(got["revenue"], m["rev"].to_numpy() / 10_000.0)
