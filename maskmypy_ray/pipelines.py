@@ -1586,3 +1586,35 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
     out = _BASE_ORACLE_QUERIES9()
     out.update(_relational_oracles())
     return out
+
+
+def q_filter_by_nll(sf_dir: str):
+    """Perplexity-percentile quality cut: keep docs at or below the
+    corpus 0.9-quantile unigram NLL (drop the worst 10%)."""
+    from .text.lm import filter_by_nll
+
+    return filter_by_nll(_docs_ds(sf_dir), q=0.9)
+
+
+QUERIES.update({"filter_by_nll": q_filter_by_nll})
+
+
+def _curation6_oracles() -> dict[str, str]:
+    base = _curation2_oracles()["unigram_logprob"]
+    return {
+        "filter_by_nll": (
+            f"WITH scored AS ({base}), "
+            "thr AS (SELECT nll FROM scored ORDER BY nll "
+            "LIMIT 1 OFFSET CAST(floor(0.9 * ((SELECT count(*) FROM scored) - 1)) AS BIGINT)) "
+            "SELECT doc_id, n_tokens, nll FROM scored "
+            "WHERE nll <= (SELECT nll FROM thr)"),
+    }
+
+
+_BASE_ORACLE_QUERIES10 = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
+    out = _BASE_ORACLE_QUERIES10()
+    out.update(_curation6_oracles())
+    return out

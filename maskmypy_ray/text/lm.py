@@ -96,3 +96,21 @@ def unigram_logprob(ds, top_v: int = TOP_V, text_col: str = "text"):
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def filter_by_nll(ds, q: float = 0.9, top_v: int = TOP_V,
+                  text_col: str = "text"):
+    """Quality-filter by LM score: keep docs whose unigram NLL is at or
+    below the corpus q-quantile (drop the worst (1-q) tail — the
+    standard perplexity-percentile cut). The threshold is the exact
+    lower order statistic from the distributed quantile kernel, so the
+    cut is reproducible in SQL bit-for-bit.
+
+    Returns (doc_id, n_tokens, nll) of the kept docs."""
+    from ..analysis.aggregates import exact_quantiles_distributed
+
+    scored = unigram_logprob(ds, top_v=top_v, text_col=text_col) \
+        .materialize()
+    thr = exact_quantiles_distributed(scored, "nll", [q],
+                                      max_collect=1_000_000)[0]
+    return scored.filter(expr=f"nll <= {thr!r}")

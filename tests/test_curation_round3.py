@@ -395,3 +395,20 @@ def test_top_orders_vs_pandas(ray_session, sf_dir):
                       kind="mergesort").head(5)
     assert got["l_orderkey"].tolist() == m["l_orderkey"].tolist()
     assert np.allclose(got["revenue"], m["rev"].to_numpy() / 10_000.0)
+
+
+def test_filter_by_nll_drops_worst_tail(ray_session):
+    from maskmypy_ray.text.lm import filter_by_nll, unigram_logprob
+
+    rows = [(i, "common words here") for i in range(18)]
+    rows += [(100, "zzz qqq xxx"), (101, "rare rare rare")]
+    ds = _docs(ray_session, rows)
+    scored = unigram_logprob(ds).to_pandas()
+    kept = filter_by_nll(ds, q=0.9).to_pandas()
+    # exactly the docs at/below the 0.9-quantile NLL survive
+    fin = np.sort(scored["nll"].to_numpy())
+    thr = fin[int(np.floor(0.9 * (len(fin) - 1)))]
+    want = set(scored.loc[scored["nll"] <= thr, "doc_id"])
+    assert set(kept["doc_id"]) == want
+    # the gibberish doc scores in the dropped tail
+    assert 100 not in set(kept["doc_id"])
