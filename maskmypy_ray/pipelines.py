@@ -1618,3 +1618,38 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
     out = _BASE_ORACLE_QUERIES10()
     out.update(_curation6_oracles())
     return out
+
+
+def q_sample_fixed_k(sf_dir: str):
+    """Fixed-size deterministic uniform sample (k=100) by counter-RNG
+    rank — the take-an-eval-sample-from-anything primitive."""
+    import ray.data
+
+    from .text.corpus import sample_fixed_k
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    return sample_fixed_k(ds, k=100, seed=SEED)
+
+
+QUERIES.update({"sample_fixed_k": q_sample_fixed_k})
+
+
+def _curation7_oracles() -> dict[str, str]:
+    from .rng import sql_uniform01
+
+    u = sql_uniform01("doc_id", SEED, 911)
+    return {
+        "sample_fixed_k": (
+            f"SELECT doc_id, u FROM (SELECT doc_id, {u} AS u FROM documents) "
+            "ORDER BY u, doc_id LIMIT 100"),
+    }
+
+
+_BASE_ORACLE_QUERIES11 = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
+    out = _BASE_ORACLE_QUERIES11()
+    out.update(_curation7_oracles())
+    return out

@@ -236,3 +236,38 @@ def domain_stats(ds):
         "n_pages": b.column("n_pages"),
         "n_chars": b.column("n_chars"),
     }), batch_format="pyarrow")
+
+
+SAMPLE_K_STREAM = 911  # rng stream registry: fixed-k uniform sampling
+
+
+def sample_fixed_k_partial(batch: pa.Table, k: int, seed: int,
+                           key_col: str) -> pa.Table:
+    """Per-batch partial: keep the batch's k smallest (u, key) rows —
+    caps the sort input at k rows per batch."""
+    from ..rng import uniform01
+
+    ids = batch.column(key_col).to_numpy(zero_copy_only=False)
+    u = uniform01(ids, seed, SAMPLE_K_STREAM)
+    order = np.lexsort((ids, u))[:k]
+    order = np.sort(order)
+    return pa.table({
+        key_col: pa.array(ids[order], type=pa.int64()),
+        "u": pa.array(u[order], type=pa.float64()),
+    })
+
+
+def sample_fixed_k(ds, k: int = 100, seed: int = 42, key_col: str = "doc_id"):
+    """Deterministic uniform k-sample of a table of ANY size: rank every
+    row by its counter-RNG draw u(key) and keep the k smallest
+    (ties -> smaller key). Order-, partition- and retry-independent;
+    the RNG mirrors into SQL so the selected set is bit-reproducible.
+
+    Scale shape: per-batch partial top-k (k rows leave each batch) then
+    one distributed sort + limit over ~k x blocks rows — the standard
+    way to cut a fixed eval/debug sample from an arbitrarily large
+    corpus without a full shuffle."""
+    part = ds.map_batches(
+        lambda b: sample_fixed_k_partial(b, k, seed, key_col),
+        batch_format="pyarrow")
+    return part.sort(["u", key_col]).limit(k)

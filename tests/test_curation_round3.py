@@ -412,3 +412,16 @@ def test_filter_by_nll_drops_worst_tail(ray_session):
     assert set(kept["doc_id"]) == want
     # the gibberish doc scores in the dropped tail
     assert 100 not in set(kept["doc_id"])
+
+
+def test_sample_fixed_k_deterministic(ray_session, sf_dir):
+    from maskmypy_ray.text.corpus import sample_fixed_k
+
+    ds = ray_session.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                       columns=["doc_id"])
+    a = sample_fixed_k(ds, k=17).to_pandas()
+    b = sample_fixed_k(ds.repartition(7), k=17).to_pandas()
+    # same sample regardless of partitioning; exactly k rows; u ranks it
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert len(a) == 17
+    assert (a["u"].to_numpy() == np.sort(a["u"].to_numpy())).all()
