@@ -1653,3 +1653,36 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
     out = _BASE_ORACLE_QUERIES11()
     out.update(_curation7_oracles())
     return out
+
+
+def q_geo_scrub(sf_dir: str):
+    """Coordinate-mention scrubbing over the web corpus: the text-space
+    completion of the geometry masks (the displaced point is useless if
+    the prose still says "49.123456, -123.456789")."""
+    from .stages.geoparse import geo_scrub
+
+    return geo_scrub(read_webpages(sf_dir, seed=SEED, include_html=False)
+                     .select_columns(["url", "text"]))
+
+
+QUERIES.update({"geo_scrub": q_geo_scrub})
+
+
+def _curation8_oracles() -> dict[str, str]:
+    pat = r"(-?[0-9]{1,3}\.[0-9]{6}), (-?[0-9]{1,3}\.[0-9]{6})"
+    return {
+        "geo_scrub": (
+            f"WITH {oracle.pages_cte(SEED)} "
+            f"SELECT url, regexp_replace(text, '{pat}', '<GEO>', 'g') AS text, "
+            f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) "
+            "AS n_scrubbed FROM pages"),
+    }
+
+
+_BASE_ORACLE_QUERIES12 = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
+    out = _BASE_ORACLE_QUERIES12()
+    out.update(_curation8_oracles())
+    return out

@@ -78,3 +78,28 @@ def parse_points_arrays(batch: pa.Table, dtype=None):
         x = x.astype(dtype)
         y = y.astype(dtype)
     return doc, x, y
+
+
+def geo_scrub_batch(batch: pa.Table, token: str = "<GEO>") -> pa.Table:
+    """Scrub coordinate mentions from page TEXT — the string-space twin
+    of the geometry masks: after donut/street/voronoi displace the
+    point, the verbatim "lat, lon" span left in the prose still leaks
+    the original location, so it is replaced with a typed token.
+    (Deliberately breaks the byte-identity invariant — this is the one
+    stage whose JOB is to edit text; pipelines choose it explicitly.)
+
+    One RE2 replace + one RE2 count per batch; DuckDB shares the RE2
+    engine so the oracle is byte-exact."""
+    pat = r"(-?[0-9]{1,3}\.[0-9]{6}), (-?[0-9]{1,3}\.[0-9]{6})"
+    text = batch.column("text")
+    return pa.table({
+        "url": batch.column("url"),
+        "text": pc.replace_substring_regex(text, pat, token),
+        "n_scrubbed": pc.cast(pc.count_substring_regex(text, pat), pa.int64()),
+    })
+
+
+def geo_scrub(ds, token: str = "<GEO>"):
+    """(url, scrubbed text, n_scrubbed) over a webpages Dataset."""
+    return ds.map_batches(lambda b: geo_scrub_batch(b, token),
+                          batch_format="pyarrow")

@@ -425,3 +425,47 @@ def test_sample_fixed_k_deterministic(ray_session, sf_dir):
     assert a["doc_id"].tolist() == b["doc_id"].tolist()
     assert len(a) == 17
     assert (a["u"].to_numpy() == np.sort(a["u"].to_numpy())).all()
+
+
+def test_geo_scrub(ray_session, sf_dir):
+    from maskmypy_ray.sources.webpages import read_webpages
+    from maskmypy_ray.stages.geoparse import geo_scrub, geoparse
+
+    pages = read_webpages(sf_dir, seed=42, include_html=False) \
+        .select_columns(["url", "text"]).materialize()
+    n_geo = geoparse(pages).count()  # pages that carry a coordinate
+    out = geo_scrub(pages).to_pandas()
+    assert len(out) == pages.count()
+    assert out["n_scrubbed"].sum() == n_geo
+    # no coordinate pair survives scrubbing
+    assert not out["text"].str.contains(
+        r"-?[0-9]{1,3}\.[0-9]{6}, -?[0-9]{1,3}\.[0-9]{6}", regex=True).any()
+    assert (out.loc[out["n_scrubbed"] > 0, "text"].str.contains("<GEO>")).all()
+
+
+def test_minhash_partition_count_independence(ray_session, sf_dir):
+    from maskmypy_ray.text.dedup import minhash_lsh_pairs, with_mutated_copies
+
+    docs = ray_session.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                         columns=["doc_id", "text"])
+    corpus = with_mutated_copies(docs)
+    a = minhash_lsh_pairs(corpus, threshold=0.8).to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    b = minhash_lsh_pairs(corpus, threshold=0.8, partitions=7).to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert a["doc_a"].tolist() == b["doc_a"].tolist()
+    assert a["doc_b"].tolist() == b["doc_b"].tolist()
+    assert np.allclose(a["sim"], b["sim"])
+
+
+def test_chunk_dedup_partition_count_independence(ray_session):
+    from maskmypy_ray.text.chunks import chunk_dedup
+
+    rows = [(i, f"a b c d common tail {i % 3}") for i in range(12)]
+    ds = _docs(ray_session, rows)
+    a = chunk_dedup(ds, size=4).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    b = chunk_dedup(ds, size=4, partitions=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a["clean_text"].tolist() == b["clean_text"].tolist()
+    assert a["n_dropped"].tolist() == b["n_dropped"].tolist()
