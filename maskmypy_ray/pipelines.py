@@ -1686,3 +1686,39 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
     out = _BASE_ORACLE_QUERIES12()
     out.update(_curation8_oracles())
     return out
+
+
+def q_source_quantiles(sf_dir: str):
+    """Per-source exact doc-length quartiles (grouped order statistics)."""
+    import ray.data
+
+    from .text.quality import source_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "n_chars"])
+    return source_quantiles(ds)
+
+
+QUERIES.update({"source_quantiles": q_source_quantiles})
+
+
+def _curation9_oracles() -> dict[str, str]:
+    cells = ", ".join(
+        f"max(CASE WHEN r = CAST(floor({q} * (n - 1)) AS BIGINT) "
+        f"THEN v END) AS q{int(q * 100)}" for q in (0.25, 0.5, 0.75))
+    return {
+        "source_quantiles": (
+            "WITH s AS (SELECT source, CAST(n_chars AS DOUBLE) AS v, "
+            "row_number() OVER (PARTITION BY source ORDER BY n_chars) - 1 AS r, "
+            "count(*) OVER (PARTITION BY source) AS n FROM documents) "
+            f"SELECT source, {cells} FROM s GROUP BY source"),
+    }
+
+
+_BASE_ORACLE_QUERIES13 = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
+    out = _BASE_ORACLE_QUERIES13()
+    out.update(_curation9_oracles())
+    return out

@@ -458,3 +458,22 @@ def source_stats(ds):
             "avg_chars", pa.array(chars / np.maximum(docs, 1), type=pa.float64()))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def source_quantiles(ds, qs: tuple = (0.25, 0.5, 0.75),
+                     val_col: str = "n_chars"):
+    """Per-source exact quantiles (lower order statistic) of a numeric
+    column: (source, q25, q50, q75). Groups here are FEW and BIG (one
+    per source), so ``groupby(source).map_groups`` with one vectorized
+    sort per group is the right shape — unlike the tiny-group dedup
+    paths that need coarse partitions."""
+    import pandas as pd
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[val_col].to_numpy())
+        row = {"source": [g["source"].iloc[0]]}
+        for q in qs:
+            row[f"q{int(q * 100)}"] = [float(v[int(np.floor(q * (len(v) - 1)))])]
+        return pd.DataFrame(row)
+
+    return ds.groupby("source").map_groups(kernel, batch_format="pandas")

@@ -469,3 +469,18 @@ def test_chunk_dedup_partition_count_independence(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     assert a["clean_text"].tolist() == b["clean_text"].tolist()
     assert a["n_dropped"].tolist() == b["n_dropped"].tolist()
+
+
+def test_source_quantiles_vs_pandas(ray_session, sf_dir):
+    from maskmypy_ray.text.quality import source_quantiles
+
+    ds = ray_session.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                       columns=["source", "n_chars"])
+    got = source_quantiles(ds).to_pandas().sort_values("source") \
+        .reset_index(drop=True)
+    df = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "n_chars"])
+    for _, row in got.iterrows():
+        v = np.sort(df.loc[df["source"] == row["source"], "n_chars"].to_numpy())
+        for q in (0.25, 0.5, 0.75):
+            assert row[f"q{int(q*100)}"] == float(v[int(np.floor(q * (len(v) - 1)))])
