@@ -1722,3 +1722,47 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
     out = _BASE_ORACLE_QUERIES13()
     out.update(_curation9_oracles())
     return out
+
+
+def q_media_size_quantiles(sf_dir: str):
+    """Exact payload-size quantiles over the binary media column —
+    the distributed multi-rank quantile kernel composed onto
+    media_metadata (corpus profiling for batch/block sizing of
+    multimodal stages)."""
+    from .analysis.aggregates import exact_quantiles_distributed
+    from .multimodal.media import media_metadata
+
+    meta = media_metadata(read_webpages(sf_dir, seed=SEED, include_html=True))
+    vals = exact_quantiles_distributed(meta, "media_bytes", _QUANTILE_QS,
+                                       max_collect=65536)
+    return pa.table({
+        "q": pa.array(_QUANTILE_QS, type=pa.float64()),
+        "value": pa.array(vals, type=pa.float64()),
+    })
+
+
+QUERIES.update({"media_size_quantiles": q_media_size_quantiles})
+
+
+def _curation10_oracles() -> dict[str, str]:
+    return {
+        "media_size_quantiles": (
+            f"WITH {oracle.pages_cte(SEED)}, "
+            "s AS (SELECT CAST(octet_length(encode('<html><body>' || text || "
+            "'</body></html>')) AS DOUBLE) AS v, "
+            "row_number() OVER (ORDER BY octet_length(encode('<html><body>' "
+            "|| text || '</body></html>'))) - 1 AS r, "
+            "count(*) OVER () AS n FROM pages), "
+            "qs AS (SELECT unnest([0.01, 0.25, 0.5, 0.75, 0.99]) AS q) "
+            "SELECT qs.q, s.v AS value FROM qs "
+            "JOIN s ON s.r = CAST(floor(qs.q * (s.n - 1)) AS BIGINT)"),
+    }
+
+
+_BASE_ORACLE_QUERIES14 = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
+    out = _BASE_ORACLE_QUERIES14()
+    out.update(_curation10_oracles())
+    return out

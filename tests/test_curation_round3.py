@@ -484,3 +484,14 @@ def test_source_quantiles_vs_pandas(ray_session, sf_dir):
         v = np.sort(df.loc[df["source"] == row["source"], "n_chars"].to_numpy())
         for q in (0.25, 0.5, 0.75):
             assert row[f"q{int(q*100)}"] == float(v[int(np.floor(q * (len(v) - 1)))])
+
+
+def test_media_size_quantiles(ray_session, sf_dir):
+    from maskmypy_ray.pipelines import q_media_size_quantiles
+    from maskmypy_ray.sources.webpages import read_webpages
+
+    got = q_media_size_quantiles(sf_dir).to_pandas()
+    pages = read_webpages(sf_dir, seed=42, include_html=True).to_pandas()
+    sizes = np.sort(pages["html"].str.len().to_numpy())
+    for q, v in zip(got["q"], got["value"]):
+        assert v == float(sizes[int(np.floor(q * (len(sizes) - 1)))])
