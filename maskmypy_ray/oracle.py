@@ -512,17 +512,13 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.h, b.h)) <= {max_hamming}"""
 
 
-def minhash_pairs_sql(threshold: float = 0.8, ngram: int = 5) -> str:
-    """Mirror of text.dedup.minhash_lsh_pairs over corpus + mutated copies.
-
-    Word-``ngram`` shingles -> 32-bit md5 shingle hashes -> 64
-    mix32-permutation minima -> 16 bands of 4. LSH bucket equality is
-    equality of a band's 4 minima, so candidates are generated by joining
-    on (band, minima-tuple) — the md5 *band-hash string* the engine uses
-    as its shuffle key is just a proxy for that same tuple. Candidates
-    are then verified with exact shingle-set Jaccard (an integer ratio —
-    bit-exact in SQL). Empty-token docs get the all-0xFFFFFFFF signature.
-    """
+def _minhash_edge_ctes(threshold: float = 0.8, ngram: int = 5) -> str:
+    """CTE chain (appended after a ``docs`` CTE) ending in relation
+    ``mh_edges(doc_a, doc_b, sim)`` — the banded-LSH candidate pairs
+    verified at exact shingle-Jaccard >= ``threshold``. Shared by
+    :func:`minhash_pairs_sql` and the LSH edge source of
+    :func:`dup_clusters_sql` so the pair list and the cluster closure
+    are provably the same relation."""
     from .rng import mix32, sql_mix32
     from .text.dedup import _SALT, N_PERM, ROWS_PER_BAND
 
@@ -533,17 +529,7 @@ def minhash_pairs_sql(threshold: float = 0.8, ngram: int = 5) -> str:
     mix = sql_mix32("xor(s.sh, p.p)")
     n_bands = N_PERM // ROWS_PER_BAND
     empty_key = ",".join(["4294967295"] * ROWS_PER_BAND)
-    return f"""WITH {_mutated_docs_cte()},
-tl AS (SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_SQL}') AS l FROM docs),
-sg AS (
-  SELECT doc_id, unnest(CASE
-    WHEN len(l) = 0 THEN CAST([] AS VARCHAR[])
-    WHEN len(l) < {ngram} THEN [array_to_string(l, ' ')]
-    ELSE list_transform(generate_series(1, len(l) - {ngram - 1}),
-                        i -> array_to_string(l[i:i + {ngram - 1}], ' '))
-  END) AS s FROM tl),
-shd AS (SELECT DISTINCT doc_id,
-               CAST(md5_number_upper(s) & 4294967295 AS BIGINT) AS sh FROM sg),
+    return f"""{_shingle_ctes(ngram)},
 perms(j, p) AS (SELECT * FROM (VALUES {perm_rows})),
 pv AS (
   SELECT s.doc_id, p.j, min({mix}) AS mn
@@ -568,9 +554,26 @@ inter AS (
 jac AS (
   SELECT c.doc_a, c.doc_b, coalesce(i.i, 0) AS i, sa.sz AS la, sb.sz AS lb
   FROM cand c LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
-  JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b)
-SELECT doc_a, doc_b, i / CAST(la + lb - i AS DOUBLE) AS sim FROM jac
-WHERE i / CAST(la + lb - i AS DOUBLE) >= {threshold}"""
+  JOIN sizes sa ON sa.doc_id = c.doc_a JOIN sizes sb ON sb.doc_id = c.doc_b),
+mh_edges AS (
+  SELECT doc_a, doc_b, i / CAST(la + lb - i AS DOUBLE) AS sim FROM jac
+  WHERE i / CAST(la + lb - i AS DOUBLE) >= {threshold})"""
+
+
+def minhash_pairs_sql(threshold: float = 0.8, ngram: int = 5) -> str:
+    """Mirror of text.dedup.minhash_lsh_pairs over corpus + mutated copies.
+
+    Word-``ngram`` shingles -> 32-bit md5 shingle hashes -> 64
+    mix32-permutation minima -> 16 bands of 4. LSH bucket equality is
+    equality of a band's 4 minima, so candidates are generated by joining
+    on (band, minima-tuple) — the md5 *band-hash string* the engine uses
+    as its shuffle key is just a proxy for that same tuple. Candidates
+    are then verified with exact shingle-set Jaccard (an integer ratio —
+    bit-exact in SQL). Empty-token docs get the all-0xFFFFFFFF signature.
+    """
+    return f"""WITH {_mutated_docs_cte()},
+{_minhash_edge_ctes(threshold, ngram)}
+SELECT doc_a, doc_b, sim FROM mh_edges"""
 
 
 def ripley_sql(seed: int, simulations: int = 19, steps: int = 10) -> str:
@@ -780,15 +783,21 @@ FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
 
 # ---------------------------------------------------------------------------
 # Duplicate-cluster connected components (mirror of
-# text.clusters.duplicate_clusters): transitive closure over the exact
-# ngram-Jaccard pair edges via a recursive CTE, cluster id = min
-# reachable doc_id.
+# text.clusters.duplicate_clusters): transitive closure over the
+# near-dup pair edges via a recursive CTE, cluster id = min reachable
+# doc_id. Edge source mirrors the engine's: banded MinHash-LSH pairs by
+# default (the scale path — VERDICT r03 #1), exact all-pairs
+# ngram-Jaccard as the validation variant.
 # ---------------------------------------------------------------------------
 
 
-def dup_clusters_sql(threshold: float = 0.8, ngram: int = 5) -> str:
-    return f"""WITH RECURSIVE {_mutated_docs_cte()},
-{_shingle_ctes(ngram)},
+def dup_clusters_sql(threshold: float = 0.8, ngram: int = 5,
+                     edge_source: str = "minhash") -> str:
+    if edge_source == "minhash":
+        edges = f"""{_minhash_edge_ctes(threshold, ngram)},
+e AS (SELECT doc_a AS a, doc_b AS b FROM mh_edges)"""
+    elif edge_source == "jaccard":
+        edges = f"""{_shingle_ctes(ngram)},
 sizes AS (SELECT doc_id, count(*) AS sz FROM shd GROUP BY 1),
 inter AS (
   SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
@@ -799,7 +808,11 @@ jac AS (
   FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
   JOIN sizes sb ON sb.doc_id = i.doc_b),
 e AS (SELECT doc_a AS a, doc_b AS b FROM jac
-      WHERE i / CAST(la + lb - i AS DOUBLE) >= {threshold}),
+      WHERE i / CAST(la + lb - i AS DOUBLE) >= {threshold})"""
+    else:
+        raise ValueError(f"unknown edge_source {edge_source!r}")
+    return f"""WITH RECURSIVE {_mutated_docs_cte()},
+{edges},
 sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
 reach(node, label) AS (
   SELECT doc_id, doc_id FROM docs

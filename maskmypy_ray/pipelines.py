@@ -1208,19 +1208,30 @@ _DUP_CLUSTERS_CACHE: dict = {}
 
 def _dup_clusters_materialized(sf_dir: str):
     """duplicate_clusters over the mutated corpus, materialized once per
-    (session, sf_dir) — dup_clusters and dedup_survivors share the same
-    label-propagation result instead of re-running it."""
-    if sf_dir not in _DUP_CLUSTERS_CACHE:
+    (Ray session, sf_dir) — dup_clusters and dedup_survivors share the
+    same label-propagation result instead of re-running it. Keyed on the
+    Ray session id (ADVICE r03): a materialized Dataset's object refs die
+    with the session, so a plain sf_dir key would hand out lost objects
+    after ray.shutdown()/re-init in the same process."""
+    import ray
+
+    session = ray.get_runtime_context().get_job_id() \
+        if ray.is_initialized() else None
+    key = (session, sf_dir)
+    if key not in _DUP_CLUSTERS_CACHE:
         from .text.clusters import duplicate_clusters
 
-        _DUP_CLUSTERS_CACHE[sf_dir] = duplicate_clusters(
+        _DUP_CLUSTERS_CACHE.clear()  # refs from dead sessions are useless
+        _DUP_CLUSTERS_CACHE[key] = duplicate_clusters(
             _docs_ds(sf_dir), threshold=0.8, ngram=5).materialize()
-    return _DUP_CLUSTERS_CACHE[sf_dir]
+    return _DUP_CLUSTERS_CACHE[key]
 
 
 def q_dup_clusters(sf_dir: str):
-    """Connected-component cluster id per doc over exact 5-gram-Jaccard
-    >= 0.8 pair edges (text.clusters hash-min label propagation)."""
+    """Connected-component cluster id per doc over banded MinHash-LSH
+    near-dup pair edges verified at 5-gram-Jaccard >= 0.8
+    (text.clusters hash-min label propagation over minhash_lsh_pairs —
+    the composition that scales past the O(n^2) exact-pairs guard)."""
     return _dup_clusters_materialized(sf_dir)
 
 
