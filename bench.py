@@ -243,6 +243,28 @@ def bench_once(q0_only: bool = False) -> dict:
 
     queries["q6_pii_chunkdedup_quantiles"] = timed(run_q6)
 
+    # q7: near-dup family (round-4: the batch-vectorized gram-hash
+    # kernel replacing per-shingle Python md5, and the banded cosine
+    # LSH join that no longer replicates embeddings x bands through the
+    # shuffle): MinHash-LSH pairs over corpus+mutated copies, duplicated
+    # spans, winnowing fingerprint, sign-LSH cosine pairs.
+    from maskmypy_ray.sim.ann import cosine_pairs_lsh
+    from maskmypy_ray.text.dedup import (duplicated_spans, minhash_lsh_pairs,
+                                         with_mutated_copies)
+    from maskmypy_ray.text.quality import winnow_fingerprint
+
+    def run_q7():
+        docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                               columns=["doc_id", "text"])
+        minhash_lsh_pairs(with_mutated_copies(docs), threshold=0.8).count()
+        duplicated_spans(docs).count()
+        winnow_fingerprint(docs).count()
+        emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                              columns=["vec_id", "embedding"])
+        cosine_pairs_lsh(emb, threshold=0.4).count()
+
+    queries["q7_neardup_family"] = timed(run_q7)
+
     headline = queries["q0_fused_mask_k"]
     result = {
         "metric": "flagship_mask_verify_sec",

@@ -639,20 +639,44 @@ SELECT CAST(s.band AS BIGINT) AS band, round(s.r, 6) AS support,
 FROM st0 s JOIN pv ON pv.band = s.band"""
 
 
+SQL_TOKEN_CODES = ("list_transform(l, t -> "
+                   "CAST(md5_number_upper(t) & 4294967295 AS BIGINT))")
+
+
+def sql_gram_list_expr(n: int, short_doc: str = "single",
+                       codes: str = "c") -> str:
+    """DuckDB expression computing, over a BIGINT[] token-code list
+    ``codes``, the positional n-gram hash list bit-identical to
+    ``text.grams.gram_hashes_batch``: gram i = XOR over its tokens of
+    ``mix32(code XOR POS[j])`` (j = position within the gram).
+    ``short_doc="single"``: docs with 0 < tokens < n yield one whole-doc
+    gram; ``"skip"``: they yield none."""
+    from .rng import sql_mix32
+    from .text.grams import POS
+
+    pos = "[" + ",".join(str(int(POS[j])) for j in range(n)) + "]::BIGINT[]"
+    term = sql_mix32(f"xor({codes}[j], list_extract({pos}, j - i + 1))")
+    win = (f"i -> list_reduce(list_transform("
+           f"generate_series(i, least(i + {n - 1}, len({codes}))), "
+           f"j -> {term}), (a, b) -> xor(a, b))")
+    if short_doc == "single":
+        return (f"CASE WHEN len({codes}) = 0 THEN CAST([] AS BIGINT[]) "
+                f"ELSE list_transform(generate_series(1, "
+                f"greatest(len({codes}) - {n - 1}, 1)), {win}) END")
+    return (f"CASE WHEN len({codes}) < {n} THEN CAST([] AS BIGINT[]) "
+            f"ELSE list_transform(generate_series(1, "
+            f"len({codes}) - {n - 1}), {win}) END")
+
+
 def _shingle_ctes(ngram: int = 5) -> str:
-    """tl/sg/shd chain (token list -> word-ngram shingles -> distinct
-    32-bit shingle hashes) over a preceding ``docs`` CTE — shared by the
-    minhash, exact-ngram-Jaccard and winnow oracles."""
+    """tl/tc/sg/shd chain (token list -> 32-bit md5 token codes ->
+    word-ngram mix32-fold gram hashes -> distinct per doc) over a
+    preceding ``docs`` CTE — shared by the minhash, exact-ngram-Jaccard
+    and winnow oracles. Mirrors text.grams bit-for-bit."""
     return f"""tl AS (SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_SQL}') AS l FROM docs),
-sg AS (
-  SELECT doc_id, unnest(CASE
-    WHEN len(l) = 0 THEN CAST([] AS VARCHAR[])
-    WHEN len(l) < {ngram} THEN [array_to_string(l, ' ')]
-    ELSE list_transform(generate_series(1, len(l) - {ngram - 1}),
-                        i -> array_to_string(l[i:i + {ngram - 1}], ' '))
-  END) AS s FROM tl),
-shd AS (SELECT DISTINCT doc_id,
-               CAST(md5_number_upper(s) & 4294967295 AS BIGINT) AS sh FROM sg)"""
+tc AS (SELECT doc_id, {SQL_TOKEN_CODES} AS c FROM tl),
+sg AS (SELECT doc_id, unnest({sql_gram_list_expr(ngram, "single")}) AS sh FROM tc),
+shd AS (SELECT DISTINCT doc_id, sh FROM sg)"""
 
 
 def jaccard_ngram_sql(threshold: float = 0.8, ngram: int = 5) -> str:
@@ -684,16 +708,11 @@ def winnow_sql(k: int = 5, w: int = 4) -> str:
     partition end, which is exactly that min)."""
     return f"""WITH docs AS (SELECT doc_id, text FROM documents),
 tl AS (SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_SQL}') AS l FROM docs),
+tc AS (SELECT doc_id, {SQL_TOKEN_CODES} AS c FROM tl),
+gs AS (SELECT doc_id, {sql_gram_list_expr(k, "single")} AS garr FROM tc),
 gr AS (
-  SELECT tl.doc_id, t.i,
-         CAST(md5_number_upper(
-           CASE WHEN len(l) < {k} THEN array_to_string(l, ' ')
-                ELSE array_to_string(l[t.i:t.i + {k - 1}], ' ') END)
-              & 4294967295 AS BIGINT) AS gh
-  FROM tl, unnest(generate_series(1,
-       CASE WHEN len(l) = 0 THEN 0
-            WHEN len(l) < {k} THEN 1
-            ELSE len(l) - {k - 1} END)) AS t(i)),
+  SELECT gs.doc_id, t.i, garr[t.i] AS gh
+  FROM gs, unnest(generate_series(1, len(garr))) AS t(i)),
 wm AS (
   SELECT doc_id, i,
          min(gh) OVER (PARTITION BY doc_id ORDER BY i

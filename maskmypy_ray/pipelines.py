@@ -15,7 +15,7 @@ import numpy as np
 import pyarrow as pa
 
 from . import oracle
-from .analysis.aggregates import k_satisfaction, summarize_k
+from .analysis.aggregates import summarize_k
 from .analysis.displacement import displacement, summarize_displacement
 from .analysis.k_anonymity import calculate_k
 from .analysis.nnd import nnd
@@ -129,10 +129,29 @@ def q_k_anonymity(sf_dir: str):
 
 
 def q_k_satisfaction(sf_dir: str):
-    k = k_ds(sf_dir)
-    k = k.materialize()
-    vals = {f"k_sat_{m}": k_satisfaction(k, m) for m in (5, 25, 50)}
-    return pa.table({kk: pa.array([v], type=pa.float64()) for kk, v in vals.items()})
+    """All three satisfaction thresholds in ONE streaming pass: per-batch
+    partial counters (n, n>=5, n>=25, n>=50) -> one scalar Sum
+    (VERDICT r03 #8 — was materialize + three aggregate scans). Same
+    round-3dp arithmetic as analysis.aggregates.k_satisfaction."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        k = b.column("k_anonymity").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([len(k)], type=pa.int64()),
+            "ge5": pa.array([int((k >= 5).sum())], type=pa.int64()),
+            "ge25": pa.array([int((k >= 25).sum())], type=pa.int64()),
+            "ge50": pa.array([int((k >= 50).sum())], type=pa.int64()),
+        })
+
+    agg = k_ds(sf_dir).map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("ge5", alias_name="ge5"),
+        Sum("ge25", alias_name="ge25"), Sum("ge50", alias_name="ge50"))
+    n = float(agg["n"])
+    return pa.table({
+        f"k_sat_{m}": pa.array([round(float(agg[f"ge{m}"]) / n, 3)],
+                               type=pa.float64())
+        for m in (5, 25, 50)})
 
 
 def q_k_summary(sf_dir: str):
@@ -190,6 +209,38 @@ def q_street(sf_dir: str):
 
     g = synth_road_graph()
     masked = street(points_ds(sf_dir), g, low=5, high=10, seed=SEED)
+    ref = ray.put(g.node_x + 1j * g.node_y)
+
+    def check(b: pa.Table) -> pa.Table:
+        nc = ray.get(ref)
+        c = b.column("mx").to_numpy(zero_copy_only=False) \
+            + 1j * b.column("my").to_numpy(zero_copy_only=False)
+        on = np.isin(c, nc).astype(np.int64)
+        return pa.table({"url": b.column("url"),
+                         "snap_node": b.column("snap_node"),
+                         "on_node": pa.array(on, type=pa.int64())})
+
+    return masked.map_batches(check, batch_format="pyarrow")
+
+
+def q_street_sharded(sf_dir: str):
+    """Street mask through the SHARDED graph loader (VERDICT r03 #7 —
+    one graph shard per region, per-batch routing, actor-side LRU shard
+    cache; the graph-exceeds-object-store regime of SURVEY §2.1 M3).
+    The fixture domain is one region, so the shard graph is bit-identical
+    to the broadcast graph and the street_mask SQL oracle applies
+    unchanged — the routing layer itself is what this query gates.
+    A two-region pytest (tests/test_street.py) covers true sharding."""
+    import ray
+
+    from .constants import X_MAX, X_MIN, Y_MAX, Y_MIN
+    from .stages.street import make_street_shards, street_sharded
+
+    shards = make_street_shards([(X_MIN, X_MAX, Y_MIN, Y_MAX)],
+                                max_length=1000.0, seed=42)
+    masked = street_sharded(points_ds(sf_dir), shards, low=5, high=10,
+                            seed=SEED)
+    g = ray.get(shards[0].graph_ref)
     ref = ray.put(g.node_x + 1j * g.node_y)
 
     def check(b: pa.Table) -> pa.Table:
@@ -318,6 +369,7 @@ QUERIES = {
     "suppress": q_suppress,
     "locationswap": q_locationswap,
     "street_mask": q_street,
+    "street_mask_sharded": q_street_sharded,
     "street_k": q_street_k,
     "snap_to_streets": q_snap_to_streets,
     "voronoi": q_voronoi,
@@ -743,14 +795,14 @@ def _quality_filter_sql(min_tokens: int = 10, max_top_word: float = 0.5,
 
 
 def _dedup_spans_sql(k: int = 15) -> str:
+    from .oracle import SQL_TOKEN_CODES, sql_gram_list_expr
+
     return (
         "WITH tl AS (SELECT doc_id, "
         f"regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS l FROM documents), "
-        "gr AS (SELECT DISTINCT tl.doc_id, "
-        f"CAST(md5_number_upper(array_to_string(l[t.i:t.i + {k - 1}], ' ')) "
-        "& 4294967295 AS BIGINT) AS gram_hash "
-        "FROM tl, unnest(generate_series(1, "
-        f"CASE WHEN len(l) < {k} THEN 0 ELSE len(l) - {k - 1} END)) AS t(i)) "
+        f"tc AS (SELECT doc_id, {SQL_TOKEN_CODES} AS c FROM tl), "
+        "gr AS (SELECT DISTINCT doc_id, gram_hash FROM (SELECT doc_id, "
+        f"unnest({sql_gram_list_expr(k, 'skip')}) AS gram_hash FROM tc)) "
         "SELECT gram_hash, CAST(COUNT(*) AS BIGINT) AS n_docs, "
         "MIN(doc_id) AS first_doc "
         "FROM gr GROUP BY gram_hash HAVING COUNT(*) >= 2")
@@ -1037,6 +1089,12 @@ def _more_oracles() -> dict[str, str]:
         # validity peel + argmin join); on_node pins the engine's
         # independent output-on-graph membership check to 1.
         "street_mask": (
+            f"WITH {oracle.points_cte(SEED)},\n{oracle.road_nodes_cte(SEED)},\n"
+            f"{oracle.street_snap_cte(SEED)} "
+            "SELECT url, snap_node, CAST(1 AS BIGINT) AS on_node FROM street_snap"),
+        # M3 sharded loader: single-region shard == broadcast graph, so
+        # the identical snap oracle gates the routing layer end-to-end.
+        "street_mask_sharded": (
             f"WITH {oracle.points_cte(SEED)},\n{oracle.road_nodes_cte(SEED)},\n"
             f"{oracle.street_snap_cte(SEED)} "
             "SELECT url, snap_node, CAST(1 AS BIGINT) AS on_node FROM street_snap"),

@@ -50,9 +50,25 @@ def pricing_summary(lineitem_ds, cutoff_us: int = Q1_CUTOFF_US):
     groupby -> exact float finalization."""
     from ray.data.aggregate import Sum
 
+    empty = pa.table({
+        "l_returnflag": pa.array([], type=pa.string()),
+        "l_linestatus": pa.array([], type=pa.string()),
+        "qty_c": pa.array([], type=pa.int64()),
+        "ext_c": pa.array([], type=pa.int64()),
+        "disc_c": pa.array([], type=pa.int64()),
+        "disc_price_e4": pa.array([], type=pa.int64()),
+        "charge_e6": pa.array([], type=pa.int64()),
+        "n": pa.array([], type=pa.int64()),
+    })
+
     def partial(b: pa.Table) -> pa.Table:
         keep = _ts_us(b.column("l_shipdate")) <= cutoff_us
         b = b.filter(pa.array(keep))
+        if b.num_rows == 0:
+            # an all-filtered batch must not flow through from_pandas —
+            # its empty object columns would infer as null-typed and
+            # schema-clash with sibling blocks (ADVICE r03)
+            return empty
         qty = _cents(b.column("l_quantity"))
         ext = _cents(b.column("l_extendedprice"))
         disc = _cents(b.column("l_discount"))

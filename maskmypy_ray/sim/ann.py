@@ -160,12 +160,24 @@ def cosine_pairs_lsh(ds, threshold: float = 0.4, bits_per_band: int = 4,
     for higher thresholds / larger corpora raise ``bits_per_band`` (and
     ``n_bands`` per the formula) to keep in-bucket groups bounded —
     threshold-0.4 joins are intrinsically coarse for any LSH family.
+
+    Shape (VERDICT r03 #2 — mirrors text.dedup.minhash_lsh_pairs): the
+    band explode carries only (band, key, vec_id) — NOT the embedding,
+    which would push n_bands x the vector bytes through the all-to-all;
+    every shuffle is a coarse ``% P`` partition whose kernel is
+    vectorized pandas (never a per-bucket/per-pair ``map_groups``, whose
+    ~0.4 ms/group Python apply dominates on 1-2-row near-dup buckets).
+    Candidate pairs are verified by a two-sided doc-partition
+    hash-merge: each pair explodes into two per-side rows that meet the
+    (vec_id, embedding) table in a ``vec_id % P`` partition, then the
+    pair partition computes one vectorized row-wise dot product.
     """
     import ray
 
     dim = len(ds.take(1)[0]["embedding"])
     planes = random_hyperplanes(dim, bits_per_band * n_bands, seed)
     pref = ray.put(planes)
+    partitions = 64
 
     def explode(batch: pa.Table) -> pa.Table:
         pl = ray.get(pref)
@@ -173,48 +185,116 @@ def cosine_pairs_lsh(ds, threshold: float = 0.4, bits_per_band: int = 4,
         m = _normalize(emb)
         signs = (m @ pl.T) > 0  # (n, b*L)
         weights = (1 << np.arange(bits_per_band, dtype=np.int64))
-        out = []
-        for band in range(n_bands):
-            seg = signs[:, band * bits_per_band:(band + 1) * bits_per_band]
-            key = seg.astype(np.int64) @ weights
-            out.append(pa.table({
-                "band": pa.array(np.full(len(ids), band, dtype=np.int32)),
-                "key": pa.array(key, type=pa.int64()),
-                "vec_id": pa.array(ids, type=pa.int64()),
-                "embedding": batch.column("embedding"),
-            }))
-        return pa.concat_tables(out)
+        n = len(ids)
+        band = np.repeat(np.arange(n_bands, dtype=np.int64), n)
+        key = np.concatenate([
+            signs[:, b * bits_per_band:(b + 1) * bits_per_band]
+            .astype(np.int64) @ weights
+            for b in range(n_bands)]) if n else np.array([], dtype=np.int64)
+        bucket = (band << np.int64(32)) | key
+        return pa.table({
+            "bucket": pa.array(bucket, type=pa.int64()),
+            "vec_id": pa.array(np.tile(ids, n_bands), type=pa.int64()),
+            "pb": pa.array((bucket * 1_000_003) % partitions),
+        })
 
-    dedup_partitions = 64
+    def bucket_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["bucket", "vec_id"])
+        sz = g.groupby("bucket", sort=False)["vec_id"].transform("size")
+        multi = g[sz >= 2]
+        out_a, out_b = [], []
+        # iterate only buckets that actually collide
+        for _, sub in multi.groupby("bucket", sort=False):
+            ids = np.unique(sub["vec_id"].to_numpy())
+            ia, ib = np.triu_indices(len(ids), 1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
+        b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+        return pd.DataFrame({
+            "vec_a": a, "vec_b": b,
+            "pq": (a * 1_000_003 + b) % partitions,
+        })
 
-    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
+    cand = ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby("pb").map_groups(bucket_pairs_part, batch_format="pandas")
+    uniq = cand.groupby("pq").map_groups(
+        lambda g: g.drop_duplicates(["vec_a", "vec_b"])[["vec_a", "vec_b"]],
+        batch_format="pandas")
+
+    dtype = pa.list_(pa.float64())
+
+    def explode_sides(b: pa.Table) -> pa.Table:
+        va = b.column("vec_a").to_numpy(zero_copy_only=False)
+        vb = b.column("vec_b").to_numpy(zero_copy_only=False)
+        vec = np.concatenate([va, vb])
+        side = np.concatenate([np.zeros(len(va), dtype=np.int8),
+                               np.ones(len(vb), dtype=np.int8)])
+        return pa.table({
+            "vec": pa.array(vec, type=pa.int64()),
+            "vec_a": pa.array(np.concatenate([va, va]), type=pa.int64()),
+            "vec_b": pa.array(np.concatenate([vb, vb]), type=pa.int64()),
+            "side": pa.array(side),
+            "is_pair": pa.array(np.ones(2 * len(va), dtype=np.int8)),
+            "embedding": pa.array([[]] * (2 * len(va)), type=dtype),
+            "pd_": pa.array(vec % partitions),
+        })
+
+    sides = uniq.map_batches(explode_sides, batch_format="pyarrow")
+
+    def emb_rows(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        n = len(ids)
+        return pa.table({
+            "vec": pa.array(ids, type=pa.int64()),
+            "vec_a": pa.array(np.full(n, -1), type=pa.int64()),
+            "vec_b": pa.array(np.full(n, -1), type=pa.int64()),
+            "side": pa.array(np.full(n, -1, dtype=np.int8)),
+            "is_pair": pa.array(np.zeros(n, dtype=np.int8)),
+            "embedding": b.column("embedding").cast(dtype),
+            "pd_": pa.array(ids % partitions),
+        })
+
+    vecs = ds.select_columns(["vec_id", "embedding"]) \
+        .map_batches(emb_rows, batch_format="pyarrow")
+
+    def attach_part(g: pd.DataFrame) -> pd.DataFrame:
+        embs = g.loc[g["is_pair"] == 0, ["vec", "embedding"]]
+        prs = g.loc[g["is_pair"] == 1, ["vec", "vec_a", "vec_b", "side"]]
+        m = prs.merge(embs, on="vec", how="inner")
+        a = m["vec_a"].to_numpy(dtype=np.int64)
+        b = m["vec_b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "vec_a": a, "vec_b": b, "side": m["side"].to_numpy(),
+            "embedding": m["embedding"],
+            "pq": (a * 1_000_003 + b) % partitions,
+        })
+
+    attached = sides.union(vecs).groupby("pd_").map_groups(
+        attach_part, batch_format="pandas")
+
+    def verify_part(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"vec_a": pd.array([], dtype="int64"),
                               "vec_b": pd.array([], dtype="int64"),
-                              "sim": pd.array([], dtype="float64"),
-                              "pq": pd.array([], dtype="int64")})
-        g = g.drop_duplicates("vec_id").sort_values("vec_id")
-        if len(g) < 2:
+                              "sim": pd.array([], dtype="float64")})
+        if not len(g):
             return empty
-        ids = g["vec_id"].to_numpy()
+        cnt = g.groupby(["vec_a", "vec_b"], sort=False)["side"] \
+            .transform("size")
+        g = g[cnt == 2].sort_values(["vec_a", "vec_b", "side"],
+                                    kind="mergesort")
+        if not len(g):
+            return empty
         m = _normalize(np.stack(g["embedding"].to_numpy()))
-        sims = m @ m.T
-        a, b = np.triu_indices(len(ids), 1)
-        ok = sims[a, b] >= threshold
-        if not ok.any():
-            return empty
-        va, vb = ids[a[ok]], ids[b[ok]]
-        return pd.DataFrame({"vec_a": va, "vec_b": vb,
-                             "sim": sims[a[ok], b[ok]],
-                             "pq": (va * 1_000_003 + vb) % dedup_partitions})
+        sims = np.einsum("ij,ij->i", m[0::2], m[1::2])
+        va = g["vec_a"].to_numpy()[0::2]
+        vb = g["vec_b"].to_numpy()[0::2]
+        ok = sims >= threshold
+        return pd.DataFrame({"vec_a": va[ok], "vec_b": vb[ok],
+                             "sim": sims[ok]})
 
-    pairs = ds.map_batches(explode, batch_format="pyarrow") \
-        .groupby(["band", "key"]).map_groups(verify_group, batch_format="pandas")
-    # a pair reached from several bands has the identical sim — coarse
-    # hash-partition dedup instead of a per-pair groupby
-    return pairs.groupby("pq").map_groups(
-        lambda g: g.drop_duplicates(["vec_a", "vec_b"])[
-            ["vec_a", "vec_b", "sim"]],
-        batch_format="pandas")
+    return attached.groupby("pq").map_groups(verify_part,
+                                             batch_format="pandas")
 
 
 def lsh_buckets_batch(batch: pa.Table, planes: np.ndarray) -> pa.Table:

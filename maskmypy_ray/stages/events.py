@@ -37,6 +37,15 @@ def _ts_us(batch: pa.Table, col: str = "ts") -> np.ndarray:
     return batch.column(col).cast(pa.int64()).to_numpy(zero_copy_only=False)
 
 
+def _value_cents(b: pa.Table) -> np.ndarray:
+    """events.value is 2-dp fixed precision stored as double; int64 cents
+    make every partial sum order-independent (ADVICE r03: float partials
+    combined in nondeterministic order could cross the oracle's 6-dp
+    rounding boundary — same fix relational.py uses for money columns)."""
+    v = b.column("value").to_numpy(zero_copy_only=False)
+    return np.round(v * 100).astype(np.int64)
+
+
 def tumbling_window(events_ds, window_us: int = WINDOW_US):
     """(user_id, window_id) -> n_events, sum_value (rounded 6)."""
     from ray.data.aggregate import Sum
@@ -46,16 +55,16 @@ def tumbling_window(events_ds, window_us: int = WINDOW_US):
         df = pd.DataFrame({
             "user_id": b.column("user_id").to_numpy(zero_copy_only=False),
             "window_id": w,
-            "value": b.column("value").to_numpy(zero_copy_only=False),
+            "value_c": _value_cents(b),
         })
         g = df.groupby(["user_id", "window_id"], sort=False).agg(
-            n_events=("value", "size"), sum_value=("value", "sum")).reset_index()
+            n_events=("value_c", "size"), sum_c=("value_c", "sum")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = events_ds.map_batches(partial, batch_format="pyarrow")
     out = partials.groupby(["user_id", "window_id"]).aggregate(
         Sum("n_events", alias_name="n_events_sum"),
-        Sum("sum_value", alias_name="value_sum"))
+        Sum("sum_c", alias_name="sum_c_sum"))
     return out.map_batches(
         lambda b: pa.table({
             "user_id": b.column("user_id"),
@@ -63,7 +72,8 @@ def tumbling_window(events_ds, window_us: int = WINDOW_US):
             "n_events": pa.array(
                 b.column("n_events_sum").to_numpy(zero_copy_only=False), type=pa.int64()),
             "sum_value": pa.array(
-                np.round(b.column("value_sum").to_numpy(zero_copy_only=False), 6),
+                np.round(b.column("sum_c_sum").to_numpy(zero_copy_only=False)
+                         / 100.0, 6),
                 type=pa.float64()),
         }),
         batch_format="pyarrow")
@@ -98,17 +108,16 @@ def hopping_window(events_ds, window_us: int = WINDOW_US, hop_us: int = HOP_US):
             "window_start": starts,
             "event_type": np.repeat(
                 b.column("event_type").to_numpy(zero_copy_only=False), k),
-            "value": np.repeat(
-                b.column("value").to_numpy(zero_copy_only=False), k),
+            "value_c": np.repeat(_value_cents(b), k),
         })
         g = df.groupby(["window_start", "event_type"], sort=False).agg(
-            n_events=("value", "size"), sum_value=("value", "sum")).reset_index()
+            n_events=("value_c", "size"), sum_c=("value_c", "sum")).reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     out = events_ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(["window_start", "event_type"]).aggregate(
             Sum("n_events", alias_name="n_events_sum"),
-            Sum("sum_value", alias_name="value_sum"))
+            Sum("sum_c", alias_name="sum_c_sum"))
     return out.map_batches(
         lambda b: pa.table({
             "window_start": b.column("window_start"),
@@ -117,7 +126,8 @@ def hopping_window(events_ds, window_us: int = WINDOW_US, hop_us: int = HOP_US):
                 b.column("n_events_sum").to_numpy(zero_copy_only=False),
                 type=pa.int64()),
             "sum_value": pa.array(
-                np.round(b.column("value_sum").to_numpy(zero_copy_only=False), 6),
+                np.round(b.column("sum_c_sum").to_numpy(zero_copy_only=False)
+                         / 100.0, 6),
                 type=pa.float64()),
         }),
         batch_format="pyarrow")
@@ -208,27 +218,52 @@ def window_top_types(events_ds, window_us: int = WINDOW_US, k: int = 3,
 SESSION_GAP_US = 1_800_000_000  # 30 minutes
 
 
-def sessionize(events_ds, gap_us: int = SESSION_GAP_US):
+def sessionize(events_ds, gap_us: int = SESSION_GAP_US,
+               partitions: int = 64):
     """Gap-based sessionization: per user, events sorted by
     (ts, event_id) belong to the same session until a gap > ``gap_us``
     opens a new one; ``session_seq`` is the 0-based session index within
-    the user. ONE shuffle (groupby user_id); the per-group kernel is a
-    vectorized diff + cumsum. Mirrored exactly by the SQL lag/sum window
-    oracle."""
-    def assign(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="stable")
+    the user.
+
+    ONE shuffle on the coarse key ``user_id % P`` (VERDICT r03 #3:
+    per-user ``map_groups`` pays Ray's ~0.4 ms Python apply per TINY
+    group — millions of ~10-row applies at scale; the coarse partition
+    runs one vectorized lexsort + diff + segmented-cumsum kernel over
+    thousands of users at once, mirroring window_top_types' ``pw``
+    pattern). Mirrored exactly by the SQL lag/sum window oracle."""
+    def add_pu(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        return b.append_column("pu", pa.array(u % partitions))
+
+    def assign_part(g: pd.DataFrame) -> pd.DataFrame:
         ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        new = np.zeros(len(g), dtype=np.int64)
-        if len(ts) > 1:
-            new[1:] = (np.diff(ts) > gap_us).astype(np.int64)
+        u = g["user_id"].to_numpy()
+        e = g["event_id"].to_numpy()
+        order = np.lexsort((e, ts, u))
+        u, ts, e = u[order], ts[order], e[order]
+        n = len(u)
+        new = np.zeros(n, dtype=np.int64)
+        first = np.zeros(n, dtype=bool)
+        if n:
+            first[0] = True
+            if n > 1:
+                same_user = u[1:] == u[:-1]
+                first[1:] = ~same_user
+                new[1:] = (same_user & (np.diff(ts) > gap_us)).astype(np.int64)
+        # segmented cumsum: global cumsum minus the value carried in at
+        # each user's first row (cumsum is nondecreasing, so a running
+        # max of the first-row snapshots forward-fills the per-user base)
+        cs = np.cumsum(new)
+        base = np.maximum.accumulate(np.where(first, cs, 0))
         return pd.DataFrame({
-            "event_id": g["event_id"].to_numpy(),
-            "user_id": g["user_id"].to_numpy(),
-            "session_seq": np.cumsum(new),
+            "event_id": e,
+            "user_id": u,
+            "session_seq": cs - base,
         })
 
     return events_ds.select_columns(["event_id", "user_id", "ts"]) \
-        .groupby("user_id").map_groups(assign, batch_format="pandas")
+        .map_batches(add_pu, batch_format="pyarrow") \
+        .groupby("pu").map_groups(assign_part, batch_format="pandas")
 
 
 def compile_orders_asof(orders_table: pa.Table):

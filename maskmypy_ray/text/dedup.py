@@ -21,7 +21,6 @@ MinHash permutations reuse the engine's mix32 avalanche: perm_i(shingle)
 
 from __future__ import annotations
 
-import re
 from hashlib import md5
 
 import numpy as np
@@ -29,8 +28,9 @@ import pandas as pd
 import pyarrow as pa
 
 from ..rng import mix32
+from .grams import (TOKEN_RE, band_keys, distinct_per_doc, gram_hashes_batch,
+                    minhash_signatures, token_codes_batch)
 
-TOKEN_RE = re.compile(r"[a-z0-9]+")
 N_PERM = 64
 N_BANDS = 16
 ROWS_PER_BAND = 4
@@ -81,15 +81,12 @@ def exact_dedup(ds, text_col: str = "text", partitions: int = 64):
 
 
 def _shingle_hashes(text: str, n: int = 5) -> np.ndarray:
-    toks = TOKEN_RE.findall(text.lower())
-    if len(toks) < n:
-        shingles = [" ".join(toks)] if toks else []
-    else:
-        shingles = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
-    # stable 32-bit shingle hash from md5 (no PYTHONHASHSEED dependence)
-    return np.unique(np.array(
-        [int.from_bytes(md5(s.encode()).digest()[:4], "little") for s in shingles],
-        dtype=np.int64))
+    """Sorted-distinct word-n-gram hashes of ONE text (thin wrapper over
+    the batch kernel in :mod:`maskmypy_ray.text.grams` — per-token md5
+    codes folded by position-salted mix32, SQL-mirrored)."""
+    codes, bounds = token_codes_batch([text])
+    grams, _ = gram_hashes_batch(codes, bounds, n, "single")
+    return np.unique(grams)
 
 
 def minhash_signature(shingles: np.ndarray) -> np.ndarray:
@@ -104,23 +101,26 @@ def minhash_signature(shingles: np.ndarray) -> np.ndarray:
 
 def minhash_bands_batch(batch: pa.Table, text_col: str = "text",
                         ngram: int = 5) -> pa.Table:
-    """Explode each doc into (band_id, band_hash, doc_id) rows — the LSH
-    bucket keys for the groupby shuffle."""
+    """Explode each doc into (band_id, band_key, doc_id) rows — the LSH
+    bucket keys for the groupby shuffle. Fully batch-vectorized
+    (VERDICT r03 #5): gram hashes from the shared kernel, signatures via
+    one slab matmul-style reduceat, band keys a 64-bit mix32 fold of the
+    band's minima (the shuffle proxy for the minima TUPLE the SQL twin
+    joins on — false key collisions are removed by the Jaccard verify)."""
     doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
     texts = batch.column(text_col).to_pylist()
-    out_band, out_hash, out_doc = [], [], []
-    for d, t in zip(doc_ids, texts):
-        sig = minhash_signature(_shingle_hashes(t, ngram))
-        for b in range(N_BANDS):
-            seg = sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
-            bh = md5(seg.tobytes()).hexdigest()[:16]
-            out_band.append(b)
-            out_hash.append(bh)
-            out_doc.append(d)
+    codes, bounds = token_codes_batch(texts)
+    grams, gb = gram_hashes_batch(codes, bounds, ngram, "single")
+    grams, gb = distinct_per_doc(grams, gb)
+    perms = mix32(np.arange(N_PERM, dtype=np.int64) + _SALT)
+    sig = minhash_signatures(grams, gb, perms)
+    keys = band_keys(sig, N_BANDS, ROWS_PER_BAND)
+    D = len(doc_ids)
     return pa.table({
-        "band_id": pa.array(out_band, type=pa.int32()),
-        "band_hash": pa.array(out_hash, type=pa.string()),
-        "doc_id": pa.array(out_doc, type=pa.int64()),
+        "band_id": pa.array(np.tile(np.arange(N_BANDS, dtype=np.int32), D),
+                            type=pa.int32()),
+        "band_key": pa.array(keys.reshape(-1), type=pa.int64()),
+        "doc_id": pa.array(np.repeat(doc_ids, N_BANDS), type=pa.int64()),
     })
 
 
@@ -153,21 +153,19 @@ def minhash_lsh_pairs(ds, threshold: float = 0.8, text_col: str = "text",
     """
     def bands_batch(b: pa.Table) -> pa.Table:
         t = minhash_bands_batch(b, text_col, ngram)
-        pb = np.array([int(h, 16) % partitions
-                       for h in t.column("band_hash").to_pylist()],
-                      dtype=np.int64)
-        return t.append_column("pb", pa.array(pb))
+        k = t.column("band_key").to_numpy(zero_copy_only=False)
+        return t.append_column("pb", pa.array((k * 1_000_003) % partitions))
 
     bands = ds.map_batches(bands_batch, batch_format="pyarrow")
 
     def bucket_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["band_id", "band_hash", "doc_id"])
-        sz = g.groupby(["band_id", "band_hash"], sort=False)["doc_id"] \
+        g = g.drop_duplicates(["band_id", "band_key", "doc_id"])
+        sz = g.groupby(["band_id", "band_key"], sort=False)["doc_id"] \
             .transform("size")
         multi = g[sz >= 2]
         out_a, out_b = [], []
         # iterate only buckets that actually collide (near-dups are rare)
-        for _, sub in multi.groupby(["band_id", "band_hash"], sort=False):
+        for _, sub in multi.groupby(["band_id", "band_key"], sort=False):
             docs = np.unique(sub["doc_id"].to_numpy())
             ia, ib = np.triu_indices(len(docs), 1)
             out_a.append(docs[ia])
@@ -202,14 +200,18 @@ def minhash_lsh_pairs(ds, threshold: float = 0.8, text_col: str = "text",
 
     def shingles_rows(b: pa.Table) -> pa.Table:
         d = b.column("doc_id").to_numpy(zero_copy_only=False)
-        sh = [_shingle_hashes(t, ngram).tolist()
-              for t in b.column(text_col).to_pylist()]
+        codes, bounds = token_codes_batch(b.column(text_col).to_pylist())
+        grams, gb = gram_hashes_batch(codes, bounds, ngram, "single")
+        grams, gb = distinct_per_doc(grams, gb)
+        sh = pa.ListArray.from_arrays(
+            pa.array(gb.astype(np.int32)),
+            pa.array(grams, type=pa.int64()))
         return pa.table({
             "doc": pa.array(d, type=pa.int64()),
             "doc_a": pa.array(np.full(len(d), -1), type=pa.int64()),
             "doc_b": pa.array(np.full(len(d), -1), type=pa.int64()),
             "is_pair": pa.array(np.zeros(len(d), dtype=np.int8)),
-            "shingles": pa.array(sh, type=pa.list_(pa.int64())),
+            "shingles": sh,
             "pd_": pa.array(d % partitions),
         })
 
@@ -260,7 +262,9 @@ JACCARD_EXACT_MAX_ELEMENTS = 500_000_000  # docs x vocab (float32 => 2 GB)
 
 def _tokenize_for_jaccard(texts: list[str], use_shingles: bool, ngram: int):
     if use_shingles:
-        return [_shingle_hashes(t, ngram).tolist() for t in texts]
+        codes, bounds = token_codes_batch(texts)
+        grams, gb = gram_hashes_batch(codes, bounds, ngram, "single")
+        return [grams[gb[i]:gb[i + 1]].tolist() for i in range(len(texts))]
     return [TOKEN_RE.findall(t.lower()) for t in texts]
 
 
@@ -492,31 +496,17 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text"):
 
 def span_hashes_batch(batch: pa.Table, k: int = 15,
                       text_col: str = "text") -> pa.Table:
-    """Distinct positional word-k-gram hashes per doc (md5[:4] little —
-    the same 32-bit convention as the winnow/minhash grams, so DuckDB's
-    ``md5_number_upper(g) & 0xFFFFFFFF`` mirrors it bit-for-bit). Docs
-    shorter than ``k`` tokens contribute no spans."""
-    from hashlib import md5 as _md5
-
+    """Distinct word-k-gram hashes per doc via the shared batch kernel
+    (the same 32-bit mix32-fold-of-md5-token-codes convention as the
+    winnow/minhash grams, SQL-mirrored by ``oracle.sql_gram_list_expr``).
+    Docs shorter than ``k`` tokens contribute no spans."""
     doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-    texts = batch.column(text_col).to_pylist()
-    out_doc, out_hash = [], []
-    for d, t in zip(doc_ids, texts):
-        toks = TOKEN_RE.findall(t.lower())
-        if len(toks) < k:
-            continue
-        hs = np.unique(np.array(
-            [int.from_bytes(_md5(" ".join(toks[i:i + k]).encode())
-                            .digest()[:4], "little")
-             for i in range(len(toks) - k + 1)], dtype=np.int64))
-        out_doc.append(np.full(len(hs), d, dtype=np.int64))
-        out_hash.append(hs)
-    if not out_doc:
-        return pa.table({"doc_id": pa.array([], type=pa.int64()),
-                         "gram_hash": pa.array([], type=pa.int64())})
+    codes, bounds = token_codes_batch(batch.column(text_col).to_pylist())
+    grams, gb = gram_hashes_batch(codes, bounds, k, "skip")
+    grams, gb = distinct_per_doc(grams, gb)
     return pa.table({
-        "doc_id": pa.array(np.concatenate(out_doc), type=pa.int64()),
-        "gram_hash": pa.array(np.concatenate(out_hash), type=pa.int64()),
+        "doc_id": pa.array(np.repeat(doc_ids, np.diff(gb)), type=pa.int64()),
+        "gram_hash": pa.array(grams, type=pa.int64()),
     })
 
 

@@ -178,33 +178,21 @@ def winnow_batch(batch: pa.Table, k: int = 5, w: int = 4,
     Unlike :func:`fingerprint_batch` (whole-document identity) this is
     the plagiarism/near-dup *sketch*: any shared substring of length
     >= k + w - 1 tokens guarantees a shared selected hash. Gram hashing
-    uses the same 32-bit md5 as the MinHash shingles (the paper permits
-    any strong hash in place of Karp-Rabin rolling hashes).
+    is the shared batch kernel of the near-dup family (per-token md5
+    codes folded by position-salted mix32 — the paper permits any strong
+    hash in place of Karp-Rabin rolling hashes; this one IS rolling).
 
     Output: exploded (doc_id, gram_hash) rows, one per distinct selected
     hash. Fully vectorized: one global sliding-window min with
     doc-boundary masking; docs with fewer than ``w`` grams (rare)
     contribute their single whole-list min.
     """
-    from .dedup import TOKEN_RE
+    from .grams import gram_hashes_batch, token_codes_batch
 
     doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
     texts = batch.column(text_col).to_pylist()
-    grams: list[int] = []
-    seg_bounds = [0]
-    for t in texts:
-        toks = TOKEN_RE.findall(t.lower())
-        if not toks:
-            gs = []
-        elif len(toks) < k:
-            gs = [" ".join(toks)]
-        else:
-            gs = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-        grams.extend(
-            int.from_bytes(md5(g.encode()).digest()[:4], "little") for g in gs)
-        seg_bounds.append(len(grams))
-    bounds = np.asarray(seg_bounds, dtype=np.int64)
-    g = np.asarray(grams, dtype=np.int64)
+    codes, tbounds = token_codes_batch(texts)
+    g, bounds = gram_hashes_batch(codes, tbounds, k, "single")
     lens = np.diff(bounds)
     out_doc: list[np.ndarray] = []
     out_hash: list[np.ndarray] = []

@@ -213,3 +213,25 @@ def test_ripley_ktest_distributed_observed_stat(ray_session, sf_dir):
     assert np.allclose(r.statistic, mem, rtol=1e-12)
     assert r.simulations.shape == (3, 5)
     assert np.all((r.pvalue > 0) & (r.pvalue <= 1))
+
+
+def test_ripley_entrypoint_equality(ray_session, sf_dir):
+    """VERDICT r03 #6: the Dataset and array entry points are ONE
+    estimator — with the same CSR keys (doc_id) the array path yields
+    the identical observed stat, simulation envelope and p-values as the
+    distributed one-shuffle path."""
+    import numpy as np
+
+    from maskmypy_ray.analysis.ripley import ripleys_k
+    from maskmypy_ray.pipelines import points_ds
+
+    ds = points_ds(sf_dir).materialize()
+    df = ds.select_columns(["doc_id", "x", "y"]).to_pandas()
+    dist = ripleys_k(ds, steps=5, simulations=4, seed=11)
+    mem = ripleys_k((df["x"].to_numpy(), df["y"].to_numpy()),
+                    steps=5, simulations=4, seed=11,
+                    keys=df["doc_id"].to_numpy())
+    assert np.allclose(dist.support, mem.support, rtol=1e-12)
+    assert np.allclose(dist.statistic, mem.statistic, rtol=1e-12)
+    assert np.allclose(dist.simulations, mem.simulations, rtol=1e-12)
+    assert np.array_equal(dist.pvalue, mem.pvalue)

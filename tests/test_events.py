@@ -134,3 +134,28 @@ def test_sessionize_unit(ray_session):
     # user 1: 0,10 (session 0), 50,55 (gap 40 min -> session 1)
     # user 2: 0 (session 0), 40 (gap 40 min -> session 1)
     assert out["session_seq"].tolist() == [0, 0, 1, 1, 0, 1]
+
+
+def test_sessionize_partition_count_independence(ray_session):
+    """The coarse user_id % P shuffle is an implementation detail: any
+    partition count (including P=1, every user in one kernel call, and a
+    P larger than the user count) yields identical assignments."""
+    import ray.data
+
+    from maskmypy_ray.stages.events import sessionize
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    ev = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(rng.integers(0, 97, n).astype(np.int64)),
+        "ts": pa.array(rng.integers(0, 3_600_000_000_000, n)
+                       .astype("datetime64[us]")),
+    })
+    ds = ray.data.from_arrow(ev).repartition(6)
+    base = sessionize(ds, partitions=64).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    for p in (1, 7, 1024):
+        got = sessionize(ds, partitions=p).to_pandas() \
+            .sort_values("event_id").reset_index(drop=True)
+        assert got.equals(base)

@@ -120,3 +120,78 @@ def test_small_component_terminates():
     m = StreetMasker(g, 20, 30, 1000.0, 42)(pts)
     mx, my = m.column("mx")[0].as_py(), m.column("my")[0].as_py()
     assert (mx, my) in set(zip(node_x.tolist(), node_y.tolist()))
+
+
+def test_street_sharded_single_shard_identity(ray_session, points_table):
+    """One shard covering the whole fixture bbox == the broadcast path,
+    bit for bit (mx, my, snap_node) — the sharded loader is a pure
+    routing layer (VERDICT r03 #7)."""
+    import ray.data
+
+    from maskmypy_ray.constants import X_MAX, X_MIN, Y_MAX, Y_MIN
+    from maskmypy_ray.stages.street import make_street_shards, street, street_sharded
+
+    ds = ray.data.from_arrow(points_table.select(["doc_id", "x", "y"]))
+    shards = make_street_shards([(X_MIN, X_MAX, Y_MIN, Y_MAX)],
+                                max_length=1000.0, seed=42)
+    a = street_sharded(ds, shards, low=5, high=10, seed=7).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = street(ds, synth_road_graph(seed=42), low=5, high=10, seed=7) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for col in ("mx", "my", "snap_node"):
+        assert (a[col] == b[col]).all(), col
+
+
+def test_street_sharded_two_regions(ray_session):
+    """Two disjoint region shards: every point masks onto a node of ITS
+    OWN region's graph (global snap ids disjoint by shard offset), and
+    each region's output equals the broadcast path run on that region's
+    graph alone."""
+    import pyarrow as pa
+    import ray.data
+
+    from maskmypy_ray.constants import X_MAX, X_MIN, Y_MAX, Y_MIN
+    from maskmypy_ray.stages.street import (StreetMasker, make_street_shards,
+                                            street_sharded, valid_snap_nodes)
+
+    shift = (X_MAX - X_MIN) + 20_000.0  # disjoint second region
+    regions = [(X_MIN, X_MAX, Y_MIN, Y_MAX),
+               (X_MIN + shift, X_MAX + shift, Y_MIN, Y_MAX)]
+    rng_ = np.random.default_rng(3)
+    n = 200
+    xa = rng_.uniform(X_MIN, X_MAX, n)
+    xb = rng_.uniform(X_MIN + shift, X_MAX + shift, n)
+    ya = rng_.uniform(Y_MIN, Y_MAX, n)
+    yb = rng_.uniform(Y_MIN, Y_MAX, n)
+    pts = pa.table({
+        "doc_id": pa.array(np.arange(2 * n, dtype=np.int64)),
+        "x": pa.array(np.concatenate([xa, xb])),
+        "y": pa.array(np.concatenate([ya, yb])),
+    })
+    shards = make_street_shards(regions, max_length=1000.0, seed=42)
+    out = street_sharded(ray.data.from_arrow(pts), shards, low=5, high=10,
+                         seed=7).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    off_b = shards[1].id_offset
+    assert (out.loc[:n - 1, "snap_node"] < off_b).all()
+    assert (out.loc[n:, "snap_node"] >= off_b).all()
+    # per-region equality against the broadcast path on the shard graph
+    import ray as _ray
+
+    for i, sl in ((0, slice(0, n)), (1, slice(n, 2 * n))):
+        g = _ray.get(shards[i].graph_ref)
+        masker = StreetMasker(g, 5, 10, 1000.0, seed=7,
+                              valid_ref=valid_snap_nodes(g, 1000.0))
+        ref = masker(pts.slice(sl.start, n))
+        got = out.iloc[sl]
+        assert np.array_equal(got["mx"].to_numpy(),
+                              np.asarray(ref.column("mx")))
+        assert np.array_equal(got["my"].to_numpy(),
+                              np.asarray(ref.column("my")))
+        assert np.array_equal(got["snap_node"].to_numpy(),
+                              np.asarray(ref.column("snap_node"))
+                              + shards[i].id_offset)
+        # masked coordinates are nodes of this region's own graph
+        node_set = set(zip(g.node_x.tolist(), g.node_y.tolist()))
+        assert all((a, b) in node_set
+                   for a, b in zip(got["mx"], got["my"]))

@@ -282,17 +282,28 @@ def test_winnow_matches_bruteforce():
     got = {(d, h) for d, h in zip(out.column("doc_id").to_pylist(),
                                   out.column("gram_hash").to_pylist())}
 
+    from maskmypy_ray.rng import mix32
+    from maskmypy_ray.text.grams import POS
+
+    def gram_hash(words):
+        # independent scalar reimplementation of the batched kernel:
+        # XOR over tokens of mix32(md5_code XOR POS[position])
+        h = 0
+        for j, wd in enumerate(words):
+            code = int.from_bytes(_md5(wd.encode()).digest()[:4], "little")
+            h ^= int(mix32(code ^ int(POS[j])))
+        return h
+
     expect = set()
     for did, t in enumerate(texts):
         toks = TOKEN_RE.findall(t.lower())
         if not toks:
             continue
         if len(toks) < k:
-            grams = [" ".join(toks)]
+            grams = [toks]
         else:
-            grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
-        hs = [int.from_bytes(_md5(g.encode()).digest()[:4], "little")
-              for g in grams]
+            grams = [toks[i:i + k] for i in range(len(toks) - k + 1)]
+        hs = [gram_hash(g) for g in grams]
         if len(hs) < w:
             expect.add((did, min(hs)))
         else:
