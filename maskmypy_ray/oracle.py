@@ -512,13 +512,12 @@ FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.h, b.h)) <= {max_hamming}"""
 
 
-def _minhash_edge_ctes(threshold: float = 0.8, ngram: int = 5) -> str:
+def _minhash_band_ctes(ngram: int = 5) -> str:
     """CTE chain (appended after a ``docs`` CTE) ending in relation
-    ``mh_edges(doc_a, doc_b, sim)`` — the banded-LSH candidate pairs
-    verified at exact shingle-Jaccard >= ``threshold``. Shared by
-    :func:`minhash_pairs_sql` and the LSH edge source of
-    :func:`dup_clusters_sql` so the pair list and the cluster closure
-    are provably the same relation."""
+    ``bands(doc_id, band, bkey)`` — each doc's 16 LSH bucket keys as
+    the band's minima TUPLE (the engine's folded int64 band_key is a
+    shuffle proxy for exactly this tuple). Shared by the pair oracles
+    and the cross-corpus decontamination oracle."""
     from .rng import mix32, sql_mix32
     from .text.dedup import _SALT, N_PERM, ROWS_PER_BAND
 
@@ -541,7 +540,17 @@ bands AS (
   UNION ALL
   SELECT tl.doc_id, b.band, '{empty_key}' AS bkey
   FROM tl CROSS JOIN (SELECT unnest(generate_series(0, {n_bands - 1})) AS band) b
-  WHERE len(tl.l) = 0),
+  WHERE len(tl.l) = 0)"""
+
+
+def _minhash_edge_ctes(threshold: float = 0.8, ngram: int = 5) -> str:
+    """CTE chain (appended after a ``docs`` CTE) ending in relation
+    ``mh_edges(doc_a, doc_b, sim)`` — the banded-LSH candidate pairs
+    verified at exact shingle-Jaccard >= ``threshold``. Shared by
+    :func:`minhash_pairs_sql` and the LSH edge source of
+    :func:`dup_clusters_sql` so the pair list and the cluster closure
+    are provably the same relation."""
+    return f"""{_minhash_band_ctes(ngram)},
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b
@@ -838,3 +847,23 @@ reach(node, label) AS (
   UNION
   SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node)
 SELECT node, min(label) AS cluster_id FROM reach GROUP BY node"""
+
+
+def cross_corpus_sql(every: int = 97, ngram: int = 5) -> str:
+    """Mirror of text.dedup.cross_corpus_flags over corpus + mutated
+    copies: a non-benchmark doc is contaminated iff it shares an LSH
+    band bucket (equal minima tuple) with any benchmark doc
+    (doc_id % ``every`` == 0). The engine probes a broadcast folded-key
+    set; this twin joins the tuple itself."""
+    return f"""WITH {_mutated_docs_cte()},
+{_minhash_band_ctes(ngram)},
+hit AS (
+  SELECT DISTINCT a.doc_id FROM bands a JOIN bands e
+    ON a.band = e.band AND a.bkey = e.bkey
+   AND e.doc_id % {every} = 0
+  WHERE a.doc_id % {every} <> 0)
+SELECT d.doc_id,
+       CAST(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+         AS contaminated
+FROM docs d LEFT JOIN hit h ON h.doc_id = d.doc_id
+WHERE d.doc_id % {every} <> 0"""

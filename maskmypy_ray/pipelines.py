@@ -1835,3 +1835,258 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
     out = _BASE_ORACLE_QUERIES14()
     out.update(_curation10_oracles())
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: session aggregates, conversion funnel.
+# ---------------------------------------------------------------------------
+
+
+def q_session_stats(sf_dir: str):
+    """Per-session aggregates (duration, event count, value sum) over
+    the gap-based sessions — sessionize and its aggregate fused into
+    one coarse user-partition pass."""
+    import ray.data
+
+    from .stages.events import session_stats
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts", "value"])
+    return session_stats(ev)
+
+
+def q_event_funnel(sf_dir: str):
+    """view -> purchase conversion funnel within 1 hour: per user the
+    first view and the first qualifying purchase after it."""
+    import ray.data
+
+    from .stages.events import event_funnel
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"])
+    return event_funnel(ev)
+
+
+QUERIES.update({
+    "session_stats": q_session_stats,
+    "event_funnel": q_event_funnel,
+})
+
+
+def _round4_oracles() -> dict[str, str]:
+    return {
+        "session_stats": (
+            "WITH s AS (SELECT user_id, ts, value, "
+            "SUM(CASE WHEN prev IS NOT NULL AND epoch_us(ts) - epoch_us(prev) "
+            "> 1800000000 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq "
+            "FROM (SELECT event_id, user_id, ts, value, lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events)) "
+            "SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS duration_us, "
+            "round(sum(value), 6) AS sum_value "
+            "FROM s GROUP BY user_id, session_seq"),
+        "event_funnel": (
+            "WITH a AS (SELECT user_id, min(epoch_us(ts)) AS a_ts "
+            "FROM events WHERE event_type = 'view' GROUP BY user_id) "
+            "SELECT a.user_id, a.a_ts, min(epoch_us(e.ts)) AS b_ts "
+            "FROM a JOIN events e ON e.user_id = a.user_id "
+            "AND e.event_type = 'purchase' AND epoch_us(e.ts) > a.a_ts "
+            "AND epoch_us(e.ts) <= a.a_ts + 86400000000 "
+            "GROUP BY a.user_id, a.a_ts"),
+    }
+
+
+_BASE_ORACLE_QUERIES15 = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
+    out = _BASE_ORACLE_QUERIES15()
+    out.update(_round4_oracles())
+    return out
+
+
+def q_hll_users(sf_dir: str):
+    """HyperLogLog-256 distinct-user sketch per event type — the
+    mergeable-sketch path for count-distinct at 100 TB (exact twin:
+    window_distinct_users). Registers, zero-count and the integer
+    denominator are hash-exact vs SQL; the estimate shares the same
+    one-division arithmetic."""
+    import ray.data
+
+    from .sketches import hll_distinct
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    return hll_distinct(ev, "user_id", "event_type")
+
+
+QUERIES.update({"hll_distinct": q_hll_users})
+
+
+def _round4b_oracles() -> dict[str, str]:
+    from .sketches import hll_sql
+
+    return {"hll_distinct": hll_sql("events", "user_id", "event_type")}
+
+
+_BASE_ORACLE_QUERIES16 = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
+    out = _BASE_ORACLE_QUERIES16()
+    out.update(_round4b_oracles())
+    return out
+
+
+def q_weighted_sample(sf_dir: str):
+    """Length-weighted Bernoulli sample of the documents table —
+    all-integer keep rule, bit-exact in SQL."""
+    import ray.data
+
+    from .text.corpus import weighted_sample
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+    return weighted_sample(ds, seed=SEED)
+
+
+def q_host_cap_sample(sf_dir: str):
+    """Per-host page cap (k=10 by counter-RNG rank) over the web
+    corpus — the per-domain cap that stops single-site dominance."""
+    from .text.corpus import host_cap_sample
+
+    return host_cap_sample(
+        read_webpages(sf_dir, seed=SEED, include_html=False)
+        .select_columns(["doc_id", "url"]), k=10, seed=SEED)
+
+
+def q_host_blocklist_filter(sf_dir: str):
+    """Survivors of the data-derived host blocklist (above-mean total
+    chars), applied via broadcast bloom + exact-verify membership."""
+    from .text.corpus import host_blocklist_filter
+
+    return host_blocklist_filter(
+        read_webpages(sf_dir, seed=SEED, include_html=False)
+        .select_columns(["doc_id", "url", "text"]))
+
+
+QUERIES.update({
+    "weighted_sample": q_weighted_sample,
+    "host_cap_sample": q_host_cap_sample,
+    "host_blocklist_filter": q_host_blocklist_filter,
+})
+
+
+def _round4c_oracles() -> dict[str, str]:
+    from .rng import sql_substream, sql_uniform01
+
+    sub = sql_substream("doc_id", SEED, 913)
+    u = sql_uniform01("doc_id", SEED, 912)
+    host = "regexp_extract(url, '^https?://([^/]+)', 1)"
+    return {
+        "weighted_sample": (
+            f"SELECT doc_id, n_chars FROM documents "
+            f"WHERE ({sub}) * (SELECT max(n_chars) FROM documents) "
+            f"< n_chars * 4294967296"),
+        "host_cap_sample": (
+            f"WITH {oracle.pages_cte(SEED)}, "
+            f"h AS (SELECT doc_id, {host} AS host, {u} AS u FROM pages), "
+            "rk AS (SELECT doc_id, host, row_number() OVER "
+            "(PARTITION BY host ORDER BY u, doc_id) AS rk FROM h) "
+            "SELECT doc_id, host FROM rk WHERE rk <= 10"),
+        "host_blocklist_filter": (
+            f"WITH {oracle.pages_cte(SEED)}, "
+            f"ph AS (SELECT doc_id, {host} AS host, "
+            "CAST(length(text) AS BIGINT) AS nc FROM pages), "
+            "hs AS (SELECT host, CAST(sum(nc) AS BIGINT) AS c "
+            "FROM ph GROUP BY 1), "
+            "tot AS (SELECT CAST(count(*) AS BIGINT) AS nh, "
+            "CAST(sum(c) AS BIGINT) AS t FROM hs), "
+            "blk AS (SELECT host FROM hs, tot WHERE c * nh > t) "
+            "SELECT doc_id, host FROM ph "
+            "WHERE host NOT IN (SELECT host FROM blk)"),
+    }
+
+
+_BASE_ORACLE_QUERIES17 = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
+    out = _BASE_ORACLE_QUERIES17()
+    out.update(_round4c_oracles())
+    return out
+
+
+def q_cross_corpus_dedup(sf_dir: str):
+    """Near-duplicate train-vs-benchmark decontamination (MinHash band
+    membership against the eval slice) over corpus + mutated copies —
+    the paraphrase-robust complement of the exact-gram decontaminate."""
+    from .text.dedup import cross_corpus_flags, with_mutated_copies
+
+    return cross_corpus_flags(with_mutated_copies(_docs_ds(sf_dir)))
+
+
+QUERIES.update({"cross_corpus_dedup": q_cross_corpus_dedup})
+
+
+def _round4d_oracles() -> dict[str, str]:
+    return {"cross_corpus_dedup": oracle.cross_corpus_sql()}
+
+
+_BASE_ORACLE_QUERIES18 = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
+    out = _BASE_ORACLE_QUERIES18()
+    out.update(_round4d_oracles())
+    return out
+
+
+def q_media_frames(sf_dir: str):
+    """Frame-sampling layout over the (stub-)decoded media column: one
+    output row per kept frame — the video-style expansion stage
+    (rows-only: the fake decode has no SQL meaning; the row-count
+    contract is pinned by pytest)."""
+    from .multimodal.media import decode_media, frame_sample
+
+    decoded = decode_media(read_webpages(sf_dir, seed=SEED,
+                                         include_html=True), fake=True)
+    return frame_sample(decoded, every=2).select_columns(
+        ["url", "frame_idx"])
+
+
+QUERIES.update({"media_frames": q_media_frames})
+
+
+_CMS_PROBES = ["the", "merge", "join", "sort", "batch", "spark", "window",
+               "data", "table", "row", "column", "value", "key", "query",
+               "scan", "filter"]
+
+
+def q_cms_counts(sf_dir: str):
+    """Count-min sketch (4x1024, mix32 rows) estimates of corpus-wide
+    occurrence counts for a fixed probe-token set — the heavy-hitter
+    sketch twin of the exact ngram_topk."""
+    from .sketches import cms_token_counts
+
+    return cms_token_counts(_docs_ds(sf_dir), _CMS_PROBES)
+
+
+QUERIES.update({"cms_counts": q_cms_counts})
+
+
+def _round4e_oracles() -> dict[str, str]:
+    from .sketches import cms_sql
+
+    return {"cms_counts": cms_sql("documents", _CMS_PROBES)}
+
+
+_BASE_ORACLE_QUERIES19 = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
+    out = _BASE_ORACLE_QUERIES19()
+    out.update(_round4e_oracles())
+    return out

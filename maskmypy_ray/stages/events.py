@@ -348,3 +348,164 @@ def range_join_parts(events_ds, part_table: pa.Table, half_band: float = 10.0):
         })
 
     return events_ds.map_batches(join, batch_format="pyarrow")
+
+
+def _empty_frame(**cols) -> pd.DataFrame:
+    """Zero-row frame with EXPLICIT dtypes: pandas defaults empty lists
+    to float64, which poisons the Dataset schema (ADVICE r03 on typed
+    empty blocks) and breaks the driver's schema compare."""
+    return pd.DataFrame({k: np.array([], dtype=t) for k, t in cols.items()})
+
+
+def session_stats(events_ds, gap_us: int = SESSION_GAP_US,
+                  partitions: int = 64):
+    """Per-session aggregates over the gap-based sessions of
+    :func:`sessionize`: (user_id, session_seq) -> n_events,
+    duration_us (last ts - first ts), sum_value (rounded 6).
+
+    Same single coarse ``user_id % P`` shuffle as sessionize — a
+    partition holds EVERY event of its users, so the session assignment
+    AND its aggregate are both final within the partition (no second
+    shuffle, unlike a naive sessionize -> groupby(session) chain).
+    Values are summed as int64 cents so partial order can't cross the
+    oracle's rounding (same rule as tumbling_window).
+    """
+    def add_pu(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        return b.append_column("pu", pa.array(u % partitions))
+
+    def stats_part(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        u = g["user_id"].to_numpy()
+        e = g["event_id"].to_numpy()
+        vc = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        order = np.lexsort((e, ts, u))
+        u, ts, vc = u[order], ts[order], vc[order]
+        n = len(u)
+        if not n:
+            return _empty_frame(user_id=np.int64, session_seq=np.int64,
+                                n_events=np.int64, duration_us=np.int64,
+                                sum_value=np.float64)
+        new = np.zeros(n, dtype=np.int64)
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        if n > 1:
+            same_user = u[1:] == u[:-1]
+            first[1:] = ~same_user
+            new[1:] = (same_user & (np.diff(ts) > gap_us)).astype(np.int64)
+        cs = np.cumsum(new)
+        base = np.maximum.accumulate(np.where(first, cs, 0))
+        seq = cs - base
+        # segment boundaries: first row of each (user, session)
+        seg_start = first | (new == 1)
+        seg_id = np.cumsum(seg_start) - 1
+        n_seg = seg_id[-1] + 1
+        n_events = np.bincount(seg_id, minlength=n_seg)
+        sum_c = np.bincount(seg_id, weights=vc.astype(np.float64),
+                            minlength=n_seg).astype(np.int64)
+        starts = np.flatnonzero(seg_start)
+        ends = np.append(starts[1:], n) - 1
+        return pd.DataFrame({
+            "user_id": u[starts],
+            "session_seq": seq[starts],
+            "n_events": n_events.astype(np.int64),
+            "duration_us": ts[ends] - ts[starts],
+            "sum_value": np.round(sum_c / 100.0, 6),
+        })
+
+    return events_ds.select_columns(["event_id", "user_id", "ts", "value"]) \
+        .map_batches(add_pu, batch_format="pyarrow") \
+        .groupby("pu").map_groups(stats_part, batch_format="pandas")
+
+
+FUNNEL_WINDOW_US = 24 * WINDOW_US  # 24 hours
+
+
+def event_funnel(events_ds, first_type: str = "view",
+                 then_type: str = "purchase",
+                 within_us: int = FUNNEL_WINDOW_US,
+                 partitions: int = 64):
+    """Conversion funnel: per user, the FIRST ``first_type`` event and
+    the FIRST ``then_type`` event strictly after it within ``within_us``.
+    Returns Dataset[(user_id, a_ts, b_ts)] for converted users only
+    (both timestamps as int64 epoch-us).
+
+    Scale shape: the batch kernel pre-reduces each block to per-user
+    min-A partials plus the (filtered) B events, so the single coarse
+    ``user_id % P`` shuffle carries one A row per (user, batch) and only
+    ``then_type`` events — never the full log. The per-partition finish
+    is one lexsort + searchsorted over thousands of users at once.
+    """
+    def partial(b: pa.Table) -> pa.Table:
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        ts = _ts_us(b)
+        am = et == first_type
+        bm = et == then_type
+        rows_u, rows_ts, rows_side = [], [], []
+        if am.any():
+            au, ats = u[am], ts[am]
+            order = np.lexsort((ats, au))
+            au, ats = au[order], ats[order]
+            keep = np.ones(len(au), dtype=bool)
+            keep[1:] = au[1:] != au[:-1]  # per-user min (sorted by ts)
+            rows_u.append(au[keep])
+            rows_ts.append(ats[keep])
+            rows_side.append(np.zeros(int(keep.sum()), dtype=np.int8))
+        if bm.any():
+            rows_u.append(u[bm])
+            rows_ts.append(ts[bm])
+            rows_side.append(np.ones(int(bm.sum()), dtype=np.int8))
+        if not rows_u:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "ts_us": pa.array([], type=pa.int64()),
+                             "side": pa.array([], type=pa.int8()),
+                             "pu": pa.array([], type=pa.int64())})
+        uu = np.concatenate(rows_u)
+        return pa.table({
+            "user_id": pa.array(uu, type=pa.int64()),
+            "ts_us": pa.array(np.concatenate(rows_ts), type=pa.int64()),
+            "side": pa.array(np.concatenate(rows_side), type=pa.int8()),
+            "pu": pa.array(uu % partitions, type=pa.int64()),
+        })
+
+    def finish_part(g: pd.DataFrame) -> pd.DataFrame:
+        u = g["user_id"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        side = g["side"].to_numpy()
+        a = side == 0
+        if not a.any():
+            return _empty_frame(user_id=np.int64, a_ts=np.int64,
+                                b_ts=np.int64)
+        au, ats = u[a], ts[a]
+        order = np.lexsort((ats, au))
+        au, ats = au[order], ats[order]
+        keep = np.ones(len(au), dtype=bool)
+        keep[1:] = au[1:] != au[:-1]
+        au, ats = au[keep], ats[keep]  # per-user global min A
+        bu, bts = u[~a], ts[~a]
+        # for each B event, its user's a_ts (or miss)
+        pos = np.searchsorted(au, bu)
+        pos = np.minimum(pos, len(au) - 1)
+        hit = au[pos] == bu
+        a_of_b = ats[pos]
+        ok = hit & (bts > a_of_b) & (bts <= a_of_b + within_us)
+        if not ok.any():
+            return _empty_frame(user_id=np.int64, a_ts=np.int64,
+                                b_ts=np.int64)
+        cu, cts = bu[ok], bts[ok]
+        order = np.lexsort((cts, cu))
+        cu, cts = cu[order], cts[order]
+        keep = np.ones(len(cu), dtype=bool)
+        keep[1:] = cu[1:] != cu[:-1]  # first qualifying B per user
+        cu, cts = cu[keep], cts[keep]
+        pos = np.searchsorted(au, cu)
+        return pd.DataFrame({
+            "user_id": cu.astype(np.int64),
+            "a_ts": ats[pos].astype(np.int64),
+            "b_ts": cts.astype(np.int64),
+        })
+
+    return events_ds.select_columns(["user_id", "ts", "event_type"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("pu").map_groups(finish_part, batch_format="pandas")

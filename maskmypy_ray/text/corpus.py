@@ -23,6 +23,7 @@ from __future__ import annotations
 from hashlib import md5
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 BENCH_MOD = 97  # doc_id % BENCH_MOD == 0 -> benchmark member (fixture rule)
@@ -271,3 +272,205 @@ def sample_fixed_k(ds, k: int = 100, seed: int = 42, key_col: str = "doc_id"):
         lambda b: sample_fixed_k_partial(b, k, seed, key_col),
         batch_format="pyarrow")
     return part.sort(["u", key_col]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 curation additions: weighted sampling, per-host caps, host
+# blocklist filtering (bloom-prefiltered broadcast membership).
+# ---------------------------------------------------------------------------
+
+WEIGHTED_STREAM = 913  # rng stream registry: weighted Bernoulli sampling
+
+
+def weighted_sample_batch(batch: pa.Table, seed: int, maxw: int,
+                          weight_col: str) -> pa.Table:
+    """Keep each row with probability weight/maxw — ALL-INTEGER compare
+    ``substream(doc_id) * maxw < weight * 2^32`` so the kept set is
+    bit-exact in SQL (no float boundary anywhere, unlike an
+    Efraimidis-Spirakis ``u^(1/w)`` key whose ``ln``/``pow`` may differ
+    by an ulp between numpy and DuckDB)."""
+    from ..rng import substream
+
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    h = substream(ids, seed, WEIGHTED_STREAM)
+    keep = h * np.int64(maxw) < w << np.int64(32)
+    return batch.filter(pa.array(keep))
+
+
+def weighted_sample(ds, seed: int = 42, weight_col: str = "n_chars"):
+    """Weighted Bernoulli sample: row kept with probability
+    ``weight / max(weight)`` — longer documents proportionally more
+    likely (the inverse of a length-bias correction). The max is ONE
+    scalar aggregate broadcast into a stateless filter; no shuffle.
+    """
+    maxw = int(ds.max(weight_col))
+    if not 0 < maxw < (1 << 30):
+        raise ValueError(f"weight range [1, 2^30) required, max={maxw}")
+    return ds.map_batches(
+        lambda b: weighted_sample_batch(b, seed, maxw, weight_col),
+        batch_format="pyarrow")
+
+
+HOST_CAP_STREAM = 912  # rng stream registry: per-host page cap
+
+
+def _host_of(batch: pa.Table):
+    """(idx, hosts): dictionary-encoded URL host per row."""
+    import pyarrow.compute as pc
+
+    ex = pc.extract_regex(batch.column("url"), HOST_RE)
+    enc = pc.dictionary_encode(pc.struct_field(ex, "host"))
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return idx, enc.dictionary.to_pylist()
+
+
+def _host_hash64(hosts: list[str]) -> np.ndarray:
+    """First 8 md5 bytes per host — content-based, so partition routing
+    and blocklist membership agree across batches and stages."""
+    if not hosts:
+        return np.empty(0, dtype=np.uint64)
+    return np.frombuffer(
+        b"".join(md5(h.encode()).digest()[:8] for h in hosts),
+        dtype=np.uint64)
+
+
+def _head_k_per_host(host_key: np.ndarray, u: np.ndarray, ids: np.ndarray,
+                     k: int) -> np.ndarray:
+    """Row indices of the k smallest (u, id) rows per host key —
+    one lexsort + segment-rank, no per-host loop."""
+    order = np.lexsort((ids, u, host_key))
+    hk = host_key[order]
+    starts = np.ones(len(hk), dtype=bool)
+    starts[1:] = hk[1:] != hk[:-1]
+    seg_start = np.maximum.accumulate(np.where(starts,
+                                               np.arange(len(hk)), 0))
+    rank = np.arange(len(hk)) - seg_start
+    return order[rank < k]
+
+
+def host_cap_sample(ds, k: int = 10, seed: int = 42,
+                    partitions: int = 64):
+    """Per-host page cap: keep at most ``k`` pages per URL host, chosen
+    by counter-RNG rank (ties -> smaller doc_id) — the MassiveText-style
+    per-domain cap that stops any single site from dominating the
+    corpus. Deterministic at any parallelism.
+
+    Scale shape: per-batch partial head-k per host (≤ k rows per
+    (host, batch) enter the shuffle) -> one coarse ``md5(host) % P``
+    partition -> the same vectorized segment-rank kernel finishes each
+    host exactly once."""
+    from ..rng import uniform01
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        idx, hosts = _host_of(b)
+        h64 = _host_hash64(hosts)
+        u = uniform01(ids, seed, HOST_CAP_STREAM)
+        key = h64[idx]
+        sel = _head_k_per_host(key, u, ids, k)
+        sel = np.sort(sel)
+        return pa.table({
+            "doc_id": pa.array(ids[sel], type=pa.int64()),
+            "host": pa.array(np.asarray(hosts, dtype=object)[idx[sel]],
+                             type=pa.string()),
+            "u": pa.array(u[sel], type=pa.float64()),
+            "ph": pa.array((h64[idx[sel]] % np.uint64(partitions))
+                           .astype(np.int64), type=pa.int64()),
+        })
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].to_numpy()
+        u = g["u"].to_numpy()
+        hosts_arr = g["host"].to_numpy()
+        _, key = np.unique(hosts_arr, return_inverse=True)
+        sel = np.sort(_head_k_per_host(key, u, ids, k))
+        return pd.DataFrame({
+            "doc_id": ids[sel],
+            "host": hosts_arr[sel],
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("ph").map_groups(finish, batch_format="pandas")
+
+
+def _blocked_hosts_ref(pages_ds, bloom_bits_pow2: int = 16):
+    """Compile the blocklist (hosts whose total chars exceed the
+    per-host mean: ``host_chars * n_hosts > total_chars``, all-integer)
+    into (bloom bitset, sorted 64-bit host hashes) inside a Ray task —
+    the driver holds only the ObjectRef. The bloom array is the
+    100-TB-side answer (10^8 blocked hosts = a few hundred MB of bits
+    broadcast once vs. gigabytes of strings); the sorted hash array
+    gives exact verification of bloom positives."""
+    import ray
+
+    stats = domain_stats(pages_ds)
+
+    @ray.remote(num_cpus=1)
+    def compile_blocklist(*blocks):
+        tbls = [b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
+                for b in blocks]
+        hosts, chars = [], []
+        for t in tbls:
+            if "host" not in t.column_names:  # empty block, empty schema
+                continue
+            hosts.extend(t.column("host").to_pylist())
+            chars.append(t.column("n_chars").to_numpy(zero_copy_only=False))
+        chars = (np.concatenate(chars) if chars
+                 else np.empty(0, dtype=np.int64)).astype(np.int64)
+        nh, tot = len(hosts), int(chars.sum())
+        blocked = [h for h, c in zip(hosts, chars) if int(c) * nh > tot]
+        h64 = np.sort(_host_hash64(blocked))
+        nbits = 1 << bloom_bits_pow2
+        while nbits < 16 * max(len(h64), 1) and nbits < (1 << 30):
+            nbits <<= 1
+        mask = np.uint64(nbits - 1)
+        bloom = np.zeros(nbits, dtype=bool)
+        for shift in (0, 16, 32, 48):
+            bloom[((h64 >> np.uint64(shift)) & mask).astype(np.int64)] = True
+        return bloom, mask, h64
+
+    return compile_blocklist.remote(*stats.to_arrow_refs())
+
+
+def host_blocklist_filter(pages_ds, out_ds=None):
+    """Drop pages whose host is on the data-derived blocklist
+    (above-mean total chars — a stand-in for any spam/quality host
+    list). Returns Dataset[(doc_id, host)] of the SURVIVORS.
+
+    Membership is a broadcast bloom probe per DISTINCT host per batch
+    with exact verification of positives against the sorted hash array
+    — never a shuffle join. Result is exact (bloom false positives are
+    re-checked; 64-bit host-hash collisions are the documented ~2^-64
+    residual, same class as every content-hash key in text/)."""
+    import ray
+
+    ref = _blocked_hosts_ref(pages_ds)
+
+    def keep_batch(b: pa.Table) -> pa.Table:
+        bloom, mask, h64 = ray.get(ref)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        idx, hosts = _host_of(b)
+        hh = _host_hash64(hosts)
+        maybe = np.zeros(len(hh), dtype=bool)
+        if len(hh):
+            maybe = np.ones(len(hh), dtype=bool)
+            for shift in (0, 16, 32, 48):
+                maybe &= bloom[((hh >> np.uint64(shift)) & mask)
+                               .astype(np.int64)]
+        blocked = np.zeros(len(hh), dtype=bool)
+        if maybe.any() and len(h64):
+            pos = np.searchsorted(h64, hh[maybe])
+            pos = np.minimum(pos, len(h64) - 1)
+            blocked[maybe] = h64[pos] == hh[maybe]
+        keep = ~blocked[idx]
+        return pa.table({
+            "doc_id": pa.array(ids[keep], type=pa.int64()),
+            "host": pa.array(np.asarray(hosts, dtype=object)[idx[keep]],
+                             type=pa.string()),
+        })
+
+    src = out_ds if out_ds is not None else pages_ds
+    return src.map_batches(keep_batch, batch_format="pyarrow")

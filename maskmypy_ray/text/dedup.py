@@ -557,3 +557,94 @@ def with_mutated_copies(ds, every: int = 10, id_offset: int = 1_000_000):
         return pa.table(cols)
 
     return ds.union(ds.map_batches(mutate, batch_format="pyarrow"))
+
+
+def _eval_band_set_refs(ds, every: int, text_col: str, ngram: int):
+    """Per-band sorted arrays of the EVAL slice's folded band keys,
+    compiled in a Ray task from a parallel band-computation stage —
+    the driver holds only the ObjectRef (same shape as
+    corpus._benchmark_grams_ref)."""
+    import ray
+
+    def eval_bands(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        m = ids % every == 0
+        if not m.any():
+            return pa.table({"band_id": pa.array([], type=pa.int32()),
+                             "band_key": pa.array([], type=pa.int64())})
+        t = minhash_bands_batch(b.filter(pa.array(m)), text_col, ngram)
+        return t.select(["band_id", "band_key"])
+
+    bands = ds.select_columns(["doc_id", text_col]).map_batches(
+        eval_bands, batch_format="pyarrow")
+
+    @ray.remote(num_cpus=1)
+    def union(*blocks):
+        per_band = [[] for _ in range(N_BANDS)]
+        for blk in blocks:
+            t = blk if isinstance(blk, pa.Table) else pa.Table.from_pandas(blk)
+            if "band_id" not in t.column_names or not t.num_rows:
+                continue
+            bid = t.column("band_id").to_numpy(zero_copy_only=False)
+            key = t.column("band_key").to_numpy(zero_copy_only=False)
+            for b in range(N_BANDS):
+                k = key[bid == b]
+                if len(k):
+                    per_band[b].append(k)
+        return [np.unique(np.concatenate(ks)) if ks
+                else np.empty(0, dtype=np.int64) for ks in per_band]
+
+    return union.remote(*bands.to_arrow_refs())
+
+
+def cross_corpus_flags(ds, every: int = 97, text_col: str = "text",
+                       ngram: int = 5):
+    """Train-vs-benchmark NEAR-duplicate decontamination: flag every
+    non-benchmark doc that shares a MinHash LSH band bucket with any
+    benchmark doc (doc_id % ``every`` == 0 — the fixture's eval slice).
+    The n-gram twin of corpus.decontaminate: band collision ≈ shingle
+    Jaccard >= the LSH threshold curve, catching paraphrased/partial
+    leaks exact grams miss. Returns Dataset[(doc_id, contaminated)].
+
+    Scale shape: the eval side is always small (a benchmark), so its
+    16 per-band key arrays are compiled in a Ray task and broadcast;
+    flagging is one band computation + 16 ``searchsorted`` probes per
+    batch — NO shuffle at any size. Engine membership uses the folded
+    int64 band key (the SQL twin joins the minima tuple itself; a fold
+    collision is the documented ~2^-64 residual, same class as
+    band_keys/grams hashing).
+    """
+    import ray
+
+    ref = _eval_band_set_refs(ds, every, text_col, ngram)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        per_band = ray.get(ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids % every != 0
+        sub = batch.filter(pa.array(keep))
+        sids = ids[keep]
+        if not len(sids):
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "contaminated": pa.array([], type=pa.int64())})
+        t = minhash_bands_batch(sub, text_col, ngram)
+        # minhash_bands_batch flattens the (D, n_bands) key matrix
+        # row-major (band_id is np.tile per doc)
+        key = t.column("band_key").to_numpy(zero_copy_only=False) \
+            .reshape(len(sids), N_BANDS)
+        hit = np.zeros(len(sids), dtype=bool)
+        for b in range(N_BANDS):
+            arr = per_band[b]
+            if not len(arr):
+                continue
+            k = key[:, b]
+            pos = np.searchsorted(arr, k)
+            pos = np.minimum(pos, len(arr) - 1)
+            hit |= arr[pos] == k
+        return pa.table({
+            "doc_id": pa.array(sids, type=pa.int64()),
+            "contaminated": pa.array(hit.astype(np.int64), type=pa.int64()),
+        })
+
+    return ds.select_columns(["doc_id", text_col]).map_batches(
+        flag, batch_format="pyarrow")

@@ -495,3 +495,70 @@ def test_media_size_quantiles(ray_session, sf_dir):
     sizes = np.sort(pages["html"].str.len().to_numpy())
     for q, v in zip(got["q"], got["value"]):
         assert v == float(sizes[int(np.floor(q * (len(sizes) - 1)))])
+
+
+# ---------------------------------------------------------------------------
+# Round-4: weighted sampling, per-host caps, blocklist filter.
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_proportions(ray_session):
+    import ray.data
+
+    from maskmypy_ray.text.corpus import weighted_sample
+
+    n = 4000
+    w = np.where(np.arange(n) % 2 == 0, 100, 1000).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "n_chars": pa.array(w, type=pa.int64()),
+    }))
+    out = weighted_sample(ds, seed=7).to_pandas()
+    light = (out["n_chars"] == 100).sum()
+    heavy = (out["n_chars"] == 1000).sum()
+    # keep probabilities 0.1 and 1.0: all heavy rows kept, ~10% of light
+    assert heavy == n // 2
+    assert 0.05 * n / 2 < light < 0.15 * n / 2
+    # determinism + partition independence
+    out2 = weighted_sample(ds.repartition(7), seed=7).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+
+
+def test_host_cap_sample_cap_and_invariance(ray_session):
+    import ray.data
+
+    from maskmypy_ray.text.corpus import host_cap_sample
+
+    n = 600
+    urls = [f"https://h{i % 6}.example.org/p/{i}" for i in range(n)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "url": pa.array(urls),
+    }))
+    out = host_cap_sample(ds, k=10, seed=3).to_pandas()
+    counts = out.groupby("host").size()
+    assert (counts == 10).all() and len(counts) == 6
+    out2 = host_cap_sample(ds.repartition(9), k=10, seed=3,
+                           partitions=5).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+
+
+def test_host_blocklist_filter_exact(ray_session):
+    import ray.data
+
+    from maskmypy_ray.text.corpus import host_blocklist_filter
+
+    # host h0 carries far more chars than the others -> blocked
+    rows = []
+    for i in range(90):
+        h = f"h{i % 3}"
+        rows.append((i, f"https://{h}.example.org/p/{i}",
+                     "x" * (2000 if h == "h0" else 10)))
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "url": pa.array([r[1] for r in rows]),
+        "text": pa.array([r[2] for r in rows]),
+    })
+    out = host_blocklist_filter(ray.data.from_arrow(t)).to_pandas()
+    assert set(out["host"]) == {"h1.example.org", "h2.example.org"}
+    assert len(out) == 60

@@ -159,3 +159,78 @@ def test_sessionize_partition_count_independence(ray_session):
         got = sessionize(ds, partitions=p).to_pandas() \
             .sort_values("event_id").reset_index(drop=True)
         assert got.equals(base)
+
+
+def test_session_stats_unit(ray_session):
+    import ray.data
+
+    from maskmypy_ray.stages.events import session_stats
+
+    gap = 1_800_000_000
+    ev = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], type=pa.int64()),
+        "user_id": pa.array([7, 7, 7, 7, 9], type=pa.int64()),
+        # user 7: two events 10us apart, gap, one event; user 9: one event
+        "ts": pa.array([0, 10, gap + 20, gap + 30, 50],
+                       type=pa.timestamp("us")),
+        "value": pa.array([1.5, 2.25, 4.0, 8.0, 16.0]),
+    })
+    out = session_stats(ray.data.from_arrow(ev)).to_pandas() \
+        .sort_values(["user_id", "session_seq"]).reset_index(drop=True)
+    assert out.values.tolist() == [
+        [7, 0, 2, 10, 3.75],
+        [7, 1, 2, 10, 12.0],
+        [9, 0, 1, 0, 16.0],
+    ]
+
+
+def test_event_funnel_unit(ray_session):
+    import ray.data
+
+    from maskmypy_ray.stages.events import event_funnel
+
+    ev = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 3, 4, 4], type=pa.int64()),
+        "ts": pa.array([100, 150, 200, 100, 90, 100, 100, 100 + 10_000],
+                       type=pa.timestamp("us")),
+        "event_type": pa.array(["view", "purchase", "purchase",  # u1
+                                "view", "purchase",              # u2: B before A
+                                "purchase",                      # u3: no A
+                                "view", "purchase"]),            # u4: B too late
+    })
+    out = event_funnel(ray.data.from_arrow(ev), within_us=5_000) \
+        .to_pandas().sort_values("user_id").values.tolist()
+    # u1 converts with FIRST qualifying purchase (150, not 200);
+    # u2's purchase precedes the view; u3 never views; u4's is outside
+    # the window.
+    assert out == [[1, 100, 150]]
+
+
+def test_session_stats_and_funnel_partition_independence(ray_session):
+    import ray.data
+
+    from maskmypy_ray.stages.events import event_funnel, session_stats
+
+    rng = np.random.default_rng(7)
+    n = 400
+    ev = pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "user_id": pa.array(rng.integers(0, 25, n), type=pa.int64()),
+        "ts": pa.array(np.sort(rng.integers(0, 3_000_000_000_000, n)),
+                       type=pa.timestamp("us")),
+        "value": pa.array(np.round(rng.uniform(0, 50, n), 2)),
+        "event_type": pa.array(rng.choice(["view", "purchase", "click"], n)),
+    })
+    ds = ray.data.from_arrow(ev)
+
+    def canon(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+    s1 = canon(session_stats(ds, partitions=3).to_pandas())
+    s2 = canon(session_stats(ds.repartition(11), partitions=64).to_pandas())
+    assert s1.equals(s2)
+    f1 = canon(event_funnel(ds, partitions=3).to_pandas())
+    f2 = canon(event_funnel(ds.repartition(11), partitions=64).to_pandas())
+    assert f1.equals(f2)
+    assert len(f1) > 0

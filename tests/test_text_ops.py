@@ -314,3 +314,36 @@ def test_winnow_matches_bruteforce():
     s0 = {h for d, h in got if d == 0}
     s4 = {h for d, h in got if d == 4}
     assert s0 == s4
+
+
+def test_cross_corpus_flags_near_dups(ray_session):
+    import ray.data
+
+    from maskmypy_ray.text.dedup import cross_corpus_flags
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark forest to hide from hunters")
+    # doc 0 is the eval slice (0 % 97 == 0); doc 97*3=291 too
+    rows = {
+        0: base,                                  # eval
+        291: "completely different words entirely unrelated content here "
+             "nothing shared with anything else in this corpus at all",  # eval
+        5: base + " extra tail words",            # near-dup of eval doc 0
+        7: "an unrelated document about ray data pipelines and arrow "
+           "batches streaming through the object store with backpressure",
+        13: base,                                 # exact dup of eval doc 0
+    }
+    t = pa.table({
+        "doc_id": pa.array(list(rows), type=pa.int64()),
+        "text": pa.array(list(rows.values())),
+    })
+    out = cross_corpus_flags(ray.data.from_arrow(t)).to_pandas() \
+        .set_index("doc_id")["contaminated"]
+    assert set(out.index) == {5, 7, 13}  # eval docs excluded from output
+    assert out[13] == 1                  # exact copy always collides
+    assert out[5] == 1                   # near-dup shares >= 1 band
+    assert out[7] == 0
+    # partition independence
+    out2 = cross_corpus_flags(ray.data.from_arrow(t).repartition(4)) \
+        .to_pandas().set_index("doc_id")["contaminated"]
+    assert out2.sort_index().equals(out.sort_index())
