@@ -2090,3 +2090,121 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
     out = _BASE_ORACLE_QUERIES19()
     out.update(_round4e_oracles())
     return out
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions, part 2: URL dedup, TF-IDF keywords, outlier flags.
+# ---------------------------------------------------------------------------
+
+
+def q_url_dedup(sf_dir: str):
+    """Crawl-refetch URL dedup: canonicalize raw fetch URLs (lowercase
+    scheme+host, strip query/fragment/trailing slash), keep the first
+    fetch per canonical URL — the CommonCrawl-style URL-level dedup
+    that precedes any content dedup."""
+    from .text.corpus import url_dedup
+
+    return url_dedup(read_webpages(sf_dir, seed=SEED, include_html=False))
+
+
+def q_tfidf_topk(sf_dir: str):
+    """Top-3 TF-IDF keywords per doc (quantized-integer idf, broadcast
+    df vocabulary) — the per-doc feature-extraction stage."""
+    from .text.lm import tfidf_topk
+
+    return tfidf_topk(_docs_ds(sf_dir))
+
+
+def q_outlier_flags(sf_dir: str):
+    """Per-source Tukey-fence length outliers over documents.n_chars —
+    exact integer fences from per-source quartile order statistics."""
+    import ray.data
+
+    from .text.quality import source_outlier_flags
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source", "n_chars"])
+    return source_outlier_flags(ds)
+
+
+QUERIES.update({
+    "url_dedup": q_url_dedup,
+    "tfidf_topk": q_tfidf_topk,
+    "outlier_flags": q_outlier_flags,
+})
+
+
+def _round4f_oracles() -> dict[str, str]:
+    utm = "?utm_source=feed&utm_medium=rss"
+    pfx = "regexp_extract(raw_url, '(?i)^https?://[^/]+')"
+    rest = "regexp_replace(raw_url, '(?i)^https?://[^/]+', '')"
+    messy = (
+        "CASE {m} % 4 "
+        f"WHEN 0 THEN url || '{utm}' "
+        "WHEN 1 THEN upper(regexp_extract(url, '^https?://[^/]+')) || "
+        "regexp_replace(url, '^https?://[^/]+', '') || '#top' "
+        "WHEN 2 THEN url || '/' ELSE url END")
+    return {
+        "url_dedup": (
+            f"WITH {oracle.pages_cte(SEED)}, "
+            "fetches AS ("
+            f"SELECT doc_id * 2 AS fetch_id, doc_id, "
+            f"{messy.format(m='doc_id')} AS raw_url FROM pages "
+            "UNION ALL "
+            f"SELECT doc_id * 2 + 1, doc_id, "
+            f"{messy.format(m='(doc_id + 1)')} AS raw_url FROM pages "
+            "WHERE doc_id % 5 = 0), "
+            "canon AS (SELECT fetch_id, doc_id, "
+            f"lower({pfx}) || regexp_replace(regexp_replace({rest}, "
+            "'[?#].*$', ''), '/+$', '') AS canonical_url FROM fetches) "
+            "SELECT canonical_url, min(fetch_id) AS kept_fetch_id, "
+            "min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_fetches "
+            "FROM canon GROUP BY canonical_url"),
+        "tfidf_topk": f"""WITH tl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS l
+  FROM documents),
+tok AS (SELECT doc_id, unnest(l) AS tok FROM tl),
+df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tok GROUP BY tok),
+vocab AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 4096),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, tok),
+sc AS (
+  SELECT t.doc_id, t.tok,
+    t.tf * CAST(floor(1000000 * ln(CAST((SELECT n FROM n) AS DOUBLE)
+                                   / CAST(COALESCE(v.df, 1) AS DOUBLE)))
+                AS BIGINT) AS score_micro
+  FROM tf t LEFT JOIN vocab v ON t.tok = v.tok),
+rk AS (SELECT *, row_number() OVER
+         (PARTITION BY doc_id ORDER BY score_micro DESC, tok) AS rank
+       FROM sc)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok AS token, score_micro
+FROM rk WHERE rank <= 3""",
+        "outlier_flags": """WITH r AS (
+  SELECT source, n_chars,
+    row_number() OVER (PARTITION BY source ORDER BY n_chars) - 1 AS rk,
+    count(*) OVER (PARTITION BY source) AS n
+  FROM documents),
+q AS (
+  SELECT source,
+    max(CASE WHEN rk = CAST(floor(0.25 * (n - 1)) AS BIGINT)
+        THEN n_chars END) AS q25,
+    max(CASE WHEN rk = CAST(floor(0.75 * (n - 1)) AS BIGINT)
+        THEN n_chars END) AS q75
+  FROM r GROUP BY source)
+SELECT d.doc_id, d.source, d.n_chars,
+  CAST(CASE WHEN 2 * d.n_chars < 5 * q.q25 - 3 * q.q75 THEN -1
+            WHEN 2 * d.n_chars > 5 * q.q75 - 3 * q.q25 THEN 1
+            ELSE 0 END AS BIGINT) AS flag
+FROM documents d JOIN q USING (source)""",
+    }
+
+
+_BASE_ORACLE_QUERIES20 = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
+    out = _BASE_ORACLE_QUERIES20()
+    out.update(_round4f_oracles())
+    return out

@@ -474,3 +474,119 @@ def host_blocklist_filter(pages_ds, out_ds=None):
 
     src = out_ds if out_ds is not None else pages_ds
     return src.map_batches(keep_batch, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + URL-level dedup (crawl refetch dedup)
+# ---------------------------------------------------------------------------
+
+# Deterministic messy-fetch synthesis (FIXTURES-style rule, no RNG): a
+# crawler sees each page once, in one of four raw forms keyed on
+# doc_id % 4 (tracking query / shouting host + fragment / trailing
+# slash / clean); every doc_id % 5 == 0 page is fetched a SECOND time
+# in the next form — the realistic same-page-recrawled duplicate that
+# URL canonicalization exists to remove. fetch_id = doc_id*2 + j.
+_URL_PREFIX_RE = r"^https?://[^/]+"       # clean URLs (synthesis side)
+_URL_PREFIX_RE_I = r"(?i)^https?://[^/]+"  # raw URLs (canonicalize side)
+_UTM_SUFFIX = "?utm_source=feed&utm_medium=rss"
+
+
+def _messy_url(url: pa.Array, m: np.ndarray) -> pa.Array:
+    """Raw fetch form per page: m in {0,1,2,3} selects the noise rule."""
+    import pyarrow.compute as pc
+
+    st = pc.extract_regex(url, r"(?P<pfx>^https?://[^/]+)(?P<rest>.*)")
+    pfx = pc.struct_field(st, "pfx")
+    rest = pc.struct_field(st, "rest")
+    m0 = pc.binary_join_element_wise(url, pa.scalar(_UTM_SUFFIX), "")
+    m1 = pc.binary_join_element_wise(pc.utf8_upper(pfx), rest,
+                                     pa.scalar("#top"), "")
+    m2 = pc.binary_join_element_wise(url, pa.scalar("/"), "")
+    out = pc.if_else(pa.array(m == 0), m0,
+                     pc.if_else(pa.array(m == 1), m1,
+                                pc.if_else(pa.array(m == 2), m2, url)))
+    return out
+
+
+def url_fetches_batch(batch: pa.Table) -> pa.Table:
+    """pages batch -> (fetch_id, doc_id, raw_url) fetch log rows."""
+    import pyarrow.compute as pc
+
+    doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    url = batch.column("url")
+    if isinstance(url, pa.ChunkedArray):
+        url = url.combine_chunks()
+    first = pa.table({
+        "fetch_id": pa.array(doc_id * 2, type=pa.int64()),
+        "doc_id": batch.column("doc_id"),
+        "raw_url": _messy_url(url, doc_id % 4),
+    })
+    re_mask = doc_id % 5 == 0
+    if not re_mask.any():
+        return first
+    idx = np.flatnonzero(re_mask)
+    url2 = url.take(pa.array(idx))
+    second = pa.table({
+        "fetch_id": pa.array(doc_id[idx] * 2 + 1, type=pa.int64()),
+        "doc_id": pa.array(doc_id[idx], type=pa.int64()),
+        "raw_url": _messy_url(url2, (doc_id[idx] + 1) % 4),
+    })
+    return pa.concat_tables([first, second])
+
+
+def canonical_url_batch(batch: pa.Table,
+                        url_col: str = "raw_url") -> pa.Table:
+    """Append ``canonical_url``: lowercase scheme+host, strip query
+    string + fragment + trailing slashes. Three RE2 kernel calls per
+    batch, stateless — the 100-TB shape is a plain ``map_batches``."""
+    import pyarrow.compute as pc
+
+    raw = batch.column(url_col)
+    st = pc.extract_regex(
+        raw, r"(?i)(?P<pfx>^https?://[^/]+)(?P<rest>.*)")
+    pfx = pc.utf8_lower(pc.struct_field(st, "pfx"))
+    rest = pc.struct_field(st, "rest")
+    rest = pc.replace_substring_regex(rest, r"[?#].*$", "")
+    rest = pc.replace_substring_regex(rest, r"/+$", "")
+    canon = pc.binary_join_element_wise(pfx, rest, "")
+    return batch.append_column("canonical_url", canon)
+
+
+def url_dedup(pages_ds, partitions: int = 64):
+    """Crawl-refetch dedup: canonicalize every raw fetch URL, keep the
+    first fetch (min fetch_id) per canonical URL.
+
+    (canonical_url, kept_fetch_id, doc_id, n_fetches). Canonical groups
+    are tiny (1-2 rows), so this uses the coarse ``hash(canon) % P``
+    partition groupby with one vectorized sort + duplicated() pass per
+    partition (the exact_dedup shape), NOT a per-group apply. The
+    canonical hash runs md5 once per DISTINCT url in the batch
+    (dictionary-encode + gather)."""
+    import pyarrow.compute as pc
+
+    fetches = pages_ds.select_columns(["doc_id", "url"]) \
+        .map_batches(url_fetches_batch, batch_format="pyarrow")
+    canon = fetches.map_batches(canonical_url_batch, batch_format="pyarrow")
+
+    def with_part(b: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(b.column("canonical_url"))
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        distinct = enc.dictionary.to_pylist()
+        hd = np.array([int(md5(u.encode()).hexdigest()[:15], 16) % partitions
+                       for u in distinct], dtype=np.int64)
+        p = hd[enc.indices.to_numpy(zero_copy_only=False)]
+        return b.append_column("p", pa.array(p, type=pa.int64()))
+
+    def first_per_canon(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["canonical_url", "fetch_id"], kind="mergesort")
+        n = g.groupby("canonical_url", sort=False)["fetch_id"] \
+            .transform("size")
+        keep = ~g["canonical_url"].duplicated().to_numpy()
+        out = g[keep].copy()
+        out["n_fetches"] = n[keep].astype(np.int64)
+        return out[["canonical_url", "fetch_id", "doc_id", "n_fetches"]] \
+            .rename(columns={"fetch_id": "kept_fetch_id"})
+
+    return canon.map_batches(with_part, batch_format="pyarrow") \
+        .groupby("p").map_groups(first_per_canon, batch_format="pandas")

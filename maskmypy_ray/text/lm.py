@@ -114,3 +114,90 @@ def filter_by_nll(ds, q: float = 0.9, top_v: int = TOP_V,
     thr = exact_quantiles_distributed(scored, "nll", [q],
                                       max_collect=1_000_000)[0]
     return scored.filter(expr=f"nll <= {thr!r}")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction (feature-extraction twin of the unigram LM)
+# ---------------------------------------------------------------------------
+
+
+def doc_freqs(ds, text_col: str = "text"):
+    """(tok, df) corpus document frequencies — distinct tokens per doc
+    inside each batch (a doc lives in exactly one block, so per-batch
+    distinct is exact), partial counts, one ``groupby(token).sum``."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        for t in b.column(text_col).to_pylist():
+            toks.extend(set(TOKEN_RE.findall(t.lower())))
+        if not toks:
+            return pa.table({"tok": pa.array([], type=pa.string()),
+                             "df": pa.array([], type=pa.int64())})
+        u, cnt = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.table({"tok": pa.array(u, type=pa.string()),
+                         "df": pa.array(cnt.astype(np.int64))})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("tok").aggregate(Sum("df", alias_name="df"))
+
+
+def tfidf_topk(ds, k: int = 3, top_v: int = TOP_V, text_col: str = "text"):
+    """Top-``k`` TF-IDF keywords per doc: ``(doc_id, rank, token,
+    score_micro)``, rank 1..k by (score desc, token asc), docs with
+    fewer distinct tokens emit fewer rows.
+
+    Scores are exact int64: ``tf * floor(1e6 * ln(n_docs / df))`` with
+    the idf quantized per distinct token BEFORE the multiply (the same
+    order-independence trick as the unigram LM). The df vocabulary is
+    the top-``top_v`` tokens by (df desc, token asc), broadcast once;
+    out-of-vocabulary tokens take df = 1 (max idf) — the bounded-state
+    cap that keeps the broadcast side O(top_v) at 100 TB."""
+    import ray
+
+    dfs = doc_freqs(ds, text_col).materialize()
+    n_docs = ds.count()
+    vocab_rows = dfs.sort(["df", "tok"], descending=[True, False]) \
+        .limit(top_v).take_all()
+    vocab = {r["tok"]: int(r["df"]) for r in vocab_rows}
+    vocab_ref = ray.put(vocab)
+    n = max(int(n_docs), 1)
+
+    def score(b: pa.Table) -> pa.Table:
+        v: dict = ray.get(vocab_ref)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        flat: list[str] = []
+        bounds = [0]
+        for t in b.column(text_col).to_pylist():
+            flat.extend(TOKEN_RE.findall(t.lower()))
+            bounds.append(len(flat))
+        if not flat:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "rank": pa.array([], type=pa.int64()),
+                             "token": pa.array([], type=pa.string()),
+                             "score_micro": pa.array([], type=pa.int64())})
+        bounds = np.asarray(bounds, dtype=np.int64)
+        seg = np.repeat(np.arange(len(ids), dtype=np.int64),
+                        np.diff(bounds))
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+        dfu = np.array([v.get(u, 1) for u in uniq], dtype=np.float64)
+        idf = np.floor(_Q * np.log(n / dfu)).astype(np.int64)
+        # tf per (doc, token): composite-key unique (codes < len(uniq))
+        V = len(uniq)
+        uk, tf = np.unique(seg * np.int64(V) + codes, return_counts=True)
+        d = uk // V
+        c = (uk % V).astype(np.int64)
+        sc = tf.astype(np.int64) * idf[c]
+        g = pd.DataFrame({"d": d, "token": uniq[c], "score_micro": sc})
+        g = g.sort_values(["d", "score_micro", "token"],
+                          ascending=[True, False, True], kind="mergesort")
+        g["rank"] = g.groupby("d", sort=False).cumcount() + 1
+        g = g[g["rank"] <= k]
+        return pa.table({
+            "doc_id": pa.array(ids[g["d"].to_numpy()], type=pa.int64()),
+            "rank": pa.array(g["rank"].to_numpy().astype(np.int64)),
+            "token": pa.array(g["token"].to_numpy(), type=pa.string()),
+            "score_micro": pa.array(g["score_micro"].to_numpy()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -465,3 +465,53 @@ def source_quantiles(ds, qs: tuple = (0.25, 0.5, 0.75),
         return pd.DataFrame(row)
 
     return ds.groupby("source").map_groups(kernel, batch_format="pandas")
+
+
+def source_outlier_flags(ds, val_col: str = "n_chars"):
+    """Tukey-fence outlier flags per source: flag = -1 if the doc's
+    value is below q25 - 1.5*IQR, +1 if above q75 + 1.5*IQR, else 0.
+
+    (doc_id, source, <val>, flag). The fences compare in EXACT integer
+    arithmetic — ``2x < 5*q25 - 3*q75`` / ``2x > 5*q75 - 3*q25`` — so
+    the SQL twin is bit-identical (no float quantile interpolation).
+    Quartiles are per-source lower order statistics (rank
+    floor(q*(n-1))), computed with one vectorized sort per source
+    group (few big groups), collected bounded (n_sources rows) and
+    broadcast; the flag pass is a stateless vectorized filter."""
+    import pandas as pd
+    import ray
+
+    def quartiles(g):
+        v = np.sort(g[val_col].to_numpy().astype(np.int64))
+        n = len(v)
+        return pd.DataFrame({
+            "source": [g["source"].iloc[0]],
+            "q25": [int(v[int(np.floor(0.25 * (n - 1)))])],
+            "q75": [int(v[int(np.floor(0.75 * (n - 1)))])],
+        })
+
+    q_rows = ds.select_columns(["source", val_col]) \
+        .groupby("source").map_groups(quartiles, batch_format="pandas") \
+        .take_all()
+    fences = {r["source"]: (5 * r["q25"] - 3 * r["q75"],
+                            5 * r["q75"] - 3 * r["q25"])
+              for r in q_rows}
+    fences_ref = ray.put(fences)
+
+    def flag(b: pa.Table) -> pa.Table:
+        f: dict = ray.get(fences_ref)
+        src = b.column("source").to_pylist()
+        x = b.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = np.array([f[s][0] for s in src], dtype=np.int64)
+        hi = np.array([f[s][1] for s in src], dtype=np.int64)
+        out = np.zeros(len(x), dtype=np.int64)
+        out[2 * x < lo] = -1
+        out[2 * x > hi] = 1
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "source": b.column("source"),
+            val_col: b.column(val_col),
+            "flag": pa.array(out),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow")
