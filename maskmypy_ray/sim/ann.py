@@ -140,7 +140,8 @@ def cosine_pairs(ds, threshold: float = 0.4):
 
 
 def cosine_pairs_lsh(ds, threshold: float = 0.4, bits_per_band: int = 4,
-                     n_bands: int = 16, seed: int = 42):
+                     n_bands: int = 16, seed: int = 42,
+                     shuffle_blocks: int = 32):
     """Cosine-threshold similarity join via banded sign-LSH — the
     embedding twin of :func:`maskmypy_ray.text.dedup.minhash_lsh_pairs`
     and the scale path beside the broadcast all-pairs
@@ -171,6 +172,13 @@ def cosine_pairs_lsh(ds, threshold: float = 0.4, bits_per_band: int = 4,
     hash-merge: each pair explodes into two per-side rows that meet the
     (vec_id, embedding) table in a ``vec_id % P`` partition, then the
     pair partition computes one vectorized row-wise dot product.
+
+    ``shuffle_blocks`` coalesces the band/pair tables before each
+    groupby (see ``text.dedup.minhash_lsh_pairs``): a Ray sort makes
+    in-blocks x out-partitions shuffle objects, so inheriting the map
+    stage's fine block count pays quadratic per-object latency on
+    near-empty objects. Size so each shuffle partition holds
+    ~target_max_block_size of band rows at real scale.
     """
     import ray
 
@@ -217,40 +225,54 @@ def cosine_pairs_lsh(ds, threshold: float = 0.4, bits_per_band: int = 4,
         })
 
     cand = ds.map_batches(explode, batch_format="pyarrow") \
+        .repartition(shuffle_blocks) \
         .groupby("pb").map_groups(bucket_pairs_part, batch_format="pandas")
+    # materialized: two consumers below (needs + pair_rows) would
+    # otherwise re-execute the whole candidate generation; the pair
+    # list carries NO vectors (16 bytes/pair), so this checkpoint is
+    # bounded by LSH selectivity, not by corpus size
     uniq = cand.groupby("pq").map_groups(
         lambda g: g.drop_duplicates(["vec_a", "vec_b"])[["vec_a", "vec_b"]],
-        batch_format="pandas")
+        batch_format="pandas").materialize()
 
     dtype = pa.list_(pa.float64())
 
-    def explode_sides(b: pa.Table) -> pa.Table:
+    # Verify ships each DISTINCT (vec, pair-partition) embedding ONCE —
+    # never one embedding copy per pair side. With c candidate pairs
+    # over v vectors the old per-side replication moved 2c vectors
+    # through two shuffles (LSH banding at low thresholds is weakly
+    # selective, so c >> v: measured 2.5M vector copies for v = 2000 on
+    # the fixture); the needs table is bounded by min(2c, v x P).
+
+    def needs_batch(b: pa.Table) -> pa.Table:
         va = b.column("vec_a").to_numpy(zero_copy_only=False)
         vb = b.column("vec_b").to_numpy(zero_copy_only=False)
+        pq = (va * 1_000_003 + vb) % partitions
         vec = np.concatenate([va, vb])
-        side = np.concatenate([np.zeros(len(va), dtype=np.int8),
-                               np.ones(len(vb), dtype=np.int8)])
+        pqs = np.concatenate([pq, pq])
+        # batch-local (vec, pq) dedupe; residual cross-batch dups are
+        # dropped again inside verify_part
+        uk = np.unique(vec * np.int64(partitions) + pqs)
+        vec_u = uk // partitions
+        pq_u = uk % partitions
+        n = len(uk)
         return pa.table({
-            "vec": pa.array(vec, type=pa.int64()),
-            "vec_a": pa.array(np.concatenate([va, va]), type=pa.int64()),
-            "vec_b": pa.array(np.concatenate([vb, vb]), type=pa.int64()),
-            "side": pa.array(side),
-            "is_pair": pa.array(np.ones(2 * len(va), dtype=np.int8)),
-            "embedding": pa.array([[]] * (2 * len(va)), type=dtype),
-            "pd_": pa.array(vec % partitions),
+            "vec": pa.array(vec_u, type=pa.int64()),
+            "pq": pa.array(pq_u, type=pa.int64()),
+            "is_need": pa.array(np.ones(n, dtype=np.int8)),
+            "embedding": pa.array([[]] * n, type=dtype),
+            "pd_": pa.array(vec_u % partitions),
         })
 
-    sides = uniq.map_batches(explode_sides, batch_format="pyarrow")
+    needs = uniq.map_batches(needs_batch, batch_format="pyarrow")
 
     def emb_rows(b: pa.Table) -> pa.Table:
         ids = b.column("vec_id").to_numpy(zero_copy_only=False)
         n = len(ids)
         return pa.table({
             "vec": pa.array(ids, type=pa.int64()),
-            "vec_a": pa.array(np.full(n, -1), type=pa.int64()),
-            "vec_b": pa.array(np.full(n, -1), type=pa.int64()),
-            "side": pa.array(np.full(n, -1, dtype=np.int8)),
-            "is_pair": pa.array(np.zeros(n, dtype=np.int8)),
+            "pq": pa.array(np.full(n, -1), type=pa.int64()),
+            "is_need": pa.array(np.zeros(n, dtype=np.int8)),
             "embedding": b.column("embedding").cast(dtype),
             "pd_": pa.array(ids % partitions),
         })
@@ -259,19 +281,49 @@ def cosine_pairs_lsh(ds, threshold: float = 0.4, bits_per_band: int = 4,
         .map_batches(emb_rows, batch_format="pyarrow")
 
     def attach_part(g: pd.DataFrame) -> pd.DataFrame:
-        embs = g.loc[g["is_pair"] == 0, ["vec", "embedding"]]
-        prs = g.loc[g["is_pair"] == 1, ["vec", "vec_a", "vec_b", "side"]]
-        m = prs.merge(embs, on="vec", how="inner")
-        a = m["vec_a"].to_numpy(dtype=np.int64)
-        b = m["vec_b"].to_numpy(dtype=np.int64)
+        embs = g.loc[g["is_need"] == 0, ["vec", "embedding"]]
+        nd = g.loc[g["is_need"] == 1, ["vec", "pq"]]
+        m = nd.merge(embs, on="vec", how="inner")
         return pd.DataFrame({
-            "vec_a": a, "vec_b": b, "side": m["side"].to_numpy(),
+            "vec": m["vec"].to_numpy(dtype=np.int64),
+            "vec_a": np.full(len(m), -1, dtype=np.int64),
+            "vec_b": np.full(len(m), -1, dtype=np.int64),
+            "is_pair": np.zeros(len(m), dtype=np.int8),
             "embedding": m["embedding"],
-            "pq": (a * 1_000_003 + b) % partitions,
+            "pq": m["pq"].to_numpy(dtype=np.int64),
         })
 
-    attached = sides.union(vecs).groupby("pd_").map_groups(
-        attach_part, batch_format="pandas")
+    def to_arrow(b: pd.DataFrame) -> pa.Table:
+        # normalize block type: the union below must not mix the pandas
+        # blocks map_groups emits with pair_rows' arrow blocks
+        return pa.table({
+            "vec": pa.array(b["vec"].to_numpy(dtype=np.int64)),
+            "vec_a": pa.array(b["vec_a"].to_numpy(dtype=np.int64)),
+            "vec_b": pa.array(b["vec_b"].to_numpy(dtype=np.int64)),
+            "is_pair": pa.array(b["is_pair"].to_numpy(dtype=np.int8)),
+            "embedding": pa.array([list(e) for e in b["embedding"]],
+                                  type=dtype),
+            "pq": pa.array(b["pq"].to_numpy(dtype=np.int64)),
+        })
+
+    attached = needs.union(vecs).repartition(shuffle_blocks) \
+        .groupby("pd_").map_groups(attach_part, batch_format="pandas") \
+        .map_batches(to_arrow, batch_format="pandas")
+
+    def pair_rows(b: pa.Table) -> pa.Table:
+        va = b.column("vec_a").to_numpy(zero_copy_only=False)
+        vb = b.column("vec_b").to_numpy(zero_copy_only=False)
+        n = len(va)
+        return pa.table({
+            "vec": pa.array(np.full(n, -1), type=pa.int64()),
+            "vec_a": pa.array(va, type=pa.int64()),
+            "vec_b": pa.array(vb, type=pa.int64()),
+            "is_pair": pa.array(np.ones(n, dtype=np.int8)),
+            "embedding": pa.array([[]] * n, type=dtype),
+            "pq": pa.array((va * 1_000_003 + vb) % partitions),
+        })
+
+    pairs = uniq.map_batches(pair_rows, batch_format="pyarrow")
 
     def verify_part(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"vec_a": pd.array([], dtype="int64"),
@@ -279,22 +331,29 @@ def cosine_pairs_lsh(ds, threshold: float = 0.4, bits_per_band: int = 4,
                               "sim": pd.array([], dtype="float64")})
         if not len(g):
             return empty
-        cnt = g.groupby(["vec_a", "vec_b"], sort=False)["side"] \
-            .transform("size")
-        g = g[cnt == 2].sort_values(["vec_a", "vec_b", "side"],
-                                    kind="mergesort")
-        if not len(g):
+        embs = g.loc[g["is_pair"] == 0, ["vec", "embedding"]] \
+            .drop_duplicates("vec")
+        prs = g.loc[g["is_pair"] == 1]
+        if not len(embs) or not len(prs):
             return empty
-        m = _normalize(np.stack(g["embedding"].to_numpy()))
-        sims = np.einsum("ij,ij->i", m[0::2], m[1::2])
-        va = g["vec_a"].to_numpy()[0::2]
-        vb = g["vec_b"].to_numpy()[0::2]
+        svec = embs["vec"].to_numpy(dtype=np.int64)
+        order = np.argsort(svec, kind="mergesort")
+        svec = svec[order]
+        E = _normalize(np.stack(embs["embedding"].to_numpy()))[order]
+        va = prs["vec_a"].to_numpy(dtype=np.int64)
+        vb = prs["vec_b"].to_numpy(dtype=np.int64)
+        ia = np.searchsorted(svec, va)
+        ib = np.searchsorted(svec, vb)
+        ia = np.minimum(ia, len(svec) - 1)
+        ib = np.minimum(ib, len(svec) - 1)
+        have = (svec[ia] == va) & (svec[ib] == vb)
+        sims = np.einsum("ij,ij->i", E[ia[have]], E[ib[have]])
         ok = sims >= threshold
-        return pd.DataFrame({"vec_a": va[ok], "vec_b": vb[ok],
+        return pd.DataFrame({"vec_a": va[have][ok], "vec_b": vb[have][ok],
                              "sim": sims[ok]})
 
-    return attached.groupby("pq").map_groups(verify_part,
-                                             batch_format="pandas")
+    return attached.union(pairs).repartition(shuffle_blocks) \
+        .groupby("pq").map_groups(verify_part, batch_format="pandas")
 
 
 def lsh_buckets_batch(batch: pa.Table, planes: np.ndarray) -> pa.Table:

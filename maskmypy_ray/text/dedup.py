@@ -135,7 +135,8 @@ LSH_PARTITIONS = 64
 
 
 def minhash_lsh_pairs(ds, threshold: float = 0.8, text_col: str = "text",
-                      ngram: int = 5, partitions: int = LSH_PARTITIONS):
+                      ngram: int = 5, partitions: int = LSH_PARTITIONS,
+                      shuffle_blocks: int = 32):
     """Candidate pairs from LSH buckets, verified with exact shingle
     Jaccard. Returns Dataset[(doc_a, doc_b, sim)] with doc_a < doc_b.
 
@@ -150,13 +151,23 @@ def minhash_lsh_pairs(ds, threshold: float = 0.8, text_col: str = "text",
     table -> doc partition hash-merges each side's shingle set on ->
     pair partition computes exact Jaccard per candidate. Results are
     partition-count independent.
+
+    ``shuffle_blocks`` coalesces the band/pair tables before each
+    groupby: a Ray sort creates in-blocks x out-partitions shuffle
+    objects, and the band rows are ~24 bytes each, so inheriting the
+    corpus's (map-stage) block count makes every all-to-all pay a
+    quadratic per-object latency bill on near-empty objects (measured
+    3x end-to-end at 128 inherited blocks vs 32). Size it so each
+    shuffle partition holds ~target_max_block_size of BAND data —
+    corpus_rows x n_bands x 24B / 128MB at real scale.
     """
     def bands_batch(b: pa.Table) -> pa.Table:
         t = minhash_bands_batch(b, text_col, ngram)
         k = t.column("band_key").to_numpy(zero_copy_only=False)
         return t.append_column("pb", pa.array((k * 1_000_003) % partitions))
 
-    bands = ds.map_batches(bands_batch, batch_format="pyarrow")
+    bands = ds.map_batches(bands_batch, batch_format="pyarrow") \
+        .repartition(shuffle_blocks)
 
     def bucket_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(["band_id", "band_key", "doc_id"])
@@ -228,8 +239,8 @@ def minhash_lsh_pairs(ds, threshold: float = 0.8, text_col: str = "text",
             "pq": (a * 1_000_003 + b) % partitions,
         })
 
-    attached = sides.union(sh_rows).groupby("pd_").map_groups(
-        attach_part, batch_format="pandas")
+    attached = sides.union(sh_rows).repartition(shuffle_blocks) \
+        .groupby("pd_").map_groups(attach_part, batch_format="pandas")
 
     def verify_part(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_s = [], [], []
