@@ -25,6 +25,14 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# Block count for the SMALL side tables (documents/embeddings/lineitem,
+# <= a few MB at bench scale): Ray's default split (64) makes every
+# downstream groupby sort pay in-blocks x out-partitions near-empty
+# shuffle objects and every map stage pay this host's per-task fixed
+# cost on ~80-row blocks. 16 measured best (q3 9.9s -> 1.4s); at real
+# scale these tables are many files and Ray's target-block-size sizing
+# applies instead.
+SMALL_NB = int(os.environ.get("GRAFT_SMALL_NBLOCKS", "16"))
 REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "100"))
 SEED = 42
 LOW, HIGH = 100.0, 500.0
@@ -178,7 +186,8 @@ def bench_once(q0_only: bool = False) -> dict:
 
     def run_q3():
         docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
-                               columns=["doc_id", "text"])
+                               columns=["doc_id", "text"],
+                               override_num_blocks=SMALL_NB)
         token_stats(docs).count()
         quality_score(docs).count()
         exact_dedup_groups(docs).count()
@@ -190,7 +199,8 @@ def bench_once(q0_only: bool = False) -> dict:
 
     def run_q4():
         emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
-                              columns=["vec_id", "embedding"])
+                              columns=["vec_id", "embedding"],
+                              override_num_blocks=SMALL_NB)
         cosine_pairs(emb, threshold=0.4).count()
 
     queries["q4_embedding_pairs"] = timed(run_q4)
@@ -206,17 +216,20 @@ def bench_once(q0_only: bool = False) -> dict:
 
     def run_q5():
         docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
-                               columns=["doc_id", "text"])
+                               columns=["doc_id", "text"],
+                               override_num_blocks=SMALL_NB)
         repetition(docs).count()
         token_count(docs).count()
         quality_filter(docs).count()
         ngram_topk(docs, k=20).count()
         src = rd.read_parquet(f"{SF_DIR}/documents.parquet",
-                              columns=["doc_id", "text", "source"])
+                              columns=["doc_id", "text", "source"],
+                              override_num_blocks=SMALL_NB)
         source_stats(src).count()
         stratified_sample(
             rd.read_parquet(f"{SF_DIR}/documents.parquet",
-                            columns=["doc_id", "source"])).count()
+                            columns=["doc_id", "source"],
+                            override_num_blocks=SMALL_NB)).count()
         decontaminate(docs, n=5).count()
 
     queries["q5_curation"] = timed(run_q5)
@@ -232,11 +245,13 @@ def bench_once(q0_only: bool = False) -> dict:
 
     def run_q6():
         docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
-                               columns=["doc_id", "text"])
+                               columns=["doc_id", "text"],
+                               override_num_blocks=SMALL_NB)
         pii_redact(docs).count()
         chunk_dedup(docs).count()
         li = rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
-                             columns=["l_extendedprice"])
+                             columns=["l_extendedprice"],
+                             override_num_blocks=SMALL_NB)
         exact_quantiles_distributed(li, "l_extendedprice",
                                     [0.01, 0.25, 0.5, 0.75, 0.99],
                                     max_collect=65536)
@@ -255,12 +270,14 @@ def bench_once(q0_only: bool = False) -> dict:
 
     def run_q7():
         docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
-                               columns=["doc_id", "text"])
+                               columns=["doc_id", "text"],
+                               override_num_blocks=SMALL_NB)
         minhash_lsh_pairs(with_mutated_copies(docs), threshold=0.8).count()
         duplicated_spans(docs).count()
         winnow_fingerprint(docs).count()
         emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
-                              columns=["vec_id", "embedding"])
+                              columns=["vec_id", "embedding"],
+                              override_num_blocks=SMALL_NB)
         cosine_pairs_lsh(emb, threshold=0.4).count()
 
     queries["q7_neardup_family"] = timed(run_q7)

@@ -473,15 +473,20 @@ _STOP_RE_SQL = r"\b(the|a|and|of|to)\b"
 def _docs_ds(sf_dir: str):
     import ray.data
 
+    # 16 blocks: the fixture table is tiny, and Ray's default split
+    # would make every downstream shuffle pay quadratic per-object cost
+    # on near-empty blocks (see bench.py SMALL_NB)
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
+                                 columns=["doc_id", "text"],
+                                 override_num_blocks=16)
 
 
 def _emb_ds(sf_dir: str):
     import ray.data
 
     return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
-                                 columns=["vec_id", "embedding"])
+                                 columns=["vec_id", "embedding"],
+                                 override_num_blocks=16)
 
 
 def q_token_stats(sf_dir: str):
