@@ -233,6 +233,160 @@ def exact_median_distributed(ds, col: str, max_collect: int = 1_000_000) -> floa
     return float((v_lo + v_hi) / 2.0)
 
 
+def keyed_quantiles_distributed(ds, key_col: str, val_col: str,
+                                qs: list[float],
+                                max_collect: int = 65_536) -> dict:
+    """Exact per-key lower-order-statistic quantiles, distributed —
+    the keyed generalization of :func:`exact_quantiles_distributed`
+    (VERDICT r04 #2: the previous per-source path materialized each
+    whole key group in one ``map_groups`` task, which OOMs when one
+    key holds a double-digit share of a 100-TB corpus).
+
+    Every key's ranks descend TOGETHER: each refinement pass is ONE
+    ``map_batches`` emitting histogram rows keyed ``(key, window,
+    bin)`` and ONE tiny groupby-sum (1024 x active windows rows, never
+    values), and the final pass is ONE tagged collect over the union
+    of resolved bins (each ≤ ``max_collect`` values or a tie run).
+    Driver state is O(keys x len(qs)) scalars — no key group is ever
+    materialized in a single task.
+
+    Returns ``{key: [v_q0, v_q1, ...]}`` with the lower rule
+    (rank = floor(q * (n_key - 1)), SQL ``row_number`` twin).
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Max, Min, Sum
+
+    def stats_part(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        keys = b.column(key_col).to_numpy(zero_copy_only=False)
+        v = b.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        fin = ~np.isnan(v)
+        keys, v = keys[fin], v[fin]
+        codes, uniq = pd.factorize(keys)
+        k = len(uniq)
+        mn = np.full(k, np.inf)
+        mx = np.full(k, -np.inf)
+        np.minimum.at(mn, codes, v)
+        np.maximum.at(mx, codes, v)
+        return pa.table({
+            key_col: pa.array(uniq),
+            "vmin": pa.array(mn, type=pa.float64()),
+            "vmax": pa.array(mx, type=pa.float64()),
+            "n": pa.array(np.bincount(codes, minlength=k), type=pa.int64()),
+        })
+
+    stats = ds.map_batches(stats_part, batch_format="pyarrow") \
+        .groupby(key_col).aggregate(
+            Min("vmin", alias_name="vmin"), Max("vmax", alias_name="vmax"),
+            Sum("n", alias_name="n")).to_pandas()
+    keys = stats[key_col].tolist()
+    n_by = stats["n"].to_numpy()
+    ranks = {(i, qi): int(np.floor(q * (n_by[i] - 1)))
+             for i in range(len(keys)) for qi, q in enumerate(qs)}
+
+    # per (key_idx, q_idx): (lo, hi, below); resolved -> (blo,bhi,last,off)
+    state: dict[tuple, tuple] = {}
+    resolved: dict[tuple, tuple] = {}
+    for i in range(len(keys)):
+        lo, hi = float(stats["vmin"][i]), float(stats["vmax"][i])
+        for qi in range(len(qs)):
+            if _refinable(lo, hi):
+                state[(i, qi)] = (lo, hi, 0)
+            else:  # whole key column is one tie run
+                resolved[(i, qi)] = (lo, hi, True, ranks[(i, qi)])
+
+    while state:
+        # active (key_idx, lo, hi) windows, deduped across quantiles
+        windows = sorted({(i, lo, hi) for (i, _), (lo, hi, _) in state.items()})
+        w_edges = [np.linspace(lo, hi, 1025) for _, lo, hi in windows]
+        by_key: dict[int, list[int]] = {}
+        for wi, (i, _, _) in enumerate(windows):
+            by_key.setdefault(i, []).append(wi)
+
+        def hist(b: pa.Table, windows=windows, w_edges=w_edges,
+                 by_key=by_key, keys=keys) -> pa.Table:
+            import pandas as pd
+
+            bkeys = b.column(key_col).to_numpy(zero_copy_only=False)
+            v = b.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            ws, bins, cs = [], [], []
+            codes = pd.Categorical(bkeys, categories=keys).codes
+            for i, wis in by_key.items():
+                vv = v[codes == i]
+                if not len(vv):
+                    continue
+                for wi in wis:
+                    _, lo, hi = windows[wi]
+                    sel = vv[(vv >= lo) & (vv <= hi)]
+                    c, _e = np.histogram(sel, bins=w_edges[wi])
+                    ws.append(np.full(1024, wi, dtype=np.int64))
+                    bins.append(np.arange(1024, dtype=np.int64))
+                    cs.append(c.astype(np.int64))
+            if not ws:
+                return pa.table({"w": pa.array([], type=pa.int64()),
+                                 "bin": pa.array([], type=pa.int64()),
+                                 "c": pa.array([], type=pa.int64())})
+            return pa.table({"w": pa.array(np.concatenate(ws)),
+                             "bin": pa.array(np.concatenate(bins)),
+                             "c": pa.array(np.concatenate(cs))})
+
+        cdf = ds.map_batches(hist, batch_format="pyarrow") \
+            .groupby(["w", "bin"]).aggregate(Sum("c", alias_name="n")) \
+            .to_pandas()
+        counts_by_w = {}
+        for wi in range(len(windows)):
+            sub = cdf[cdf["w"] == wi].set_index("bin")["n"]
+            counts_by_w[wi] = sub.reindex(range(1024), fill_value=0).to_numpy()
+
+        nxt = {}
+        for (i, qi), (lo, hi, below) in state.items():
+            wi = windows.index((i, lo, hi))
+            counts = counts_by_w[wi]
+            edges = w_edges[wi]
+            cum = np.cumsum(counts)
+            target = ranks[(i, qi)] - below
+            b = int(np.searchsorted(cum, target + 1))
+            in_bin = int(counts[b])
+            off = target - (int(cum[b - 1]) if b else 0)
+            if (in_bin <= max_collect
+                    or not _refinable(edges[b], edges[b + 1])):
+                resolved[(i, qi)] = (float(edges[b]), float(edges[b + 1]),
+                                     b == 1023, off)
+            else:
+                nxt[(i, qi)] = (float(edges[b]), float(edges[b + 1]),
+                                below + (int(cum[b - 1]) if b else 0))
+        state = nxt
+
+    spans = sorted({(i, blo, bhi, last)
+                    for (i, _), (blo, bhi, last, _) in resolved.items()})
+
+    def collect(t: pa.Table, spans=spans, keys=keys) -> pa.Table:
+        import pandas as pd
+
+        bkeys = t.column(key_col).to_numpy(zero_copy_only=False)
+        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        codes = pd.Categorical(bkeys, categories=keys).codes
+        tags, vals = [], []
+        for si, (i, blo, bhi, last) in enumerate(spans):
+            sel = (codes == i) & (v >= blo) & ((v <= bhi) if last else (v < bhi))
+            vals.append(v[sel])
+            tags.append(np.full(int(sel.sum()), si, dtype=np.int64))
+        if not tags:
+            return pa.table({"tag": pa.array([], type=pa.int64()),
+                             "val": pa.array([], type=pa.float64())})
+        return pa.table({"tag": pa.array(np.concatenate(tags)),
+                         "val": pa.array(np.concatenate(vals))})
+
+    got = ds.map_batches(collect, batch_format="pyarrow").to_pandas()
+    out: dict = {k: [None] * len(qs) for k in keys}
+    for (i, qi), (blo, bhi, last, off) in resolved.items():
+        si = spans.index((i, blo, bhi, last))
+        vals = np.sort(got.loc[got["tag"] == si, "val"].to_numpy())
+        out[keys[i]][qi] = float(vals[off])
+    return out
+
+
 def exact_quantiles_distributed(ds, col: str, qs: list[float],
                                 max_collect: int = 1_000_000) -> list[float]:
     """Exact lower-order-statistic quantiles of one column, distributed.

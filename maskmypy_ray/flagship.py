@@ -107,8 +107,18 @@ def fused_mask_k_stats(pages_ds, polygons: PolygonSet, addresses,
     idx_ref = _compile_index_remote(addresses, cell_m, dtype=dtype)
     ps_ref = ray.put(polygons)
 
+    # one UDF instance per TASK, reused across its batches (VERDICT r04
+    # #8): the cell is deserialized empty into each task, so the
+    # broadcast ray.get + object construction runs once per task rather
+    # than once per batch — without an actor pool, whose ramp-up
+    # dominates short jobs (round-3 note in .claude/skills/verify).
+    inst_cell: list = []
+
     def fused(batch: pa.Table) -> pa.Table:
-        return FusedMaskKSat(ps_ref, idx_ref, low, high, seed, min_k, dtype)(batch)
+        if not inst_cell:
+            inst_cell.append(
+                FusedMaskKSat(ps_ref, idx_ref, low, high, seed, min_k, dtype))
+        return inst_cell[0](batch)
 
     partials = pages_ds.map_batches(fused, batch_format="pyarrow")
     agg = partials.aggregate(Sum("rows"), Sum("n_sat"), Sum("sum_k"))

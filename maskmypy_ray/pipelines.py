@@ -608,10 +608,21 @@ def q_ann_ivf(sf_dir: str):
 def q_ann_pairs_lsh(sf_dir: str):
     """Banded sign-LSH cosine-threshold pairs — the scale path beside
     the broadcast all-pairs ``embedding_pairs`` (rows-only oracle;
-    recall vs brute force is pytest-checked >= 0.9 at threshold 0.4)."""
-    from .sim.ann import cosine_pairs_lsh
+    recall vs brute force is pytest-checked >= 0.9).
 
-    out = cosine_pairs_lsh(_emb_ds(sf_dir), threshold=0.4)
+    Registered at the SemDeDup near-dup operating point (VERDICT r04
+    #4): threshold 0.9 over the corpus + deterministic perturbed
+    near-dup copies (the fixture's natural max cosine is ~0.48, so the
+    high-threshold regime needs seeded near-dups, exactly like
+    ``with_mutated_copies`` seeds the text dedup queries). At this
+    point :func:`auto_lsh_params` gives b=10/L=10 with ~1% expected
+    candidate density — the regime LSH exists for — instead of the old
+    fixed b=4/L=16 at threshold 0.4 whose 64% density degraded the
+    join to near-O(n^2)."""
+    from .sim.ann import cosine_pairs_lsh, with_perturbed_copies
+
+    out = cosine_pairs_lsh(with_perturbed_copies(_emb_ds(sf_dir)),
+                           threshold=0.9)
     return out.select_columns(["vec_a", "vec_b"])
 
 
@@ -1861,7 +1872,7 @@ def q_session_stats(sf_dir: str):
 
 
 def q_event_funnel(sf_dir: str):
-    """view -> purchase conversion funnel within 1 hour: per user the
+    """view -> purchase conversion funnel within 24 hours: per user the
     first view and the first qualifying purchase after it."""
     import ray.data
 
@@ -2212,4 +2223,626 @@ _BASE_ORACLE_QUERIES20 = oracle_queries
 def oracle_queries() -> dict[str, str]:  # noqa: F811 — extends again
     out = _BASE_ORACLE_QUERIES20()
     out.update(_round4f_oracles())
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Round-5 consolidated registry.
+#
+# The graft driver's correctness panel records at most 50 queries per
+# round (observed: 50 rows in both CORRECTNESS_r03/r04 against 74 and 88
+# registered queries; rounds 1-2 with < 50 queries were checked in
+# full). A registry wider than the panel leaves operators without a
+# hard-signal row (VERDICT r04 top item), so the driver-facing surface
+# below merges the 88 per-operator queries into <= 50 combined queries
+# — union-with-tag for same-shaped results, horizontal join for
+# per-doc/one-row results — with the SQL oracle merged the same way, so
+# EVERY operator's values land in one checked row. The full unmerged
+# per-operator surface stays importable for tests as ``FULL_QUERIES`` /
+# ``full_oracle_queries``.
+# ---------------------------------------------------------------------------
+
+FULL_QUERIES = dict(QUERIES)
+full_oracle_queries = oracle_queries
+
+
+def _as_ds(res):
+    import pandas as pd
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res
+    if isinstance(res, pd.DataFrame):
+        res = pa.Table.from_pandas(res, preserve_index=False)
+    return ray.data.from_arrow(res)
+
+
+def _tag_ds(res, part: str, spec: list):
+    """Project a part result onto the merged schema and prepend a
+    ``part`` tag column. ``spec`` entries: (out_name, in_col, pa_type)
+    — ``in_col=None`` emits a constant (the type's neutral sentinel
+    unless (out, ("const", value), type))."""
+    ds = _as_ds(res)
+
+    def project(b: pa.Table) -> pa.Table:
+        n = len(b)
+        cols = {"part": pa.array([part] * n, type=pa.string())}
+        for out, src, typ in spec:
+            if isinstance(src, tuple) and src[0] == "const":
+                cols[out] = pa.array([src[1]] * n, type=typ)
+            else:
+                c = b.column(src)
+                cols[out] = c.cast(typ) if typ is not None else c
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def _union(parts: list):
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def _sql_union(parts: list[tuple[str, str]]) -> str:
+    """UNION ALL of per-part oracle SQL already projected to the merged
+    schema: parts = [(part_tag, 'SELECT cols FROM (<inner>)') ...]."""
+    return "\nUNION ALL\n".join(
+        f"SELECT '{tag}' AS part, * FROM ({sql})" for tag, sql in parts)
+
+
+# -- geospatial ------------------------------------------------------------
+
+
+def q_geoparse_full(sf_dir: str):
+    """Geoparse values AND the text-byte-identity invariant through the
+    FULL flagship pipeline (merges the former ``geoparse`` +
+    ``text_byte_identity`` queries): the parsed coordinates/cell and the
+    byte-exact text must both survive mask + verify untouched."""
+    return flagship(sf_dir).select_columns(
+        ["url", "lat", "lon", "x", "y", "cell", "text"])
+
+
+def q_donut_masks(sf_dir: str):
+    """All three non-contained donut distributions in one tagged union
+    (merges donut_uniform/areal/gaussian; gaussian rounded to 4 dp on
+    both sides as before)."""
+    spec = [("url", "url", None), ("mx", "mx", None), ("my", "my", None)]
+    return _union([
+        _tag_ds(FULL_QUERIES[f"donut_{d}"](sf_dir), d, spec)
+        for d in ("uniform", "areal", "gaussian")])
+
+
+def q_containment(sf_dir: str):
+    """The two masks with an UNMASKED/containment contract (merges
+    donut_contained + locationswap)."""
+    spec = [("url", "url", None), ("mx", "mx", None), ("my", "my", None),
+            ("UNMASKED", "UNMASKED", None)]
+    return _union([
+        _tag_ds(FULL_QUERIES["donut_contained"](sf_dir), "contained", spec),
+        _tag_ds(FULL_QUERIES["locationswap"](sf_dir), "locationswap", spec)])
+
+
+def q_k_anonymity_all(sf_dir: str):
+    """Every k-anonymity plan in one tagged union (merges k_anonymity +
+    estimate_k_areal, plus the NEW ``salted`` variant — VERDICT r04 #7:
+    the hot-cell salting shuffle plan (salt=4) must reproduce the
+    unsalted oracle bit-for-bit, pinning the skew path with a hard
+    driver signal)."""
+    spec = [("doc_id", "doc_id", None), ("k_anonymity", "k_anonymity", None)]
+    salted = calculate_k(flagship(sf_dir), read_addresses(sf_dir, seed=SEED),
+                         mode="shuffle", salt=4)
+    return _union([
+        _tag_ds(FULL_QUERIES["k_anonymity"](sf_dir), "addresses", spec),
+        _tag_ds(salted, "salted", spec),
+        _tag_ds(FULL_QUERIES["estimate_k_areal"](sf_dir), "areal", spec)])
+
+
+def q_evaluate_full(sf_dir: str):
+    """evaluate() scalar stats + the absolute NND summary in ONE row
+    (merges evaluate + nnd; evaluate already subsumes
+    displacement_summary, central_drift, k_summary and k_satisfaction —
+    the reference composes them the same way, `analysis.py:49-79`)."""
+    ev = q_evaluate(sf_dir)
+    nd = q_nnd(sf_dir)
+    cols = {n: ev.column(n) for n in ev.column_names}
+    cols.update({n: nd.column(n) for n in nd.column_names})
+    return pa.table(cols)
+
+
+def q_street_masks(sf_dir: str):
+    """Street mask via the broadcast AND the sharded graph loader in one
+    tagged union (merges street_mask + street_mask_sharded — identical
+    values by contract, so one oracle gates both routing layers)."""
+    spec = [("url", "url", None), ("snap_node", "snap_node", None),
+            ("on_node", "on_node", None)]
+    return _union([
+        _tag_ds(FULL_QUERIES["street_mask"](sf_dir), "broadcast", spec),
+        _tag_ds(FULL_QUERIES["street_mask_sharded"](sf_dir), "sharded", spec)])
+
+
+def q_graph_masks(sf_dir: str):
+    """The three invariant-checked graph/diagram masks in one tagged
+    union (merges street_k + snap_to_streets + voronoi): v1/v2 carry
+    (on_node, sup_ok) for street_k, (mx, my) for snap_to_streets and
+    (on_boundary, 1) for voronoi."""
+    f64 = pa.float64()
+    return _union([
+        _tag_ds(FULL_QUERIES["street_k"](sf_dir), "street_k",
+                [("url", "url", None), ("v1", "on_node", f64),
+                 ("v2", "sup_ok", f64)]),
+        _tag_ds(FULL_QUERIES["snap_to_streets"](sf_dir), "snap",
+                [("url", "url", None), ("v1", "mx", f64), ("v2", "my", f64)]),
+        _tag_ds(FULL_QUERIES["voronoi"](sf_dir), "voronoi",
+                [("url", "url", None), ("v1", "on_boundary", f64),
+                 ("v2", ("const", 1.0), f64)])])
+
+
+# -- text signals / corpus stats -------------------------------------------
+
+
+def q_text_signals(sf_dir: str):
+    """ALL stateless per-doc text signals in one fused scan (merges
+    token_stats + quality_score + lang_id + fingerprint + token_count +
+    repetition + quality_filter + normalize_text): one read, one map
+    stage, 15 per-doc columns — the single-pass shape the standalone
+    operators compose into at scale."""
+    from .text.quality import text_signals
+
+    return text_signals(_docs_ds(sf_dir))
+
+
+def q_corpus_stats(sf_dir: str):
+    """Per-source and per-host corpus aggregates in one tagged union
+    (merges source_stats + domain_stats)."""
+    i64, f64 = pa.int64(), pa.float64()
+    src = _tag_ds(FULL_QUERIES["source_stats"](sf_dir), "source",
+                  [("key", "source", None), ("n_rows", "n_docs", None),
+                   ("n_tokens", "n_tokens", None), ("n_chars", "n_chars", None),
+                   ("avg_chars", "avg_chars", None)])
+    dom = _tag_ds(FULL_QUERIES["domain_stats"](sf_dir), "host",
+                  [("key", "host", None), ("n_rows", "n_pages", None),
+                   ("n_tokens", ("const", 0), i64),
+                   ("n_chars", "n_chars", None),
+                   ("avg_chars", ("const", 0.0), f64)])
+    return _union([src, dom])
+
+
+def q_topk_terms(sf_dir: str):
+    """Corpus-level and per-doc term rankings in one tagged union
+    (merges ngram_topk + tfidf_topk)."""
+    i64 = pa.int64()
+    ng = _tag_ds(FULL_QUERIES["ngram_topk"](sf_dir), "corpus_bigram",
+                 [("doc_id", ("const", -1), i64), ("rank", ("const", 0), i64),
+                  ("term", "gram", None), ("score", "n", i64)])
+    tf = _tag_ds(FULL_QUERIES["tfidf_topk"](sf_dir), "tfidf",
+                 [("doc_id", "doc_id", None), ("rank", "rank", None),
+                  ("term", "token", None), ("score", "score_micro", i64)])
+    return _union([ng, tf])
+
+
+def q_lm_scores(sf_dir: str):
+    """Unigram-LM NLL scoring and its percentile filter in one tagged
+    union (merges unigram_logprob + filter_by_nll)."""
+    spec = [("doc_id", "doc_id", None), ("n_tokens", "n_tokens", None),
+            ("nll", "nll", None)]
+    return _union([
+        _tag_ds(FULL_QUERIES["unigram_logprob"](sf_dir), "scored", spec),
+        _tag_ds(FULL_QUERIES["filter_by_nll"](sf_dir), "kept", spec)])
+
+
+def q_samples(sf_dir: str):
+    """The three doc-level deterministic samplers in one tagged union of
+    kept doc_ids (merges sample_mix + weighted_sample + sample_fixed_k)."""
+    spec = [("doc_id", "doc_id", None)]
+    return _union([
+        _tag_ds(FULL_QUERIES["sample_mix"](sf_dir), "mix", spec),
+        _tag_ds(FULL_QUERIES["weighted_sample"](sf_dir), "weighted", spec),
+        _tag_ds(FULL_QUERIES["sample_fixed_k"](sf_dir), "fixed_k", spec)])
+
+
+def q_host_filters(sf_dir: str):
+    """Host-level curation filters in one tagged union (merges
+    host_cap_sample + host_blocklist_filter)."""
+    spec = [("doc_id", "doc_id", None), ("host", "host", None)]
+    return _union([
+        _tag_ds(FULL_QUERIES["host_cap_sample"](sf_dir), "cap", spec),
+        _tag_ds(FULL_QUERIES["host_blocklist_filter"](sf_dir), "blocklist",
+                spec)])
+
+
+def q_pii(sf_dir: str):
+    """PII stats AND redaction in one fused scan (merges pii_stats +
+    pii_redact: both kernels share the injected corpus and one batch
+    pass emits counts + redacted text + n_redacted)."""
+    from .text.pii import pii_redact_batch, pii_stats_batch, with_pii
+
+    ds = with_pii(_docs_ds(sf_dir))
+
+    def both(b: pa.Table) -> pa.Table:
+        s = pii_stats_batch(b)
+        r = pii_redact_batch(b)
+        return pa.table({
+            "doc_id": s.column("doc_id"),
+            "n_email": s.column("n_email"),
+            "n_ipv4": s.column("n_ipv4"),
+            "n_phone": s.column("n_phone"),
+            "text": r.column("text"),
+            "n_redacted": r.column("n_redacted"),
+        })
+
+    return ds.map_batches(both, batch_format="pyarrow")
+
+
+def q_quantile_report(sf_dir: str):
+    """The two global distributed-quantile descents in one tagged union
+    (merges quantiles + media_size_quantiles)."""
+    qt = FULL_QUERIES["quantiles"](sf_dir)
+    mq = FULL_QUERIES["media_size_quantiles"](sf_dir)
+    return pa.table({
+        "part": pa.array(["lineitem_price"] * len(qt)
+                         + ["media_bytes"] * len(mq), type=pa.string()),
+        "q": pa.concat_arrays([qt.column("q").combine_chunks(),
+                               mq.column("q").combine_chunks()]),
+        "value": pa.concat_arrays([qt.column("value").combine_chunks(),
+                                   mq.column("value").combine_chunks()]),
+    })
+
+
+# -- dedup ------------------------------------------------------------------
+
+
+def q_jaccard_pairs(sf_dir: str):
+    """Exact all-pairs Jaccard at both granularities in one tagged union
+    (merges dedup_jaccard token-set 0.9 + dedup_jaccard_ngram
+    5-gram-shingle 0.8)."""
+    spec = [("doc_a", "doc_a", None), ("doc_b", "doc_b", None),
+            ("sim", "sim", None)]
+    return _union([
+        _tag_ds(FULL_QUERIES["dedup_jaccard"](sf_dir), "token", spec),
+        _tag_ds(FULL_QUERIES["dedup_jaccard_ngram"](sf_dir), "ngram", spec)])
+
+
+def q_dup_clusters_full(sf_dir: str):
+    """Near-dup connected components WITH the per-cluster survivor flag
+    (merges dup_clusters + dedup_survivors: survivor == (node is its
+    cluster's min id), the row production dedup keeps)."""
+    cc = _dup_clusters_materialized(sf_dir)
+
+    def with_survivor(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "node": b.column("node"),
+            "cluster_id": b.column("cluster_id"),
+            "survivor": pc.cast(pc.equal(b.column("node"),
+                                         b.column("cluster_id")), pa.int64()),
+        })
+
+    return cc.map_batches(with_survivor, batch_format="pyarrow")
+
+
+def q_ann_approx(sf_dir: str):
+    """Both approximate top-k paths in one tagged union (merges ann_lsh
+    + ann_ivf; rows-only — recall vs brute force is pytest-checked)."""
+    spec = [("query_id", "query_id", None), ("rank", "rank", None),
+            ("vec_id", "vec_id", None)]
+    return _union([
+        _tag_ds(FULL_QUERIES["ann_lsh"](sf_dir), "lsh", spec),
+        _tag_ds(FULL_QUERIES["ann_ivf"](sf_dir), "ivf", spec)])
+
+
+def q_media_pipeline(sf_dir: str):
+    """Decode-stub resize AND frame-sampling layouts in one tagged union
+    (merges media_decode + media_frames; rows-only — the fake decode has
+    no SQL meaning, layout contracts are pytest-pinned)."""
+    i64 = pa.int64()
+    return _union([
+        _tag_ds(FULL_QUERIES["media_decode"](sf_dir), "decode",
+                [("url", "url", None), ("v1", "height", i64),
+                 ("v2", "width", i64)]),
+        _tag_ds(FULL_QUERIES["media_frames"](sf_dir), "frames",
+                [("url", "url", None), ("v1", "frame_idx", i64),
+                 ("v2", ("const", 0), i64)])])
+
+
+def q_sketch_counts(sf_dir: str):
+    """Both mergeable sketches in one tagged union (merges hll_distinct
+    + cms_counts)."""
+    i64, f64 = pa.int64(), pa.float64()
+    hll = _tag_ds(FULL_QUERIES["hll_distinct"](sf_dir), "hll",
+                  [("key", "grp", None), ("n1", "n_zero", None),
+                   ("n2", "inv_sum_num", None), ("est", "estimate", None)])
+    cms = _tag_ds(FULL_QUERIES["cms_counts"](sf_dir), "cms",
+                  [("key", "token", None), ("n1", "est_count", i64),
+                   ("n2", ("const", 0), i64), ("est", ("const", 0.0), f64)])
+    return _union([hll, cms])
+
+
+# -- events ------------------------------------------------------------------
+
+
+def q_windows(sf_dir: str):
+    """All four windowed aggregates in one tagged union (merges
+    tumbling_window + hopping_window + window_distinct_users +
+    window_top_types)."""
+    import pyarrow.compute as pc
+
+    i64, f64, s = pa.int64(), pa.float64(), pa.string()
+
+    def user_str(res):
+        ds = _as_ds(res)
+
+        def proj(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "part": pa.array(["tumbling"] * len(b), type=s),
+                "k1": b.column("window_id"),
+                "k2": pc.cast(b.column("user_id"), s),
+                "n": b.column("n_events"),
+                "v": b.column("sum_value"),
+            })
+
+        return ds.map_batches(proj, batch_format="pyarrow")
+
+    return _union([
+        user_str(FULL_QUERIES["tumbling_window"](sf_dir)),
+        _tag_ds(FULL_QUERIES["hopping_window"](sf_dir), "hopping",
+                [("k1", "window_start", None), ("k2", "event_type", None),
+                 ("n", "n_events", None), ("v", "sum_value", None)]),
+        _tag_ds(FULL_QUERIES["window_distinct_users"](sf_dir),
+                "distinct_users",
+                [("k1", "window_id", None), ("k2", ("const", ""), s),
+                 ("n", "n_users", None), ("v", ("const", 0.0), f64)]),
+        _tag_ds(FULL_QUERIES["window_top_types"](sf_dir), "top_types",
+                [("k1", "window_id", None), ("k2", "event_type", None),
+                 ("n", "n_events", None), ("v", "rank", f64)])])
+
+
+def q_sessions(sf_dir: str):
+    """Session assignment, per-session aggregates and the conversion
+    funnel in one tagged union (merges sessionize + session_stats +
+    event_funnel)."""
+    i64, f64 = pa.int64(), pa.float64()
+    return _union([
+        _tag_ds(FULL_QUERIES["sessionize"](sf_dir), "assign",
+                [("k1", "event_id", None), ("k2", "user_id", None),
+                 ("n", "session_seq", None), ("v", ("const", 0.0), f64),
+                 ("v2", ("const", 0.0), f64)]),
+        _tag_ds(FULL_QUERIES["session_stats"](sf_dir), "stats",
+                [("k1", "user_id", None), ("k2", "session_seq", None),
+                 ("n", "n_events", None), ("v", "sum_value", None),
+                 ("v2", "duration_us", f64)]),
+        _tag_ds(FULL_QUERIES["event_funnel"](sf_dir), "funnel",
+                [("k1", "user_id", None), ("k2", ("const", 0), i64),
+                 ("n", ("const", 0), i64), ("v", "a_ts", f64),
+                 ("v2", "b_ts", f64)])])
+
+
+def q_temporal_joins(sf_dir: str):
+    """Both per-event temporal joins in one tagged union (merges
+    asof_join + range_join)."""
+    return _union([
+        _tag_ds(FULL_QUERIES["asof_join"](sf_dir), "asof",
+                [("event_id", "event_id", None),
+                 ("val", "last_orderkey", None)]),
+        _tag_ds(FULL_QUERIES["range_join"](sf_dir), "range",
+                [("event_id", "event_id", None), ("val", "n_parts", None)])])
+
+
+# -- merged oracle SQL -------------------------------------------------------
+
+
+def _merged_oracles() -> dict[str, str]:
+    base = full_oracle_queries()
+
+    def cast2(sql: str, c1: str, c2: str) -> str:
+        return (f"SELECT url, CAST({c1} AS DOUBLE) AS v1, "
+                f"CAST({c2} AS DOUBLE) AS v2 FROM ({sql})")
+
+    text_components = {
+        "t0": base["token_stats"],
+        "t1": base["quality_score"],
+        "t2": base["lang_id"],
+        "t3": base["fingerprint"],
+        "t4": base["token_count"],
+        "t5": base["repetition"],
+        "t6": base["quality_filter"],
+        "t7": ("SELECT doc_id, text AS norm_text, changed FROM ("
+               + base["normalize_text"] + ")"),
+    }
+    text_with = ",\n".join(f"{k} AS ({v})" for k, v in text_components.items())
+    text_signals_sql = (
+        f"WITH {text_with}\n"
+        "SELECT t0.doc_id, t0.n_tokens, t0.n_stopwords, t0.stop_ratio,\n"
+        "  t1.quality_score, t2.lang_pred, t3.fingerprint,\n"
+        "  t4.n_ws_tokens, t4.n_bpe_tokens,\n"
+        "  t5.dup_word_frac, t5.top_word_frac, t5.top_bigram_frac,\n"
+        "  t6.keep, t6.reason, t7.norm_text, t7.changed\n"
+        "FROM t0 JOIN t1 USING (doc_id) JOIN t2 USING (doc_id)\n"
+        "  JOIN t3 USING (doc_id) JOIN t4 USING (doc_id)\n"
+        "  JOIN t5 USING (doc_id) JOIN t6 USING (doc_id)\n"
+        "  JOIN t7 USING (doc_id)")
+
+    k_part = f"WITH {_k_sql()} SELECT doc_id, k_anonymity FROM kvals"
+    areal_part = (f"WITH {_contained_with_distance()},\n"
+                  f"{oracle.areal_k_cte(SEED)} "
+                  "SELECT doc_id, k_anonymity FROM areal")
+
+    return {
+        "geoparse": (f"WITH {oracle.points_cte(SEED)} "
+                     "SELECT url, lat, lon, x, y, cell, text FROM points"),
+        "donut_masks": _sql_union([
+            ("uniform", base["donut_uniform"]),
+            ("areal", base["donut_areal"]),
+            ("gaussian", base["donut_gaussian"])]),
+        "containment": _sql_union([
+            ("contained", base["donut_contained"]),
+            ("locationswap", base["locationswap"])]),
+        "k_anonymity": _sql_union([
+            ("addresses", k_part), ("salted", k_part),
+            ("areal", areal_part)]),
+        "evaluate": (f"SELECT * FROM ({_evaluate_sql()}) "
+                     f"CROSS JOIN ({base['nnd']})"),
+        "street_masks": _sql_union([
+            ("broadcast", base["street_mask"]),
+            ("sharded", base["street_mask_sharded"])]),
+        "graph_masks": _sql_union([
+            ("street_k", cast2(base["street_k"], "on_node", "sup_ok")),
+            ("snap", cast2(base["snap_to_streets"], "mx", "my")),
+            ("voronoi", cast2(base["voronoi"], "on_boundary", "1.0"))]),
+        "text_signals": text_signals_sql,
+        "corpus_stats": _sql_union([
+            ("source", "SELECT source AS key, n_docs AS n_rows, n_tokens, "
+                       "n_chars, avg_chars FROM ("
+                       + base["source_stats"] + ")"),
+            ("host", "SELECT host AS key, n_pages AS n_rows, "
+                     "CAST(0 AS BIGINT) AS n_tokens, n_chars, "
+                     "0.0 AS avg_chars FROM (" + base["domain_stats"] + ")")]),
+        "topk_terms": _sql_union([
+            ("corpus_bigram", "SELECT CAST(-1 AS BIGINT) AS doc_id, "
+                              "CAST(0 AS BIGINT) AS rank, gram AS term, "
+                              "n AS score FROM (" + base["ngram_topk"] + ")"),
+            ("tfidf", "SELECT doc_id, rank, token AS term, "
+                      "score_micro AS score FROM ("
+                      + base["tfidf_topk"] + ")")]),
+        "lm_scores": _sql_union([
+            ("scored", base["unigram_logprob"]),
+            ("kept", base["filter_by_nll"])]),
+        "samples": _sql_union([
+            ("mix", "SELECT doc_id FROM (" + base["sample_mix"] + ")"),
+            ("weighted", "SELECT doc_id FROM ("
+                         + base["weighted_sample"] + ")"),
+            ("fixed_k", "SELECT doc_id FROM ("
+                        + base["sample_fixed_k"] + ")")]),
+        "host_filters": _sql_union([
+            ("cap", base["host_cap_sample"]),
+            ("blocklist", base["host_blocklist_filter"])]),
+        "pii": (f"WITH s AS ({oracle.pii_stats_sql(every=5)}),\n"
+                f"r AS ({oracle.pii_redact_sql(every=5)})\n"
+                "SELECT s.doc_id, s.n_email, s.n_ipv4, s.n_phone, "
+                "r.text, r.n_redacted FROM s JOIN r USING (doc_id)"),
+        "quantile_report": _sql_union([
+            ("lineitem_price", base["quantiles"]),
+            ("media_bytes", base["media_size_quantiles"])]),
+        "jaccard_pairs": _sql_union([
+            ("token", base["dedup_jaccard"]),
+            ("ngram", base["dedup_jaccard_ngram"])]),
+        "dup_clusters": ("SELECT node, cluster_id, "
+                         "CAST(node = cluster_id AS BIGINT) AS survivor "
+                         "FROM (" + oracle.dup_clusters_sql(0.8, 5) + ")"),
+        "sketch_counts": _sql_union([
+            ("hll", "SELECT grp AS key, n_zero AS n1, inv_sum_num AS n2, "
+                    "estimate AS est FROM ("
+                    + base["hll_distinct"] + ")"),
+            ("cms", "SELECT token AS key, est_count AS n1, "
+                    "CAST(0 AS BIGINT) AS n2, 0.0 AS est FROM ("
+                    + base["cms_counts"] + ")")]),
+        "windows": _sql_union([
+            ("tumbling", "SELECT window_id AS k1, "
+                         "CAST(user_id AS VARCHAR) AS k2, n_events AS n, "
+                         "sum_value AS v FROM ("
+                         + base["tumbling_window"] + ")"),
+            ("hopping", "SELECT window_start AS k1, event_type AS k2, "
+                        "n_events AS n, sum_value AS v FROM ("
+                        + base["hopping_window"] + ")"),
+            ("distinct_users", "SELECT window_id AS k1, '' AS k2, "
+                               "n_users AS n, 0.0 AS v FROM ("
+                               + base["window_distinct_users"] + ")"),
+            ("top_types", "SELECT window_id AS k1, event_type AS k2, "
+                          "n_events AS n, CAST(rank AS DOUBLE) AS v FROM ("
+                          + base["window_top_types"] + ")")]),
+        "sessions": _sql_union([
+            ("assign", "SELECT event_id AS k1, user_id AS k2, "
+                       "session_seq AS n, 0.0 AS v, 0.0 AS v2 FROM ("
+                       + base["sessionize"] + ")"),
+            ("stats", "SELECT user_id AS k1, session_seq AS k2, "
+                      "n_events AS n, sum_value AS v, "
+                      "CAST(duration_us AS DOUBLE) AS v2 FROM ("
+                      + base["session_stats"] + ")"),
+            ("funnel", "SELECT user_id AS k1, CAST(0 AS BIGINT) AS k2, "
+                       "CAST(0 AS BIGINT) AS n, CAST(a_ts AS DOUBLE) AS v, "
+                       "CAST(b_ts AS DOUBLE) AS v2 FROM ("
+                       + base["event_funnel"] + ")")]),
+        "temporal_joins": _sql_union([
+            ("asof", "SELECT event_id, last_orderkey AS val FROM ("
+                     + base["asof_join"] + ")"),
+            ("range", "SELECT event_id, n_parts AS val FROM ("
+                      + base["range_join"] + ")")]),
+    }
+
+
+QUERIES = {
+    # geospatial reference surface (SURVEY §2.1-2.4)
+    "webpages": q_webpages,
+    "geoparse": q_geoparse_full,
+    "donut_masks": q_donut_masks,
+    "containment": q_containment,
+    "displacement": q_displacement,
+    "evaluate": q_evaluate_full,
+    "k_anonymity": q_k_anonymity_all,
+    "suppress": q_suppress,
+    "addresses": q_addresses,
+    "street_masks": q_street_masks,
+    "graph_masks": q_graph_masks,
+    "ripleys_k": q_ripley,
+    "checkpointed_flagship": q_checkpointed_flagship,
+    # text signals / corpus curation (SURVEY §2.6)
+    "text_signals": q_text_signals,
+    "corpus_stats": q_corpus_stats,
+    "topk_terms": q_topk_terms,
+    "fingerprint_winnow": q_fingerprint_winnow,
+    "lm_scores": q_lm_scores,
+    "samples": q_samples,
+    "host_filters": q_host_filters,
+    "url_dedup": q_url_dedup,
+    "pii": q_pii,
+    "geo_scrub": q_geo_scrub,
+    "quantile_report": q_quantile_report,
+    "source_quantiles": q_source_quantiles,
+    "outlier_flags": q_outlier_flags,
+    "decontaminate": q_decontaminate,
+    "cross_corpus_dedup": q_cross_corpus_dedup,
+    # dedup family
+    "dedup_exact": q_dedup_exact,
+    "jaccard_pairs": q_jaccard_pairs,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "dup_clusters": q_dup_clusters_full,
+    "dedup_spans": q_dedup_spans,
+    "chunk_dedup": q_chunk_dedup,
+    # similarity / ANN
+    "embedding_pairs": q_embedding_pairs,
+    "ann_topk": q_ann_topk,
+    "ann_approx": q_ann_approx,
+    "ann_pairs_lsh": q_ann_pairs_lsh,
+    "dedup_semantic": q_dedup_semantic,
+    # multimodal
+    "media_metadata": q_media_metadata,
+    "media_pipeline": q_media_pipeline,
+    # sketches
+    "sketch_counts": q_sketch_counts,
+    # events / windows
+    "windows": q_windows,
+    "sessions": q_sessions,
+    "temporal_joins": q_temporal_joins,
+    # relational
+    "pricing_summary": q_pricing_summary,
+    "top_orders": q_top_orders,
+    "top_quality_per_source": q_top_quality_per_source,
+}
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — consolidated surface
+    base = full_oracle_queries()
+    keep = ["webpages", "displacement", "suppress", "addresses", "ripleys_k",
+            "checkpointed_flagship", "url_dedup", "geo_scrub",
+            "fingerprint_winnow",
+            "source_quantiles", "outlier_flags", "decontaminate",
+            "cross_corpus_dedup", "dedup_exact", "dedup_minhash",
+            "dedup_simhash", "dedup_spans", "chunk_dedup", "embedding_pairs",
+            "ann_topk", "media_metadata", "pricing_summary", "top_orders",
+            "top_quality_per_source"]
+    out = {k: base[k] for k in keep}
+    out.update(_merged_oracles())
     return out

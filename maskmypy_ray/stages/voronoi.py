@@ -150,6 +150,14 @@ def voronoi(ds, key_col: str = "doc_id",
         from ..util import auto_concurrency
 
         concurrency = auto_concurrency()
+    # hard bound, not just a docstring (VERDICT r04 #8): this is the
+    # global-parity path — the registered query and any at-scale caller
+    # must use voronoi_celled, which never collects the sites
+    n_pts = ds.count()
+    if n_pts > 20_000_000:  # ~480 MB of (x, y, key) on the driver
+        raise ValueError(
+            f"voronoi (global broadcast path) refuses {n_pts} points; "
+            "use voronoi_celled for the distributed diagram")
     pts = ds.select_columns([key_col, "x", "y"]).to_pandas()
     ref = ray.put((pts["x"].to_numpy(), pts["y"].to_numpy(),
                    pts[key_col].to_numpy()))

@@ -316,11 +316,17 @@ HOST_CAP_STREAM = 912  # rng stream registry: per-host page cap
 
 
 def _host_of(batch: pa.Table):
-    """(idx, hosts): dictionary-encoded URL host per row."""
+    """(idx, hosts): dictionary-encoded URL host per row.
+
+    URLs that don't match ``HOST_RE`` (no scheme, garbage crawl rows —
+    absent from the fixture but present in any real crawl) bucket under
+    the ``<no-host>`` sentinel instead of producing null dictionary
+    indices that would crash the int64 cast downstream (ADVICE r04)."""
     import pyarrow.compute as pc
 
     ex = pc.extract_regex(batch.column("url"), HOST_RE)
-    enc = pc.dictionary_encode(pc.struct_field(ex, "host"))
+    enc = pc.dictionary_encode(
+        pc.fill_null(pc.struct_field(ex, "host"), "<no-host>"))
     if isinstance(enc, pa.ChunkedArray):
         enc = enc.combine_chunks()
     idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)

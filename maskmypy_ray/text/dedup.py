@@ -385,6 +385,16 @@ def jaccard_pairs_exact(ds, threshold: float = 0.5, text_col: str = "text",
 
 
 _SHIFTS64 = np.arange(64, dtype=np.uint64)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount via a byte-view lookup table
+    (VERDICT r04 #5 — replaces the per-pair ``bin(v).count('1')``
+    Python loop in the simhash hamming verify)."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    return _POP8[x.view(np.uint8).reshape(-1, 8)].sum(
+        axis=1, dtype=np.int64)
 
 
 def simhash64_many(texts: list[str]) -> np.ndarray:
@@ -475,7 +485,7 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text"):
             h = sub["simhash"].to_numpy().astype(np.uint64)
             a, b = np.triu_indices(len(d), 1)
             x = np.bitwise_xor(h[a], h[b])
-            ham = np.array([bin(v).count("1") for v in x.tolist()])
+            ham = popcount64(x)
             ok = ham <= max_hamming
             out_a.append(d[a][ok])
             out_b.append(d[b][ok])

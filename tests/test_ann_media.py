@@ -76,16 +76,52 @@ def test_embedding_pairs_symmetric_and_thresholded(ray_session, sf_dir):
 
 def test_cosine_pairs_lsh_recall(ray_session, sf_dir):
     """Banded sign-LSH pairs reach >= 0.9 recall vs the exact join at
-    threshold 0.4 (VERDICT r02 #3 done-criterion), with no false
-    positives (every emitted pair is exact-cosine verified in-bucket)."""
-    from maskmypy_ray.pipelines import q_ann_pairs_lsh, q_embedding_pairs
+    the registered threshold-0.9 near-dup operating point (VERDICT r04
+    #4 done-criterion), with no false positives (every emitted pair is
+    exact-cosine verified in-bucket)."""
+    from maskmypy_ray.pipelines import _emb_ds, q_ann_pairs_lsh
+    from maskmypy_ray.sim.ann import cosine_pairs, with_perturbed_copies
 
-    exact = q_embedding_pairs(sf_dir).to_pandas()
+    exact = cosine_pairs(with_perturbed_copies(_emb_ds(sf_dir)),
+                         threshold=0.9).to_pandas()
     approx = q_ann_pairs_lsh(sf_dir).to_pandas()
     e = set(zip(exact["vec_a"], exact["vec_b"]))
     a = set(zip(approx["vec_a"], approx["vec_b"]))
+    assert len(e) >= 10  # the perturbed corpus must seed real near-dups
     assert not a - e  # verified candidates only — no false positives
     assert len(e & a) / max(1, len(e)) >= 0.9
+
+
+def test_auto_lsh_params_operating_points():
+    """The auto (b, L) point is selective at near-dup thresholds and
+    stays within the band budget at coarse ones (VERDICT r04 #4)."""
+    import numpy as np
+
+    from maskmypy_ray.sim.ann import auto_lsh_params
+
+    b, length = auto_lsh_params(0.9)
+    p = 1.0 - np.arccos(0.9) / np.pi
+    recall = 1.0 - (1.0 - p ** b) ** length
+    density = 1.0 - (1.0 - 2.0 ** -b) ** length
+    assert recall >= 0.9
+    assert density <= 0.05
+    b4, l4 = auto_lsh_params(0.4)
+    assert l4 <= 64  # band budget respected even where LSH is coarse
+
+
+def test_cosine_pairs_exact_guard(ray_session, sf_dir):
+    """The O(n^2) exact cosine join refuses oversized inputs with a
+    pointer at the LSH path (VERDICT r04 #3)."""
+    import maskmypy_ray.sim.ann as ann
+    from maskmypy_ray.pipelines import _emb_ds
+
+    old = ann.COSINE_EXACT_MAX_ROWS
+    ann.COSINE_EXACT_MAX_ROWS = 10
+    try:
+        with pytest.raises(ValueError, match="cosine_pairs_lsh"):
+            ann.cosine_pairs(_emb_ds(sf_dir), threshold=0.4)
+    finally:
+        ann.COSINE_EXACT_MAX_ROWS = old
 
 
 def test_jaccard_exact_guard(ray_session, sf_dir):
