@@ -2619,6 +2619,17 @@ def q_sessions(sf_dir: str):
                  ("v2", "b_ts", f64)])])
 
 
+def q_sequence_pack(sf_dir: str):
+    """Token-budget sequence packing over the documents corpus
+    (seq_len=512 so the fixture yields multi-sequence output): the
+    distributed-prefix-sum layout pass between a curated corpus and a
+    token-stream dataloader. range_rows=100 forces the fixture through
+    many ranges, exercising the cross-range offset arithmetic."""
+    from .text.corpus import sequence_pack
+
+    return sequence_pack(_docs_ds(sf_dir), seq_len=512, range_rows=100)
+
+
 def q_temporal_joins(sf_dir: str):
     """Both per-event temporal joins in one tagged union (merges
     asof_join + range_join)."""
@@ -2769,6 +2780,15 @@ def _merged_oracles() -> dict[str, str]:
                      + base["asof_join"] + ")"),
             ("range", "SELECT event_id, n_parts AS val FROM ("
                       + base["range_join"] + ")")]),
+        "sequence_pack": (
+            "WITH t AS (SELECT doc_id, CAST(len(regexp_extract_all("
+            f"lower(text), '{_TOKEN_RE_SQL}')) AS BIGINT) AS n_tokens "
+            "FROM documents), "
+            "c AS (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) "
+            "OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS BIGINT) AS before_n FROM t) "
+            "SELECT doc_id, n_tokens, before_n // 512 AS seq_id, "
+            "before_n % 512 AS offset FROM c"),
     }
 
 
@@ -2826,6 +2846,7 @@ QUERIES = {
     "windows": q_windows,
     "sessions": q_sessions,
     "temporal_joins": q_temporal_joins,
+    "sequence_pack": q_sequence_pack,
     # relational
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,

@@ -596,3 +596,88 @@ def url_dedup(pages_ds, partitions: int = 64):
 
     return canon.map_batches(with_part, batch_format="pyarrow") \
         .groupby("p").map_groups(first_per_canon, batch_format="pandas")
+
+
+def sequence_pack(ds, seq_len: int = 2048, text_col: str = "text",
+                  range_rows: int = 100_000):
+    """Token-budget sequence packing: assign every doc its position in
+    the concatenated token stream — (doc_id, n_tokens, seq_id, offset)
+    where ``seq_id = tokens_before // seq_len`` and ``offset =
+    tokens_before % seq_len``, with docs concatenated in doc_id order.
+    This is the layout pass of training-sequence packing (which doc
+    lands in which fixed-length sample, and where) — the step between a
+    curated corpus and a token-stream dataloader.
+
+    Scale shape — a distributed PREFIX SUM, the one pattern the rest of
+    the engine doesn't already exercise:
+
+    1. one vectorized count pass -> (doc_id, n_tokens);
+    2. per-batch partial sums per doc_id RANGE (``doc_id //
+       range_rows``) -> one tiny ``groupby(range)`` -> the ~(max_id /
+       range_rows)-row range-total table reaches the driver, where an
+       exclusive cumsum turns it into per-range stream offsets
+       (broadcast via ``ray.put``);
+    3. ONE ``groupby(range)`` co-locates each range's docs; the
+       per-range kernel sorts by doc_id and adds its local exclusive
+       cumsum to the broadcast range offset.
+
+    No task ever holds more than one range (``range_rows`` docs — size
+    it so a range's (id, count) pairs fit a worker, independent of
+    corpus size); the driver holds one int per range. Deterministic at
+    any parallelism: the stream position depends only on doc_id order.
+    """
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    from .quality import TOKEN_RE as _QTOKEN_RE
+
+    def count_batch(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lower = pc.utf8_lower(b.column(text_col))
+        n = pc.count_substring_regex(lower, _QTOKEN_RE)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": pc.cast(n, pa.int64()),
+        })
+
+    counts = ds.map_batches(count_batch, batch_format="pyarrow")
+
+    def range_partial(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        n = b.column("n_tokens").to_numpy(zero_copy_only=False)
+        r = ids // range_rows
+        ur, inv = np.unique(r, return_inverse=True)
+        sums = np.bincount(inv, weights=n).astype(np.int64)
+        return pa.table({"r": pa.array(ur, type=pa.int64()),
+                         "rsum": pa.array(sums, type=pa.int64())})
+
+    totals = counts.map_batches(range_partial, batch_format="pyarrow") \
+        .groupby("r").aggregate(Sum("rsum", alias_name="rsum")).to_pandas() \
+        .sort_values("r")
+    max_r = int(totals["r"].max()) if len(totals) else 0
+    range_sums = np.zeros(max_r + 1, dtype=np.int64)
+    range_sums[totals["r"].to_numpy()] = totals["rsum"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(range_sums)[:-1]])
+    off_ref = ray.put(offsets)
+
+    def with_range(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.append_column("r", pa.array(ids // range_rows,
+                                             type=pa.int64()))
+
+    def finish_range(g: pd.DataFrame) -> pd.DataFrame:
+        offs = ray.get(off_ref)
+        g = g.sort_values("doc_id", kind="mergesort")
+        n = g["n_tokens"].to_numpy()
+        before = offs[int(g["r"].iloc[0])] \
+            + np.concatenate([[0], np.cumsum(n)[:-1]]).astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "n_tokens": n,
+            "seq_id": before // seq_len,
+            "offset": before % seq_len,
+        })
+
+    return counts.map_batches(with_range, batch_format="pyarrow") \
+        .groupby("r").map_groups(finish_range, batch_format="pandas")

@@ -527,6 +527,31 @@ def test_host_of_sentinel_for_unmatched_urls(ray_session):
     assert hosts[idx[1]] == "<no-host>"
 
 
+def test_sequence_pack_bruteforce(ray_session):
+    """sequence_pack's (seq_id, offset) equals the brute-force prefix
+    sum over doc_id order, across range boundaries and at any
+    partitioning."""
+    import ray.data
+
+    from maskmypy_ray.text.corpus import sequence_pack
+
+    rng = np.random.default_rng(3)
+    n = 1000
+    texts = [" ".join(f"w{j}" for j in range(rng.integers(1, 40)))
+             for _ in range(n)]
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    })).repartition(13)
+    got = sequence_pack(ds, seq_len=64, range_rows=37).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    counts = np.array([len(t.split()) for t in texts], dtype=np.int64)
+    before = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    assert (got["n_tokens"].to_numpy() == counts).all()
+    assert (got["seq_id"].to_numpy() == before // 64).all()
+    assert (got["offset"].to_numpy() == before % 64).all()
+
+
 def test_media_size_quantiles(ray_session, sf_dir):
     from maskmypy_ray.pipelines import q_media_size_quantiles
     from maskmypy_ray.sources.webpages import read_webpages
