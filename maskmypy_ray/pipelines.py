@@ -2853,6 +2853,10 @@ QUERIES = {
     "top_quality_per_source": q_top_quality_per_source,
 }
 
+# sequence_pack is an unmerged single-operator query added after the
+# consolidation snapshot; keep the per-operator surface complete.
+FULL_QUERIES["sequence_pack"] = q_sequence_pack
+
 
 def oracle_queries() -> dict[str, str]:  # noqa: F811 — consolidated surface
     base = full_oracle_queries()
