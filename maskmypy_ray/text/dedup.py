@@ -99,6 +99,31 @@ def minhash_signature(shingles: np.ndarray) -> np.ndarray:
     return vals.min(axis=0)
 
 
+def minhash_sig_batch(batch: pa.Table, text_col: str = "text",
+                      ngram: int = 5) -> tuple:
+    """``(doc_ids, (D, N_PERM) minima matrix)`` for one batch — the
+    shared signature kernel behind the band-key exploder and the
+    exact-tuple decontamination probe."""
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = batch.column(text_col).to_pylist()
+    codes, bounds = token_codes_batch(texts)
+    grams, gb = gram_hashes_batch(codes, bounds, ngram, "single")
+    grams, gb = distinct_per_doc(grams, gb)
+    perms = mix32(np.arange(N_PERM, dtype=np.int64) + _SALT)
+    return doc_ids, minhash_signatures(grams, gb, perms)
+
+
+_TUPLE_VOID = f"V{4 * ROWS_PER_BAND}"
+
+
+def _band_tuple_view(m: np.ndarray) -> np.ndarray:
+    """(n, ROWS_PER_BAND) int64 minima (each < 2**32, mix32 range) ->
+    (n,) void byte-view of the big-endian packed tuple. Byte equality
+    IS tuple equality — a bijective packing, not a hash — so probing
+    these views reproduces the SQL twin's minima-tuple join exactly."""
+    return np.ascontiguousarray(m.astype(">u4")).view(_TUPLE_VOID).ravel()
+
+
 def minhash_bands_batch(batch: pa.Table, text_col: str = "text",
                         ngram: int = 5) -> pa.Table:
     """Explode each doc into (band_id, band_key, doc_id) rows — the LSH
@@ -107,13 +132,7 @@ def minhash_bands_batch(batch: pa.Table, text_col: str = "text",
     one slab matmul-style reduceat, band keys a 64-bit mix32 fold of the
     band's minima (the shuffle proxy for the minima TUPLE the SQL twin
     joins on — false key collisions are removed by the Jaccard verify)."""
-    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-    texts = batch.column(text_col).to_pylist()
-    codes, bounds = token_codes_batch(texts)
-    grams, gb = gram_hashes_batch(codes, bounds, ngram, "single")
-    grams, gb = distinct_per_doc(grams, gb)
-    perms = mix32(np.arange(N_PERM, dtype=np.int64) + _SALT)
-    sig = minhash_signatures(grams, gb, perms)
+    doc_ids, sig = minhash_sig_batch(batch, text_col, ngram)
     keys = band_keys(sig, N_BANDS, ROWS_PER_BAND)
     D = len(doc_ids)
     return pa.table({
@@ -581,20 +600,29 @@ def with_mutated_copies(ds, every: int = 10, id_offset: int = 1_000_000):
 
 
 def _eval_band_set_refs(ds, every: int, text_col: str, ngram: int):
-    """Per-band sorted arrays of the EVAL slice's folded band keys,
-    compiled in a Ray task from a parallel band-computation stage —
+    """Per-band sorted void-view arrays of the EVAL slice's band minima
+    TUPLES, compiled in a Ray task from a parallel signature stage —
     the driver holds only the ObjectRef (same shape as
-    corpus._benchmark_grams_ref)."""
+    corpus._benchmark_grams_ref). Shipping the tuple itself (128-bit
+    bijective packing, :func:`_band_tuple_view`) instead of the folded
+    int64 key makes membership exact — no fold-collision residual."""
     import ray
+
+    mcols = [f"m{r}" for r in range(ROWS_PER_BAND)]
 
     def eval_bands(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
         m = ids % every == 0
-        if not m.any():
-            return pa.table({"band_id": pa.array([], type=pa.int32()),
-                             "band_key": pa.array([], type=pa.int64())})
-        t = minhash_bands_batch(b.filter(pa.array(m)), text_col, ngram)
-        return t.select(["band_id", "band_key"])
+        cols = {"band_id": np.empty(0, dtype=np.int32)}
+        cols.update({c: np.empty(0, dtype=np.int64) for c in mcols})
+        if m.any():
+            _, sig = minhash_sig_batch(b.filter(pa.array(m)), text_col, ngram)
+            per = sig.reshape(len(sig), N_BANDS, ROWS_PER_BAND)
+            cols["band_id"] = np.tile(np.arange(N_BANDS, dtype=np.int32),
+                                      len(sig))
+            for r, c in enumerate(mcols):
+                cols[c] = np.ascontiguousarray(per[:, :, r]).reshape(-1)
+        return pa.table({k: pa.array(v) for k, v in cols.items()})
 
     bands = ds.select_columns(["doc_id", text_col]).map_batches(
         eval_bands, batch_format="pyarrow")
@@ -607,13 +635,14 @@ def _eval_band_set_refs(ds, every: int, text_col: str, ngram: int):
             if "band_id" not in t.column_names or not t.num_rows:
                 continue
             bid = t.column("band_id").to_numpy(zero_copy_only=False)
-            key = t.column("band_key").to_numpy(zero_copy_only=False)
+            m = np.stack([t.column(c).to_numpy(zero_copy_only=False)
+                          for c in mcols], axis=1)
             for b in range(N_BANDS):
-                k = key[bid == b]
+                k = m[bid == b]
                 if len(k):
                     per_band[b].append(k)
-        return [np.unique(np.concatenate(ks)) if ks
-                else np.empty(0, dtype=np.int64) for ks in per_band]
+        return [np.unique(_band_tuple_view(np.concatenate(ks))) if ks
+                else np.empty(0, dtype=_TUPLE_VOID) for ks in per_band]
 
     return union.remote(*bands.to_arrow_refs())
 
@@ -628,12 +657,11 @@ def cross_corpus_flags(ds, every: int = 97, text_col: str = "text",
     leaks exact grams miss. Returns Dataset[(doc_id, contaminated)].
 
     Scale shape: the eval side is always small (a benchmark), so its
-    16 per-band key arrays are compiled in a Ray task and broadcast;
-    flagging is one band computation + 16 ``searchsorted`` probes per
-    batch — NO shuffle at any size. Engine membership uses the folded
-    int64 band key (the SQL twin joins the minima tuple itself; a fold
-    collision is the documented ~2^-64 residual, same class as
-    band_keys/grams hashing).
+    16 per-band tuple arrays are compiled in a Ray task and broadcast;
+    flagging is one signature computation + 16 ``searchsorted`` probes
+    per batch — NO shuffle at any size. Membership is on the band's
+    minima TUPLE itself (128-bit bijective packing, not a fold), so the
+    engine reproduces the SQL twin's tuple join exactly — no residual.
     """
     import ray
 
@@ -648,17 +676,14 @@ def cross_corpus_flags(ds, every: int = 97, text_col: str = "text",
         if not len(sids):
             return pa.table({"doc_id": pa.array([], type=pa.int64()),
                              "contaminated": pa.array([], type=pa.int64())})
-        t = minhash_bands_batch(sub, text_col, ngram)
-        # minhash_bands_batch flattens the (D, n_bands) key matrix
-        # row-major (band_id is np.tile per doc)
-        key = t.column("band_key").to_numpy(zero_copy_only=False) \
-            .reshape(len(sids), N_BANDS)
+        _, sig = minhash_sig_batch(sub, text_col, ngram)
+        per = sig.reshape(len(sids), N_BANDS, ROWS_PER_BAND)
         hit = np.zeros(len(sids), dtype=bool)
         for b in range(N_BANDS):
             arr = per_band[b]
             if not len(arr):
                 continue
-            k = key[:, b]
+            k = _band_tuple_view(per[:, b, :])
             pos = np.searchsorted(arr, k)
             pos = np.minimum(pos, len(arr) - 1)
             hit |= arr[pos] == k

@@ -347,3 +347,44 @@ def test_cross_corpus_flags_near_dups(ray_session):
     out2 = cross_corpus_flags(ray.data.from_arrow(t).repartition(4)) \
         .to_pandas().set_index("doc_id")["contaminated"]
     assert out2.sort_index().equals(out.sort_index())
+
+
+def test_cross_corpus_flags_exact_tuple_bruteforce(ray_session):
+    """The operator's band-membership probe equals a brute-force
+    minima-TUPLE comparison (round 5: the probe ships the 128-bit
+    packed tuple itself, not a folded key — the SQL twin's join,
+    reproduced exactly)."""
+    import ray.data
+
+    from maskmypy_ray.text.dedup import (N_BANDS, ROWS_PER_BAND,
+                                         cross_corpus_flags,
+                                         minhash_sig_batch)
+
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i}" for i in range(60)]
+    n, every = 120, 10
+    texts = [" ".join(rng.choice(vocab, size=rng.integers(8, 30)))
+             for _ in range(n)]
+    # plant near-dups of eval docs at non-eval ids
+    texts[13] = texts[0] + " tail"
+    texts[27] = texts[20]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "text": pa.array(texts),
+    })
+    got = cross_corpus_flags(ray.data.from_arrow(t).repartition(5),
+                             every=every).to_pandas() \
+        .set_index("doc_id")["contaminated"].sort_index()
+    ids, sig = minhash_sig_batch(t)
+    per = sig.reshape(n, N_BANDS, ROWS_PER_BAND)
+    is_eval = ids % every == 0
+    want = {}
+    for i in range(n):
+        if is_eval[i]:
+            continue
+        hit = any(
+            (per[i, b] == per[j, b]).all()
+            for j in np.nonzero(is_eval)[0] for b in range(N_BANDS))
+        want[int(ids[i])] = int(hit)
+    assert got.to_dict() == want
+    assert got.sum() >= 2  # the planted dup and near-dup are caught
