@@ -79,6 +79,27 @@ def mix32(x: np.ndarray | int) -> np.ndarray | int:
     return x
 
 
+def mix32_inplace(x: np.ndarray, tmp: np.ndarray) -> np.ndarray:
+    """:func:`mix32` computed IN PLACE over int64 array ``x`` using
+    ``tmp`` (same shape) as scratch — bit-identical output, zero
+    allocations. The expression form allocates ~9 slab-sized
+    temporaries per call; on hosts where first-touch page faults are
+    slow that dominates slab-sized kernels (the MinHash signature
+    matrix), so the hot path passes preallocated buffers instead."""
+    x &= _M32
+    np.right_shift(x, 16, out=tmp)
+    x ^= tmp
+    x *= _C
+    x &= _M32
+    np.right_shift(x, 16, out=tmp)
+    x ^= tmp
+    x *= _C
+    x &= _M32
+    np.right_shift(x, 16, out=tmp)
+    x ^= tmp
+    return x
+
+
 def substream(key: np.ndarray | int, seed: int, stream: int) -> np.ndarray:
     """32-bit hash for (row key, seed, stream index)."""
     s = (int(seed) % (1 << 32) + stream * _STREAM_STEP) & _M32

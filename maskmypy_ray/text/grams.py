@@ -126,6 +126,8 @@ def minhash_signatures(grams: np.ndarray, gbounds: np.ndarray,
     hashes; gram-less docs get the all-0xFFFFFFFF signature. The
     (grams, n_perm) permutation matrix is built in bounded slabs and
     reduced per doc with one ``np.minimum.reduceat``."""
+    from ..rng import mix32_inplace
+
     D = len(gbounds) - 1
     n_perm = len(perms)
     sig = np.full((D, n_perm), 0xFFFFFFFF, dtype=np.int64)
@@ -134,6 +136,11 @@ def minhash_signatures(grams: np.ndarray, gbounds: np.ndarray,
     lens = np.diff(gbounds)
     nonempty = np.nonzero(lens > 0)[0]
     max_grams = max(1, 4_000_000 // n_perm)  # ~32 MB int64 slab
+    # one slab + one scratch, reused across every slab iteration: the
+    # expression form of mix32 allocates ~9 slab temporaries per call,
+    # and first-touch page faults dominate the kernel on this host class
+    buf = np.empty((min(max_grams, len(grams)), n_perm), dtype=np.int64)
+    tmp = np.empty_like(buf)
     i = 0
     while i < len(nonempty):
         j = i + 1
@@ -142,8 +149,10 @@ def minhash_signatures(grams: np.ndarray, gbounds: np.ndarray,
             j += 1
         docs = nonempty[i:j]
         b = gbounds[docs[-1] + 1]
-        vals = mix32(grams[a:b, None] ^ perms[None, :])
-        sig[docs] = np.minimum.reduceat(vals, gbounds[docs] - a, axis=0)
+        v = buf[:b - a]
+        np.bitwise_xor(grams[a:b, None], perms[None, :], out=v)
+        mix32_inplace(v, tmp[:b - a])
+        sig[docs] = np.minimum.reduceat(v, gbounds[docs] - a, axis=0)
         i = j
     return sig
 
