@@ -32,3 +32,14 @@ def test_sql_parity():
                 f"select {sql} as u from (select unnest(range(0,500)) as k) order by k"
             ).fetchnumpy()["u"]
             assert np.array_equal(py, got)
+
+
+def test_mix32_inplace_bit_identical():
+    """mix32_inplace is the allocation-free twin of mix32 — identical
+    output on the full 32-bit domain sample, including the 2D slab
+    shape the MinHash signature kernel feeds it."""
+    r = np.random.default_rng(7)
+    x = r.integers(0, 2**32, size=(1000, 64)).astype(np.int64)
+    x[0, :4] = [0, 1, 2**32 - 1, 0x9E3779B9]
+    out = rng.mix32_inplace(x.copy(), np.empty_like(x))
+    assert np.array_equal(out, rng.mix32(x))
