@@ -189,19 +189,32 @@ def minhash_lsh_pairs(ds, threshold: float = 0.8, text_col: str = "text",
         .repartition(shuffle_blocks)
 
     def bucket_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["band_id", "band_key", "doc_id"])
-        sz = g.groupby(["band_id", "band_key"], sort=False)["doc_id"] \
-            .transform("size")
-        multi = g[sz >= 2]
-        out_a, out_b = [], []
-        # iterate only buckets that actually collide (near-dups are rare)
-        for _, sub in multi.groupby(["band_id", "band_key"], sort=False):
-            docs = np.unique(sub["doc_id"].to_numpy())
-            ia, ib = np.triu_indices(len(docs), 1)
-            out_a.append(docs[ia])
-            out_b.append(docs[ib])
-        a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
-        b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+        """All intra-bucket doc pairs, with NO per-bucket Python loop:
+        sort so each bucket is a contiguous run of sorted-distinct
+        docs, then emit every (earlier, current) pair via one segmented
+        arange — pure numpy regardless of how many buckets collide."""
+        g = g.sort_values(["band_id", "band_key", "doc_id"],
+                          kind="mergesort") \
+            .drop_duplicates(["band_id", "band_key", "doc_id"])
+        docs = g["doc_id"].to_numpy(dtype=np.int64)
+        bid = g["band_id"].to_numpy()
+        key = g["band_key"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new[1:] = (bid[1:] != bid[:-1]) | (key[1:] != key[:-1])
+        # local index of each row within its bucket = # earlier partners
+        starts = np.nonzero(new)[0]
+        bucket_of = np.cumsum(new) - 1
+        local = np.arange(len(g)) - starts[bucket_of]
+        counts = local  # row p pairs with each of its `local` predecessors
+        M = int(counts.sum())
+        if not M:
+            a = b = np.array([], dtype=np.int64)
+        else:
+            b = np.repeat(docs, counts)
+            csum = np.cumsum(counts)
+            inner = np.arange(M) - np.repeat(csum - counts, counts)
+            a = docs[np.repeat(starts[bucket_of], counts) + inner]
         return pd.DataFrame({
             "doc_a": a, "doc_b": b,
             "pq": (a * 1_000_003 + b) % partitions,
@@ -262,21 +275,62 @@ def minhash_lsh_pairs(ds, threshold: float = 0.8, text_col: str = "text",
         .groupby("pd_").map_groups(attach_part, batch_format="pandas")
 
     def verify_part(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, out_s = [], [], []
-        for (a, b), sub in g.groupby(["doc_a", "doc_b"], sort=False):
-            if len(sub) != 2:  # a side lacked its shingle row
-                continue
-            sa = set(np.asarray(sub["shingles"].iloc[0]).tolist())
-            sb = set(np.asarray(sub["shingles"].iloc[1]).tolist())
-            s = jaccard(sa, sb)
-            if s >= threshold:
-                out_a.append(a)
-                out_b.append(b)
-                out_s.append(s)
+        """Exact shingle Jaccard per candidate pair, with NO per-pair
+        Python loop or set objects: sort so each complete pair is a
+        contiguous 2-row run, pack each side's (pair_index, gram) into
+        one int64 (grams are 32-bit, so the packing is bijective), and
+        count per-pair intersections with a single ``np.intersect1d``
+        over the partition's whole gram mass."""
+        empty = pd.DataFrame({
+            "doc_a": np.array([], dtype=np.int64),
+            "doc_b": np.array([], dtype=np.int64),
+            "sim": np.array([], dtype=np.float64),
+        })
+        if not len(g):
+            return empty
+        g = g.sort_values(["doc_a", "doc_b"], kind="mergesort")
+        a = g["doc_a"].to_numpy(dtype=np.int64)
+        b = g["doc_b"].to_numpy(dtype=np.int64)
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        run = np.cumsum(new) - 1
+        sizes = np.bincount(run)
+        ok = sizes[run] == 2  # drop pairs where a side lacked its row
+        if not ok.any():
+            return empty
+        g = g[ok]
+        pos = np.nonzero(ok)[0]
+        first = np.zeros(len(ok), dtype=bool)
+        first[np.nonzero(new)[0]] = True
+        is_first = first[pos]
+        sh = [np.asarray(x, dtype=np.int64) for x in g["shingles"]]
+        n_pairs = len(g) // 2
+        assert n_pairs < (1 << 31)  # packing headroom: pair_idx * 2^32
+        pid = np.repeat(np.arange(n_pairs, dtype=np.int64), 2)
+
+        def side_pack(mask: np.ndarray) -> tuple:
+            lists = [s for s, m in zip(sh, mask) if m]
+            lens = np.fromiter(map(len, lists), dtype=np.int64,
+                               count=len(lists))
+            grams = np.concatenate(lists) if lists else \
+                np.array([], dtype=np.int64)
+            packed = np.repeat(pid[mask], lens) * (1 << 32) + grams
+            return packed, lens
+
+        pa_, la = side_pack(is_first)
+        pb_, lb = side_pack(~is_first)
+        inter = np.intersect1d(pa_, pb_, assume_unique=True)
+        i_cnt = np.bincount(inter >> 32, minlength=n_pairs)
+        union = la + lb - i_cnt
+        # two empty shingle sets are identical documents (jaccard()=1.0)
+        sim = np.divide(i_cnt, union, out=np.ones(n_pairs, dtype=np.float64),
+                        where=union > 0)
+        keep = sim >= threshold
+        aa = g["doc_a"].to_numpy(dtype=np.int64)[::2]
+        bb = g["doc_b"].to_numpy(dtype=np.int64)[::2]
         return pd.DataFrame({
-            "doc_a": np.array(out_a, dtype=np.int64),
-            "doc_b": np.array(out_b, dtype=np.int64),
-            "sim": np.array(out_s, dtype=np.float64),
+            "doc_a": aa[keep], "doc_b": bb[keep],
+            "sim": sim[keep],
         })
 
     return attached.groupby("pq").map_groups(verify_part,
