@@ -317,18 +317,20 @@ def cosine_pairs_lsh(ds, threshold: float = 0.4,
         })
 
     def bucket_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["bucket", "vec_id"])
-        sz = g.groupby("bucket", sort=False)["vec_id"].transform("size")
-        multi = g[sz >= 2]
-        out_a, out_b = [], []
-        # iterate only buckets that actually collide
-        for _, sub in multi.groupby("bucket", sort=False):
-            ids = np.unique(sub["vec_id"].to_numpy())
-            ia, ib = np.triu_indices(len(ids), 1)
-            out_a.append(ids[ia])
-            out_b.append(ids[ib])
-        a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
-        b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+        """Intra-bucket candidate pairs with one segmented arange over
+        the sorted partition — no per-bucket Python loop (see
+        util.segmented_pair_indices)."""
+        from ..util import segmented_pair_indices
+
+        g = g.sort_values(["bucket", "vec_id"], kind="mergesort") \
+            .drop_duplicates(["bucket", "vec_id"])
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        bk = g["bucket"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new[1:] = bk[1:] != bk[:-1]
+        ia, ib = segmented_pair_indices(new)
+        a, b = ids[ia], ids[ib]
         return pd.DataFrame({
             "vec_a": a, "vec_b": b,
             "pq": (a * 1_000_003 + b) % partitions,

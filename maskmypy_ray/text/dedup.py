@@ -193,6 +193,8 @@ def minhash_lsh_pairs(ds, threshold: float = 0.8, text_col: str = "text",
         sort so each bucket is a contiguous run of sorted-distinct
         docs, then emit every (earlier, current) pair via one segmented
         arange — pure numpy regardless of how many buckets collide."""
+        from ..util import segmented_pair_indices
+
         g = g.sort_values(["band_id", "band_key", "doc_id"],
                           kind="mergesort") \
             .drop_duplicates(["band_id", "band_key", "doc_id"])
@@ -202,19 +204,8 @@ def minhash_lsh_pairs(ds, threshold: float = 0.8, text_col: str = "text",
         new = np.ones(len(g), dtype=bool)
         if len(g) > 1:
             new[1:] = (bid[1:] != bid[:-1]) | (key[1:] != key[:-1])
-        # local index of each row within its bucket = # earlier partners
-        starts = np.nonzero(new)[0]
-        bucket_of = np.cumsum(new) - 1
-        local = np.arange(len(g)) - starts[bucket_of]
-        counts = local  # row p pairs with each of its `local` predecessors
-        M = int(counts.sum())
-        if not M:
-            a = b = np.array([], dtype=np.int64)
-        else:
-            b = np.repeat(docs, counts)
-            csum = np.cumsum(counts)
-            inner = np.arange(M) - np.repeat(csum - counts, counts)
-            a = docs[np.repeat(starts[bucket_of], counts) + inner]
+        ia, ib = segmented_pair_indices(new)
+        a, b = docs[ia], docs[ib]
         return pd.DataFrame({
             "doc_a": a, "doc_b": b,
             "pq": (a * 1_000_003 + b) % partitions,
@@ -526,46 +517,42 @@ def simhash_pairs(ds, max_hamming: int = 3, text_col: str = "text"):
     def explode(b: pa.Table) -> pa.Table:
         d = b.column("doc_id").to_numpy(zero_copy_only=False)
         h = b.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
-        bands, keys, docs, full = [], [], [], []
-        for band in range(4):
-            seg = (h >> np.uint64(16 * band)) & np.uint64(0xFFFF)
-            bands.extend([band] * len(d))
-            keys.extend(seg.tolist())
-            docs.extend(d.tolist())
-            full.extend(h.tolist())
-        keys_np = np.array(keys, dtype=np.int64)
-        bands_np = np.array(bands, dtype=np.int64)
+        n = len(d)
+        bands_np = np.repeat(np.arange(4, dtype=np.int64), n)
+        keys_np = np.concatenate([
+            ((h >> np.uint64(16 * band)) & np.uint64(0xFFFF)).astype(np.int64)
+            for band in range(4)]) if n else np.array([], dtype=np.int64)
         return pa.table({
             "band": pa.array(bands_np.astype(np.int32), type=pa.int32()),
             "key": pa.array(keys_np, type=pa.int64()),
-            "doc_id": pa.array(docs, type=pa.int64()),
-            "simhash": pa.array(np.array(full, dtype=np.uint64), type=pa.uint64()),
+            "doc_id": pa.array(np.tile(d, 4), type=pa.int64()),
+            "simhash": pa.array(np.tile(h, 4), type=pa.uint64()),
             "pb": pa.array((keys_np * 4 + bands_np) % LSH_PARTITIONS),
         })
 
     partitions = LSH_PARTITIONS
 
     def bucket_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
-        """One coarse partition of band buckets: loop only the buckets
-        that actually collide, each handled vectorized (triu + xor)."""
-        g = g.drop_duplicates(["band", "key", "doc_id"])
-        sz = g.groupby(["band", "key"], sort=False)["doc_id"].transform("size")
-        multi = g[sz >= 2]
-        out_a, out_b, out_h = [], [], []
-        for _, sub in multi.groupby(["band", "key"], sort=False):
-            sub = sub.sort_values("doc_id")
-            d = sub["doc_id"].to_numpy()
-            h = sub["simhash"].to_numpy().astype(np.uint64)
-            a, b = np.triu_indices(len(d), 1)
-            x = np.bitwise_xor(h[a], h[b])
-            ham = popcount64(x)
-            ok = ham <= max_hamming
-            out_a.append(d[a][ok])
-            out_b.append(d[b][ok])
-            out_h.append(ham[ok].astype(np.int64))
-        a = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
-        b = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
-        hm = np.concatenate(out_h) if out_h else np.array([], dtype=np.int64)
+        """One coarse partition of band buckets: sort so each bucket is
+        a contiguous doc_id-sorted run, pair every (earlier, current)
+        row with one segmented arange, and Hamming-filter the whole
+        partition's pairs in one vectorized popcount — no per-bucket
+        Python loop (the candidate kernel's hot spot at scale)."""
+        from ..util import segmented_pair_indices
+
+        g = g.sort_values(["band", "key", "doc_id"], kind="mergesort") \
+            .drop_duplicates(["band", "key", "doc_id"])
+        d = g["doc_id"].to_numpy(dtype=np.int64)
+        h = g["simhash"].to_numpy().astype(np.uint64)
+        band = g["band"].to_numpy()
+        key = g["key"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+        ia, ib = segmented_pair_indices(new)
+        ham = popcount64(np.bitwise_xor(h[ia], h[ib]))
+        ok = ham <= max_hamming
+        a, b, hm = d[ia][ok], d[ib][ok], ham[ok].astype(np.int64)
         return pd.DataFrame({
             "doc_a": a, "doc_b": b, "hamming": hm,
             "pq": (a * 1_000_003 + b) % partitions,

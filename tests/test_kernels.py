@@ -118,3 +118,28 @@ def test_nearest_point_on_segments():
     qx, qy, d2 = nearest_point_on_segments(
         0.0, 1.0, np.array([-1.0]), np.array([0.0]), np.array([1.0]), np.array([0.0]))
     assert qx[0] == 0.0 and qy[0] == 0.0 and d2[0] == 1.0
+
+
+def test_segmented_pair_indices_matches_bruteforce():
+    from itertools import combinations
+
+    from maskmypy_ray.util import segmented_pair_indices
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n_runs = int(rng.integers(1, 12))
+        lens = rng.integers(1, 9, size=n_runs)
+        new = np.zeros(int(lens.sum()), dtype=bool)
+        new[np.concatenate([[0], np.cumsum(lens)[:-1]])] = True
+        ia, ib = segmented_pair_indices(new)
+        want = []
+        start = 0
+        for ln in lens:
+            want.extend(combinations(range(start, start + int(ln)), 2))
+            start += int(ln)
+        got = sorted(zip(ia.tolist(), ib.tolist()))
+        assert got == sorted(want)
+        assert (ia < ib).all() if len(ia) else True
+    # empty input
+    ia, ib = segmented_pair_indices(np.zeros(0, dtype=bool))
+    assert len(ia) == 0 and len(ib) == 0
