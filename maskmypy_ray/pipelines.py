@@ -2619,15 +2619,41 @@ def q_sessions(sf_dir: str):
                  ("v2", "b_ts", f64)])])
 
 
+def q_shuffle_shards(sf_dir: str):
+    """Deterministic global shuffle -> dataloader shards: (doc_id,
+    shard, pos) via the keyed distributed prefix sum (counter-RNG
+    stream 914; n_shards=8, buckets=64 so the fixture exercises many
+    cells per shard)."""
+    from .text.corpus import shuffle_shards
+
+    return shuffle_shards(_docs_ds(sf_dir).select_columns(["doc_id"]),
+                          n_shards=8, seed=SEED, buckets=64)
+
+
 def q_sequence_pack(sf_dir: str):
-    """Token-budget sequence packing over the documents corpus
-    (seq_len=512 so the fixture yields multi-sequence output): the
-    distributed-prefix-sum layout pass between a curated corpus and a
-    token-stream dataloader. range_rows=100 forces the fixture through
-    many ranges, exercising the cross-range offset arithmetic."""
+    """BOTH corpus->dataloader layout passes in one tagged union
+    (merges sequence_pack + shuffle_shards — the two per-doc layout
+    assignments between a curated corpus and a training dataloader):
+
+    - part ``pack``: token-budget sequence packing (seq_len=512 so the
+      fixture yields multi-sequence output; range_rows=100 forces many
+      ranges, exercising the cross-range offset arithmetic) —
+      a=n_tokens, b=seq_id, c=offset;
+    - part ``shuffle``: deterministic pseudo-random shard assignment +
+      within-shard rank (keyed distributed prefix sum, stream 914) —
+      a=shard, b=pos, c=0.
+    """
     from .text.corpus import sequence_pack
 
-    return sequence_pack(_docs_ds(sf_dir), seq_len=512, range_rows=100)
+    i64 = pa.int64()
+    return _union([
+        _tag_ds(sequence_pack(_docs_ds(sf_dir), seq_len=512,
+                              range_rows=100), "pack",
+                [("doc_id", "doc_id", None), ("a", "n_tokens", None),
+                 ("b", "seq_id", None), ("c", "offset", None)]),
+        _tag_ds(q_shuffle_shards(sf_dir), "shuffle",
+                [("doc_id", "doc_id", None), ("a", "shard", None),
+                 ("b", "pos", None), ("c", ("const", 0), i64)])])
 
 
 def q_temporal_joins(sf_dir: str):
@@ -2642,6 +2668,22 @@ def q_temporal_joins(sf_dir: str):
 
 
 # -- merged oracle SQL -------------------------------------------------------
+
+
+def _shuffle_shards_sql(n_shards: int = 8) -> str:
+    """DuckDB twin of ``text.corpus.shuffle_shards`` projected onto the
+    merged layout schema (a=shard, b=pos, c=0): the engine's keyed
+    prefix sum equals a plain windowed rank over the identical
+    counter-RNG key (stream 914)."""
+    from .rng import sql_substream
+
+    sub = sql_substream("doc_id", SEED, 914)
+    return (
+        f"WITH keyed AS (SELECT doc_id, {sub} AS skey FROM documents) "
+        f"SELECT doc_id, skey % {n_shards} AS a, "
+        f"CAST(row_number() OVER (PARTITION BY skey % {n_shards} "
+        "ORDER BY skey, doc_id) - 1 AS BIGINT) AS b, "
+        "CAST(0 AS BIGINT) AS c FROM keyed")
 
 
 def _merged_oracles() -> dict[str, str]:
@@ -2780,15 +2822,17 @@ def _merged_oracles() -> dict[str, str]:
                      + base["asof_join"] + ")"),
             ("range", "SELECT event_id, n_parts AS val FROM ("
                       + base["range_join"] + ")")]),
-        "sequence_pack": (
-            "WITH t AS (SELECT doc_id, CAST(len(regexp_extract_all("
-            f"lower(text), '{_TOKEN_RE_SQL}')) AS BIGINT) AS n_tokens "
-            "FROM documents), "
-            "c AS (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) "
-            "OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
-            "1 PRECEDING), 0) AS BIGINT) AS before_n FROM t) "
-            "SELECT doc_id, n_tokens, before_n // 512 AS seq_id, "
-            "before_n % 512 AS offset FROM c"),
+        "sequence_pack": _sql_union([
+            ("pack",
+             "WITH t AS (SELECT doc_id, CAST(len(regexp_extract_all("
+             f"lower(text), '{_TOKEN_RE_SQL}')) AS BIGINT) AS n_tokens "
+             "FROM documents), "
+             "c AS (SELECT doc_id, n_tokens, CAST(COALESCE(SUM(n_tokens) "
+             "OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+             "1 PRECEDING), 0) AS BIGINT) AS before_n FROM t) "
+             "SELECT doc_id, n_tokens AS a, before_n // 512 AS b, "
+             "before_n % 512 AS c FROM c"),
+            ("shuffle", _shuffle_shards_sql(n_shards=8))]),
     }
 
 
@@ -2853,9 +2897,11 @@ QUERIES = {
     "top_quality_per_source": q_top_quality_per_source,
 }
 
-# sequence_pack is an unmerged single-operator query added after the
-# consolidation snapshot; keep the per-operator surface complete.
+# layout ops added after the consolidation snapshot; keep the
+# per-operator surface complete (the registered `sequence_pack` query
+# is their tagged union).
 FULL_QUERIES["sequence_pack"] = q_sequence_pack
+FULL_QUERIES["shuffle_shards"] = q_shuffle_shards
 
 
 def oracle_queries() -> dict[str, str]:  # noqa: F811 — consolidated surface

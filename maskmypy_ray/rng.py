@@ -39,6 +39,7 @@ Stream index registry (keep in sync with oracle.py):
  911  fixed-k uniform sampling (text/corpus.py)
  912  per-host page cap rank (text/corpus.py)
  913  weighted Bernoulli sampling (text/corpus.py)
+ 914  shard-shuffle permutation key (text/corpus.py shuffle_shards)
  300+ Ripley CSR simulation s uses 300+2s / 301+2s (s < ~300; streams
       900+ are reserved above that, i.e. simulations <= 299)
 10000 ANN random hyperplanes u; 10001 v (kept clear of the Ripley range)

@@ -681,3 +681,96 @@ def sequence_pack(ds, seq_len: int = 2048, text_col: str = "text",
 
     return counts.map_batches(with_range, batch_format="pyarrow") \
         .groupby("r").map_groups(finish_range, batch_format="pandas")
+
+
+def shuffle_shards(ds, n_shards: int = 8, seed: int = 0, buckets: int = 256,
+                   id_col: str = "doc_id"):
+    """Deterministic global corpus shuffle into dataloader shards:
+    (doc_id, shard, pos) where ``shard = key % n_shards``, ``pos`` is
+    the rank of ``(key, doc_id)`` within the shard, and ``key =
+    substream(doc_id, seed, stream 914)`` — i.e. a reproducible
+    pseudo-random permutation of the corpus split across ``n_shards``
+    readers, the step between a curated corpus and a sharded training
+    dataloader. Depends only on (doc_id, seed): byte-identical at any
+    parallelism, partitioning or retry, and exactly reproducible in SQL
+    (``row_number() OVER (PARTITION BY key % S ORDER BY key, doc_id)``).
+
+    Scale shape — a KEYED distributed prefix sum (``sequence_pack``'s
+    pattern generalized from one global stream to ``n_shards``
+    independent ones), NOT a global sort:
+
+    1. one map pass computes ``key`` and the coarse ``(shard, bucket)``
+       cell (``bucket`` = top bits of ``key``, so bucket order = key
+       order within a shard);
+    2. per-batch cell counts -> one tiny ``groupby(cell)`` -> the
+       ``n_shards * buckets`` cell totals reach the driver, where a
+       per-shard exclusive cumsum turns them into cell start ranks
+       (broadcast via ``ray.put`` — one int per cell);
+    3. ONE coarse ``groupby(cell % 64)`` co-locates each cell's docs;
+       the partition kernel sorts by (cell, key, doc_id) and adds each
+       run's local arange to its broadcast start rank.
+
+    No shard is ever materialized in one task (a shard is 1/n_shards of
+    the corpus — size ``buckets`` so a cell fits a worker), and the
+    driver holds ``n_shards * buckets`` ints regardless of corpus size.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..rng import substream
+
+    if buckets & (buckets - 1):
+        raise ValueError("buckets must be a power of two")
+    shift = 32 - (buckets.bit_length() - 1)
+
+    def keyed(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        key = substream(ids, seed, 914)
+        shard = key % n_shards
+        cell = shard * buckets + (key >> shift)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "skey": pa.array(key, type=pa.int64()),
+            "shard": pa.array(shard, type=pa.int64()),
+            "cell": pa.array(cell, type=pa.int64()),
+        })
+
+    rows = ds.map_batches(keyed, batch_format="pyarrow")
+
+    def cell_partial(b: pa.Table) -> pa.Table:
+        c = b.column("cell").to_numpy(zero_copy_only=False)
+        uc, cnt = np.unique(c, return_counts=True)
+        return pa.table({"cell": pa.array(uc, type=pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    totals = rows.map_batches(cell_partial, batch_format="pyarrow") \
+        .groupby("cell").aggregate(Sum("cnt", alias_name="cnt")).to_pandas()
+    counts = np.zeros(n_shards * buckets, dtype=np.int64)
+    counts[totals["cell"].to_numpy()] = totals["cnt"].to_numpy()
+    grid = counts.reshape(n_shards, buckets)
+    starts = np.zeros_like(grid)
+    starts[:, 1:] = np.cumsum(grid, axis=1)[:, :-1]  # per-shard exclusive
+    off_ref = ray.put(starts.reshape(-1))
+
+    def with_pq(b: pa.Table) -> pa.Table:
+        c = b.column("cell").to_numpy(zero_copy_only=False)
+        return b.append_column("pq", pa.array(c % 64, type=pa.int64()))
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        from ..util import run_local_ranks
+
+        offs = ray.get(off_ref)
+        g = g.sort_values(["cell", "skey", "doc_id"], kind="mergesort")
+        cell = g["cell"].to_numpy()
+        new = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new[1:] = cell[1:] != cell[:-1]
+        pos = offs[cell] + run_local_ranks(new)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "shard": g["shard"].to_numpy(),
+            "pos": pos.astype(np.int64),
+        })
+
+    return rows.map_batches(with_pq, batch_format="pyarrow") \
+        .groupby("pq").map_groups(rank_part, batch_format="pandas")

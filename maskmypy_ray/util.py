@@ -20,6 +20,22 @@ def auto_concurrency(cap: int = 64) -> tuple[int, int]:
     return (1, max(1, min(cap, cpus - 2)))
 
 
+def run_local_ranks(new):
+    """0-based rank of each row WITHIN its run, given run-start
+    indicator ``new`` over rows already sorted so each run is
+    contiguous — one vectorized arange-minus-starts, no per-run loop.
+    The segmented building block shared by the LSH pair kernels
+    (:func:`segmented_pair_indices`) and the keyed-prefix-sum rank
+    assignment in ``text.corpus.shuffle_shards``."""
+    import numpy as np
+
+    if not len(new):
+        return np.array([], dtype=np.int64)
+    starts = np.nonzero(new)[0]
+    run = np.cumsum(new) - 1
+    return np.arange(len(new), dtype=np.int64) - starts[run]
+
+
 def segmented_pair_indices(new):
     """Row positions ``(ia, ib)`` of every within-run pair (``ia < ib``,
     same run) given run-start indicator ``new`` over rows already sorted
@@ -31,9 +47,12 @@ def segmented_pair_indices(new):
     (measured 55x on 200k buckets)."""
     import numpy as np
 
+    if not len(new):
+        z = np.array([], dtype=np.int64)
+        return z, z
     starts = np.nonzero(new)[0]
     run = np.cumsum(new) - 1
-    local = np.arange(len(new)) - starts[run]
+    local = run_local_ranks(new)
     M = int(local.sum())
     if not M:
         z = np.array([], dtype=np.int64)

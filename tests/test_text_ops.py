@@ -388,3 +388,43 @@ def test_cross_corpus_flags_exact_tuple_bruteforce(ray_session):
         want[int(ids[i])] = int(hit)
     assert got.to_dict() == want
     assert got.sum() >= 2  # the planted dup and near-dup are caught
+
+
+def test_shuffle_shards_matches_bruteforce_and_partitioning(ray_session):
+    import pandas as pd
+    import ray
+
+    from maskmypy_ray.rng import substream
+    from maskmypy_ray.text.corpus import shuffle_shards
+
+    ids = np.arange(977, dtype=np.int64) * 3 + 11  # sparse, non-contiguous
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+    got = shuffle_shards(ray.data.from_arrow(t), n_shards=4, seed=123,
+                         buckets=32).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    key = substream(ids, 123, 914)
+    df = pd.DataFrame({"doc_id": ids, "key": key, "shard": key % 4})
+    df = df.sort_values(["shard", "key", "doc_id"])
+    df["pos"] = df.groupby("shard").cumcount()
+    want = df.sort_values("doc_id").reset_index(drop=True)
+    assert (got["shard"].to_numpy() == want["shard"].to_numpy()).all()
+    assert (got["pos"].to_numpy() == want["pos"].to_numpy()).all()
+    # every shard is a contiguous 0..n-1 rank range (a valid dataloader
+    # order), and the result is independent of input partitioning
+    sizes = want.groupby("shard")["pos"].agg(["max", "size"])
+    assert (sizes["max"] + 1 == sizes["size"]).all()
+    got2 = shuffle_shards(ray.data.from_arrow(t).repartition(7), n_shards=4,
+                          seed=123, buckets=32).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got2.equals(got)
+
+
+def test_shuffle_shards_rejects_non_pow2_buckets(ray_session):
+    import ray
+
+    from maskmypy_ray.text.corpus import shuffle_shards
+
+    t = pa.table({"doc_id": pa.array([1, 2], type=pa.int64())})
+    with pytest.raises(ValueError):
+        shuffle_shards(ray.data.from_arrow(t), buckets=48)
