@@ -9,18 +9,24 @@ the minimum doc_id reachable through pair edges.
 Scale shape — hash-min label propagation, the standard BSP connected
 components (no driver-side union-find, no graph materialization):
 
-* state = a labels Dataset ``(node, label)`` starting at label = node;
-* each round, every node sends its current label across its incident
-  edges (one ``groupby(key)`` co-locating a node's label row with its
-  edge rows — no Dataset join needed), then every node takes the min
-  of what it received (one ``groupby(node).min``);
-* labels only decrease, so a global ``Sum(label)`` detects convergence
-  exactly; rounds needed = max distance from a cluster's min-id node
-  (tiny for near-dup clusters).
+* state = label rows ``(node, label)`` starting at label = node, plus
+  message rows, all routed by ``node % P``;
+* each round is ONE fused receive->update->send kernel per coarse
+  partition (one ``groupby(key % P)`` co-locates a node's label row,
+  its incoming messages and its outgoing edge rows — no Dataset join,
+  no second shuffle): min incoming message updates the label, the
+  updated label is merged onto each incident edge and emitted pre-min'd
+  per target, already routed to the target's partition for next round;
+* DELTA messaging (Pregel vote-to-halt): after the round-0 seed wave
+  only nodes whose label just changed re-send, so message volume decays
+  to O(frontier); zero messages emitted == exact convergence (labels
+  only decrease and delivery is guaranteed next round); rounds needed =
+  max distance from a cluster's min-id node + 2 (tiny for near-dup
+  clusters).
 
-Per round: two shuffles over |V| + 2|E| fixed-width rows. The DuckDB
-oracle walks the same closure with a recursive CTE and takes the same
-group-wise min — hash-green, not rows-only.
+Per round: ONE shuffle over |V| + 2|E| + |msgs| fixed-width rows. The
+DuckDB oracle walks the same closure with a recursive CTE and takes the
+same group-wise min — hash-green, not rows-only.
 """
 
 from __future__ import annotations
@@ -33,23 +39,57 @@ import pyarrow as pa
 DEFAULT_PARTITIONS = 64
 
 
-def _propagate_part(g: pd.DataFrame) -> pd.DataFrame:
-    """One coarse hash partition of the (label rows ∪ edge rows) union:
-    every node's label row and all its incident edge rows land here
-    together. Vectorized: one pandas hash-merge maps each edge's source
-    label onto its target (edges whose source lacks a label row — a
-    node outside `nodes` — drop out of the inner merge)."""
-    labs = g.loc[g["v"] < 0, ["key", "label"]]
+def _round_part(g: pd.DataFrame, partitions: int,
+                send_all: bool) -> pd.DataFrame:
+    """ONE fused BSP round over one coarse hash partition of the
+    (label rows ∪ incoming message rows ∪ edge rows) union — every
+    node's label row, its incoming messages and its outgoing edges all
+    land here together (their routing key is the node id, same
+    modulus). Receive -> update -> send, fully vectorized:
+
+    1. receive: min incoming message per node (one pandas groupby);
+    2. update: new label = min(own label, received min);
+    3. send (DELTA messaging, Pregel vote-to-halt): only nodes whose
+       label CHANGED this round (every node on round 0, ``send_all``)
+       merge their updated label onto their incident edges, pre-min'd
+       per target (combiner) and routed with ``pk = target %
+       partitions`` so the NEXT round's single shuffle delivers it —
+       after the first wave, shuffle volume is O(frontier), not O(E).
+
+    Emits new label rows (``v == -1``) and message rows (``v == -2``);
+    the static edge rows are NOT re-emitted (the caller re-unions
+    them). Nodes outside `nodes` have no label row, so edges from them
+    drop out of the inner merge."""
+    labs = g.loc[g["v"] == -1, ["key", "label"]]
+    msgs = g.loc[g["v"] == -2, ["key", "label"]]
     edges = g.loc[g["v"] >= 0, ["key", "v"]]
-    m = edges.merge(labs, on="key", how="inner")
-    out = pd.DataFrame({
-        "node": np.concatenate([labs["key"].to_numpy(dtype=np.int64),
-                                m["v"].to_numpy(dtype=np.int64)]),
-        "label": np.concatenate([labs["label"].to_numpy(dtype=np.int64),
-                                 m["label"].to_numpy(dtype=np.int64)]),
-    })
-    # combiner: pre-min per node before the groupby(node) shuffle
-    return out.groupby("node", sort=False, as_index=False)["label"].min()
+    cur = labs
+    changed = np.full(len(labs), send_all)
+    if len(msgs):
+        mm = msgs.groupby("key", sort=False, as_index=False)["label"].min() \
+            .rename(columns={"label": "m"})
+        cur = labs.merge(mm, on="key", how="left")
+        old = cur["label"].to_numpy(dtype=np.int64)
+        new = np.fmin(old.astype(np.float64),
+                      cur["m"].to_numpy(dtype=np.float64)).astype(np.int64)
+        changed = changed | (new < old)
+        cur = pd.DataFrame({"key": cur["key"].to_numpy(dtype=np.int64),
+                            "label": new})
+    senders = cur[changed]
+    em = edges.merge(senders, on="key", how="inner")
+    out_m = pd.DataFrame({"key": em["v"].to_numpy(dtype=np.int64),
+                          "label": em["label"].to_numpy(dtype=np.int64)})
+    if len(out_m):
+        out_m = out_m.groupby("key", sort=False, as_index=False)["label"] \
+            .min()
+    node = np.concatenate([cur["key"].to_numpy(dtype=np.int64),
+                           out_m["key"].to_numpy(dtype=np.int64)])
+    label = np.concatenate([cur["label"].to_numpy(dtype=np.int64),
+                            out_m["label"].to_numpy(dtype=np.int64)])
+    v = np.concatenate([np.full(len(cur), -1, dtype=np.int64),
+                        np.full(len(out_m), -2, dtype=np.int64)])
+    return pd.DataFrame({"key": node, "label": label, "v": v,
+                         "pk": node % partitions})
 
 
 def connected_components(nodes_ds, edges_ds, node_col: str = "node",
@@ -59,12 +99,14 @@ def connected_components(nodes_ds, edges_ds, node_col: str = "node",
     """Cluster ids for every node: ``(node, cluster_id)`` with
     cluster_id = min node id in the connected component.
 
-    The per-round co-location uses a COARSE ``groupby(key % P)`` (not
-    per-key groups — Ray's per-group Python apply costs ~0.4 ms/group,
-    ruinous for |V| 1-row groups) with one vectorized pandas hash-merge
-    per partition; P should scale ~ with cluster cores and the result
-    is partition-count independent."""
-    from ray.data.aggregate import Min, Sum
+    ONE coarse shuffle per round (``groupby(key % P)`` over label +
+    message + edge rows): the fused round kernel receives messages,
+    updates labels and emits next-round messages already routed to the
+    target's partition, so there is no second per-round shuffle and no
+    fine-key ``groupby(node)`` (Ray's per-group apply costs ~0.4 ms on
+    ~1-row groups). P should scale ~ with cluster cores; the result is
+    partition-count independent."""
+    from ray.data.aggregate import Sum
 
     def to_sym(b: pa.Table) -> pa.Table:
         a = b.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -81,40 +123,54 @@ def connected_components(nodes_ds, edges_ds, node_col: str = "node",
 
     def init_labels(b: pa.Table) -> pa.Table:
         n = b.column(node_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"node": pa.array(n), "label": pa.array(n)})
+        return pa.table({
+            "key": pa.array(n),
+            "label": pa.array(n),
+            "v": pa.array(np.full(len(n), -1, dtype=np.int64)),
+            "pk": pa.array(n % partitions),
+        })
 
-    labels = nodes_ds.map_batches(init_labels,
-                                  batch_format="pyarrow").materialize()
-    prev_sum = labels.aggregate(Sum("label"))["sum(label)"]
+    def to_arrow(d: pd.DataFrame) -> pa.Table:
+        # arrow-normalize before the next round's union with the arrow
+        # edge blocks (mixed block types assert in the shuffle reducer)
+        return pa.table({c: pa.array(d[c].to_numpy(), type=pa.int64())
+                         for c in ("key", "label", "v", "pk")})
 
-    for _ in range(max_rounds):
-        def as_state(b: pa.Table) -> pa.Table:
-            n = b.column("node").to_numpy(zero_copy_only=False)
-            return pa.table({
-                "key": b.column("node"),
-                "label": b.column("label"),
-                "v": pa.array(np.full(b.num_rows, -1, dtype=np.int64)),
-                "pk": pa.array(n % partitions),
-            })
+    def msg_count_partial(b: pa.Table) -> pa.Table:
+        m = b.column("v").to_numpy(zero_copy_only=False) == -2
+        return pa.table({"s": pa.array([int(m.sum())], type=pa.int64())})
 
-        state = labels.map_batches(as_state, batch_format="pyarrow").union(sym)
-        msgs = state.groupby("pk").map_groups(_propagate_part,
-                                              batch_format="pandas")
-        labels = msgs.groupby("node").aggregate(
-            Min("label", alias_name="label")).materialize()
-        cur_sum = labels.aggregate(Sum("label"))["sum(label)"]
-        if cur_sum == prev_sum:
+    state = nodes_ds.map_batches(init_labels,
+                                 batch_format="pyarrow").materialize()
+
+    out = state
+    for rnd in range(max_rounds):
+        send_all = rnd == 0
+        out = state.union(sym).groupby("pk") \
+            .map_groups(lambda g: _round_part(g, partitions, send_all),
+                        batch_format="pandas") \
+            .map_batches(to_arrow, batch_format="pandas").materialize()
+        n_msgs = out.map_batches(msg_count_partial,
+                                 batch_format="pyarrow") \
+            .aggregate(Sum("s"))["sum(s)"] or 0
+        state = out
+        # exact halt: messages are only sent by nodes whose label just
+        # changed (plus the round-0 seed wave) and delivery is min-
+        # applied next round — zero messages in flight means no label
+        # can ever change again
+        if n_msgs == 0:
             break
-        prev_sum = cur_sum
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_rounds} rounds")
 
     def rename(b: pa.Table) -> pa.Table:
-        return pa.table({"node": b.column("node"),
+        lab = pa.array(b.column("v").to_numpy(zero_copy_only=False) == -1)
+        b = b.filter(lab)
+        return pa.table({"node": b.column("key"),
                          "cluster_id": b.column("label")})
 
-    return labels.map_batches(rename, batch_format="pyarrow")
+    return out.map_batches(rename, batch_format="pyarrow")
 
 
 def duplicate_clusters(ds, threshold: float = 0.8, ngram: int = 5,

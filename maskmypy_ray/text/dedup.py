@@ -45,13 +45,31 @@ def text_md5_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     })
 
 
-def exact_dedup_groups(ds, text_col: str = "text"):
-    """Dataset[(h, keeper)] — min doc_id per content hash."""
-    from ray.data.aggregate import Min
+def exact_dedup_groups(ds, text_col: str = "text", partitions: int = 64):
+    """Dataset[(h, keeper)] — min doc_id per content hash. Same coarse
+    ``hash % P`` partition groupby as :func:`exact_dedup` (content-hash
+    groups are ~1 row each, so a fine-key ``groupby(h).aggregate`` pays
+    Ray's per-distinct-key aggregation overhead on every doc)."""
+    def with_part(b: pa.Table) -> pa.Table:
+        t = text_md5_batch(b, text_col)
+        p = np.array([int(x[:15], 16) % partitions
+                      for x in t.column("h").to_pylist()], dtype=np.int64)
+        return t.append_column("p", pa.array(p))
 
-    hashed = ds.map_batches(lambda b: text_md5_batch(b, text_col),
-                            batch_format="pyarrow")
-    return hashed.groupby("h").aggregate(Min("doc_id", alias_name="keeper"))
+    def min_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h", "doc_id"], kind="mergesort")
+        g = g[~g["h"].duplicated().to_numpy()]
+        return pd.DataFrame({"h": g["h"].to_numpy(),
+                             "keeper": g["doc_id"].to_numpy()})
+
+    def to_arrow(d: pd.DataFrame) -> pa.Table:
+        return pa.table({"h": pa.array(d["h"], type=pa.string()),
+                         "keeper": pa.array(d["keeper"].to_numpy(),
+                                            type=pa.int64())})
+
+    return ds.map_batches(with_part, batch_format="pyarrow") \
+        .groupby("p").map_groups(min_part, batch_format="pandas") \
+        .map_batches(to_arrow, batch_format="pandas")
 
 
 def exact_dedup(ds, text_col: str = "text", partitions: int = 64):
@@ -594,22 +612,41 @@ def span_hashes_batch(batch: pa.Table, k: int = 15,
 def duplicated_spans(ds, k: int = 15, text_col: str = "text"):
     """Exact substring-level dedup signal: every word k-gram that occurs
     in >= 2 distinct documents, with its document count and the lowest
-    containing doc_id. One explode + one ``groupby(gram_hash)`` — the
-    suffix-array-free approximation of Lee et al.'s ExactSubstr (fixed
-    span length k instead of maximal matches; at 100 TB the explode
-    shuffles ~tokens-per-doc rows/doc, the same order as the MinHash
-    band explode)."""
-    import pyarrow.compute as _pc
-    from ray.data.aggregate import Count, Min
-
+    containing doc_id. One explode + one COARSE ``groupby(gram_hash %
+    64)`` with a vectorized per-partition count/min kernel (a
+    fine-key ``groupby(gram_hash).aggregate`` pays Ray's per-distinct-
+    key aggregation overhead on ~1 group per row — measured 8x slower
+    at sf0.1) — the suffix-array-free approximation of Lee et al.'s
+    ExactSubstr (fixed span length k instead of maximal matches; at
+    100 TB the explode shuffles ~tokens-per-doc rows/doc, the same
+    order as the MinHash band explode)."""
     grams = ds.map_batches(lambda b: span_hashes_batch(b, k, text_col),
                            batch_format="pyarrow")
-    agg = grams.groupby("gram_hash").aggregate(
-        Count("doc_id", alias_name="n_docs"),
-        Min("doc_id", alias_name="first_doc"))
-    return agg.map_batches(
-        lambda b: b.filter(_pc.greater_equal(b.column("n_docs"), 2)),
-        batch_format="pyarrow")
+
+    def with_pq(b: pa.Table) -> pa.Table:
+        g = b.column("gram_hash").to_numpy(zero_copy_only=False)
+        return b.append_column("pq", pa.array(g % 64, type=pa.int64()))
+
+    def agg_part(g: pd.DataFrame) -> pd.DataFrame:
+        # every row of a gram_hash is in this partition (pq is a
+        # function of the key), so count/min/filter are complete here
+        gr = g.groupby("gram_hash", sort=False)["doc_id"]
+        out = gr.agg(["size", "min"]).reset_index()
+        out.columns = ["gram_hash", "n_docs", "first_doc"]
+        return out[out["n_docs"] >= 2]
+
+    def to_arrow(d: pd.DataFrame) -> pa.Table:
+        # arrow-normalize the map_groups pandas blocks (round-4 rule:
+        # never hand pandas blocks to a downstream union/shuffle)
+        return pa.table({
+            "gram_hash": pa.array(d["gram_hash"].to_numpy(), type=pa.int64()),
+            "n_docs": pa.array(d["n_docs"].to_numpy(), type=pa.int64()),
+            "first_doc": pa.array(d["first_doc"].to_numpy(), type=pa.int64()),
+        })
+
+    return grams.map_batches(with_pq, batch_format="pyarrow") \
+        .groupby("pq").map_groups(agg_part, batch_format="pandas") \
+        .map_batches(to_arrow, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
