@@ -385,7 +385,29 @@ def cosine_pairs_lsh(ds, threshold: float = 0.4,
 
     needs = uniq.map_batches(needs_batch, batch_format="pyarrow")
 
+    from ..util import pair_ids_ref, sorted_member_mask
+
+    member_ref = pair_ids_ref(uniq, "vec_a", "vec_b")
+
     def emb_rows(b: pa.Table) -> pa.Table:
+        # Semi-join against the broadcast candidate-vector set: only
+        # vectors appearing in some candidate pair survive attach_part's
+        # inner merge, so filtering here — BEFORE the float64 cast and
+        # the pd_ all-to-all — makes the embedding side of the verify
+        # shuffle scale with the candidate count, not the corpus
+        # (round 5; same shape as minhash_lsh_pairs' shingle semi-join).
+        mem = ray.get(member_ref)
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        keep = sorted_member_mask(mem, ids)
+        if not keep.any():
+            return pa.table({
+                "vec": pa.array([], type=pa.int64()),
+                "pq": pa.array([], type=pa.int64()),
+                "is_need": pa.array([], type=pa.int8()),
+                "embedding": pa.array([], type=dtype),
+                "pd_": pa.array([], type=pa.int64()),
+            })
+        b = b.filter(pa.array(keep))
         ids = b.column("vec_id").to_numpy(zero_copy_only=False)
         n = len(ids)
         return pa.table({

@@ -171,35 +171,6 @@ def jaccard(a: set, b: set) -> float:
 LSH_PARTITIONS = 64
 
 
-def _candidate_docs_ref(pairs_ds):
-    """Sorted distinct doc ids appearing in any candidate pair, compiled
-    in a single Ray task from the materialized pair blocks — the driver
-    holds only the ObjectRef (candidates still never visit the driver,
-    VERDICT r01 #7). Size is bounded by the candidate-pair count (the
-    mass the verify stage holds anyway); each block is deduped as it is
-    consumed so the task's peak is the per-block distinct sum."""
-    import ray
-
-    @ray.remote(num_cpus=1)
-    def union(*blocks):
-        arrs = []
-        for b in blocks:
-            t = b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
-            # empty map_groups partitions yield schema-less blocks
-            if not t.num_rows or "doc_a" not in t.column_names:
-                continue
-            ab = np.concatenate([
-                t.column("doc_a").to_numpy(zero_copy_only=False),
-                t.column("doc_b").to_numpy(zero_copy_only=False)])
-            if len(ab):
-                arrs.append(np.unique(ab.astype(np.int64)))
-        if not arrs:
-            return np.empty(0, dtype=np.int64)
-        return np.unique(np.concatenate(arrs))
-
-    return union.remote(*pairs_ds.to_arrow_refs())
-
-
 def minhash_lsh_pairs(ds, threshold: float = 0.8, text_col: str = "text",
                       ngram: int = 5, partitions: int = LSH_PARTITIONS,
                       shuffle_blocks: int = 32):
@@ -273,7 +244,9 @@ def minhash_lsh_pairs(ds, threshold: float = 0.8, text_col: str = "text",
         lambda g: g.drop_duplicates(["doc_a", "doc_b"])[["doc_a", "doc_b"]],
         batch_format="pandas").materialize()
 
-    cand_docs_ref = _candidate_docs_ref(uniq)
+    from ..util import pair_ids_ref, sorted_member_mask
+
+    cand_docs_ref = pair_ids_ref(uniq, "doc_a", "doc_b")
 
     def explode_sides(b: pa.Table) -> pa.Table:
         da = b.column("doc_a").to_numpy(zero_copy_only=False)
@@ -302,9 +275,7 @@ def minhash_lsh_pairs(ds, threshold: float = 0.8, text_col: str = "text",
 
         cd = _ray.get(cand_docs_ref)
         d = b.column("doc_id").to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(cd, d)
-        keep = np.zeros(len(d), dtype=bool) if not len(cd) else \
-            (pos < len(cd)) & (cd[np.minimum(pos, len(cd) - 1)] == d)
+        keep = sorted_member_mask(cd, d)
         if not keep.any():
             return pa.table({
                 "doc": pa.array([], type=pa.int64()),

@@ -62,3 +62,49 @@ def segmented_pair_indices(new):
     inner = np.arange(M) - np.repeat(csum - local, local)
     ia = np.repeat(starts[run], local) + inner
     return ia, ib
+
+
+def pair_ids_ref(pairs_ds, col_a: str, col_b: str):
+    """Sorted distinct ids appearing in either side column of a
+    (materialized) candidate-pair Dataset, compiled in a single Ray task
+    from the pair blocks — the driver holds only the ObjectRef, so
+    candidates never visit the driver. Size is bounded by the candidate
+    count (the mass the verify stage holds anyway); each block is
+    deduped as it is consumed so the task's peak stays at the per-block
+    distinct sum. Used by the LSH verify semi-joins
+    (text.dedup.minhash_lsh_pairs, sim.ann.cosine_pairs_lsh) to filter
+    the big payload table (shingles / embeddings) to candidate members
+    BEFORE its tokenize/cast stage and its partition all-to-all."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def union(*blocks):
+        arrs = []
+        for b in blocks:
+            t = b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
+            # empty map_groups partitions yield schema-less blocks
+            if not t.num_rows or col_a not in t.column_names:
+                continue
+            ab = np.concatenate([
+                t.column(col_a).to_numpy(zero_copy_only=False),
+                t.column(col_b).to_numpy(zero_copy_only=False)])
+            arrs.append(np.unique(ab.astype(np.int64)))
+        if not arrs:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(arrs))
+
+    return union.remote(*pairs_ds.to_arrow_refs())
+
+
+def sorted_member_mask(sorted_ids, ids):
+    """Boolean membership of ``ids`` in the broadcast sorted array —
+    one searchsorted probe, no Python sets."""
+    import numpy as np
+
+    if not len(sorted_ids):
+        return np.zeros(len(ids), dtype=bool)
+    pos = np.searchsorted(sorted_ids, ids)
+    return (pos < len(sorted_ids)) & \
+        (sorted_ids[np.minimum(pos, len(sorted_ids) - 1)] == ids)
