@@ -292,14 +292,22 @@ def cosine_pairs_lsh(ds, threshold: float = 0.4,
         auto_b, auto_l = auto_lsh_params(threshold)
         bits_per_band = bits_per_band if bits_per_band is not None else auto_b
         n_bands = n_bands if n_bands is not None else auto_l
-    dim = len(ds.take(1)[0]["embedding"])
-    planes = random_hyperplanes(dim, bits_per_band * n_bands, seed)
-    pref = ray.put(planes)
+    nbits = bits_per_band * n_bands
     partitions = 64
 
     def explode(batch: pa.Table) -> pa.Table:
-        pl = ray.get(pref)
+        # Hyperplanes are a deterministic counter-RNG function of
+        # (dim, nbits, seed) — computed lazily from the first batch's
+        # own width and memoized per process (round 5): no ds.take(1)
+        # probe executing the upstream a second time, no broadcast.
         ids, emb = _embeddings_matrix(batch)
+        if not len(ids):
+            return pa.table({
+                "bucket": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "pb": pa.array([], type=pa.int64()),
+            })
+        pl = _planes_cached(emb.shape[1], nbits, seed)
         m = _normalize(emb)
         signs = (m @ pl.T) > 0  # (n, b*L)
         weights = (1 << np.arange(bits_per_band, dtype=np.int64))
@@ -507,6 +515,21 @@ def lsh_buckets_batch(batch: pa.Table, planes: np.ndarray) -> pa.Table:
         "bucket": pa.array(keys, type=pa.int64()),
         "vec_id": pa.array(ids, type=pa.int64()),
     })
+
+
+_PLANES_CACHE: dict = {}
+
+
+def _planes_cached(dim: int, nbits: int, seed: int) -> np.ndarray:
+    """Per-process memo of :func:`random_hyperplanes` — the planes are a
+    pure function of (dim, nbits, seed), so each worker derives them
+    locally instead of reading a broadcast."""
+    key = (dim, nbits, seed)
+    pl = _PLANES_CACHE.get(key)
+    if pl is None:
+        pl = _PLANES_CACHE.setdefault(
+            key, random_hyperplanes(dim, nbits, seed))
+    return pl
 
 
 def random_hyperplanes(dim: int, nbits: int = 8, seed: int = 42) -> np.ndarray:
