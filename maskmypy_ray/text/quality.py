@@ -10,6 +10,7 @@ from __future__ import annotations
 from hashlib import md5
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -377,17 +378,38 @@ def bigram_counts_partial_batch(batch: pa.Table) -> pa.Table:
     })
 
 
-def ngram_topk(ds, k: int = 20):
+def ngram_topk(ds, k: int = 20, partitions: int = 64):
     """Corpus-wide top-k word bigrams by total count (the classic
-    n-gram-statistics job): per-batch partial counts -> one
-    ``groupby(gram)`` sum -> global sort by (count desc, gram asc) ->
-    limit k. Ties at the k boundary break on the gram string, so the
-    result set is deterministic at any parallelism."""
-    from ray.data.aggregate import Sum
+    n-gram-statistics job): per-batch partial counts -> coarse
+    ``hash(gram) % P`` partition (each gram's WHOLE mass lands in one
+    partition, so a per-partition vectorized sum + head-k is exact:
+    every global top-k gram is also in its own partition's top k) ->
+    global sort over the <= P*k survivors -> limit k. The webtext
+    bigram vocabulary is corpus-sized, so a per-distinct-gram
+    ``groupby(gram).aggregate`` pays Ray's per-key machinery on
+    billions of keys (round-5 fine-key rule); the coarse shape's
+    all-to-all carries only per-block distinct partials and its final
+    sort only P*k rows. Ties at the k boundary break on the gram
+    string, so the result set is deterministic at any parallelism and
+    any partition count."""
+    def partial(b: pa.Table) -> pa.Table:
+        t = bigram_counts_partial_batch(b)
+        g = t.column("gram").to_numpy(zero_copy_only=False)
+        # routing hash only — the result is invariant to the partition
+        # assignment; pd.util.hash_array is vectorized over the strings
+        pb = pd.util.hash_array(g.astype(object)) % partitions
+        return t.append_column("pb", pa.array(pb.astype(np.int64)))
 
-    part = ds.map_batches(bigram_counts_partial_batch, batch_format="pyarrow")
-    agg = part.groupby("gram").aggregate(Sum("n", alias_name="n"))
-    return agg.sort(["n", "gram"], descending=[True, False]).limit(k)
+    part = ds.map_batches(partial, batch_format="pyarrow")
+
+    def topk_part(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("gram", sort=False)["n"].sum().reset_index()
+        s = s.sort_values(["n", "gram"], ascending=[False, True],
+                          kind="mergesort").head(k)
+        return s[["gram", "n"]]
+
+    cand = part.groupby("pb").map_groups(topk_part, batch_format="pandas")
+    return cand.sort(["n", "gram"], descending=[True, False]).limit(k)
 
 
 def quality_filter_batch(batch: pa.Table, min_tokens: int = 10,
