@@ -143,3 +143,33 @@ def test_segmented_pair_indices_matches_bruteforce():
     # empty input
     ia, ib = segmented_pair_indices(np.zeros(0, dtype=bool))
     assert len(ia) == 0 and len(ib) == 0
+
+
+def test_sorted_member_mask_matches_isin():
+    from maskmypy_ray.util import sorted_member_mask
+
+    rng = np.random.default_rng(11)
+    for trial in range(10):
+        members = np.unique(rng.integers(0, 50, size=rng.integers(0, 20)))
+        probe = rng.integers(-5, 60, size=rng.integers(0, 40)).astype(np.int64)
+        got = sorted_member_mask(members.astype(np.int64), probe)
+        want = np.isin(probe, members)
+        assert (got == want).all()
+
+
+def test_pair_ids_ref_distinct_sorted(ray_session):
+    import ray
+    import ray.data as rd
+
+    from maskmypy_ray.util import pair_ids_ref
+
+    pairs = rd.from_items([
+        {"doc_a": 3, "doc_b": 7}, {"doc_a": 7, "doc_b": 9},
+        {"doc_a": 3, "doc_b": 9}, {"doc_a": 1, "doc_b": 3},
+    ]).materialize()
+    ids = ray.get(pair_ids_ref(pairs, "doc_a", "doc_b"))
+    assert ids.tolist() == [1, 3, 7, 9]
+    # empty pair set -> empty member array
+    empty = rd.from_items([{"doc_a": 1, "doc_b": 2}]) \
+        .filter(lambda r: False).materialize()
+    assert len(ray.get(pair_ids_ref(empty, "doc_a", "doc_b"))) == 0
