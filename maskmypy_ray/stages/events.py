@@ -46,10 +46,19 @@ def _value_cents(b: pa.Table) -> np.ndarray:
     return np.round(v * 100).astype(np.int64)
 
 
-def tumbling_window(events_ds, window_us: int = WINDOW_US):
-    """(user_id, window_id) -> n_events, sum_value (rounded 6)."""
-    from ray.data.aggregate import Sum
+def tumbling_window(events_ds, window_us: int = WINDOW_US,
+                    partitions: int = 64):
+    """(user_id, window_id) -> n_events, sum_value (rounded 6).
 
+    Distinct (user, window) keys scale with the EVENT count (sf0.1:
+    95,583 keys on 100k events), so a per-key
+    ``groupby([...]).aggregate`` pays Ray's ~24 us/distinct-key
+    machinery on nearly every row (round-5 fine-key rule). Partials
+    are pre-combined per batch as before, then ONE coarse
+    ``hash(user, window) % P`` shuffle finishes each key inside a
+    single vectorized pandas kernel — a key's partials all route to
+    the same partition, so the result is exact and partition-count
+    independent."""
     def partial(b: pa.Table) -> pa.Table:
         w = _ts_us(b) // window_us
         df = pd.DataFrame({
@@ -59,24 +68,24 @@ def tumbling_window(events_ds, window_us: int = WINDOW_US):
         })
         g = df.groupby(["user_id", "window_id"], sort=False).agg(
             n_events=("value_c", "size"), sum_c=("value_c", "sum")).reset_index()
+        g["pk"] = (g["user_id"].to_numpy(dtype=np.int64) * 1_000_003
+                   + g["window_id"].to_numpy(dtype=np.int64)) % partitions
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    partials = events_ds.map_batches(partial, batch_format="pyarrow")
-    out = partials.groupby(["user_id", "window_id"]).aggregate(
-        Sum("n_events", alias_name="n_events_sum"),
-        Sum("sum_c", alias_name="sum_c_sum"))
-    return out.map_batches(
-        lambda b: pa.table({
-            "user_id": b.column("user_id"),
-            "window_id": b.column("window_id"),
-            "n_events": pa.array(
-                b.column("n_events_sum").to_numpy(zero_copy_only=False), type=pa.int64()),
+    def sum_part(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby(["user_id", "window_id"], sort=False).agg(
+            n_events=("n_events", "sum"), sum_c=("sum_c", "sum")).reset_index()
+        return pa.table({
+            "user_id": pa.array(s["user_id"].to_numpy(dtype=np.int64)),
+            "window_id": pa.array(s["window_id"].to_numpy(dtype=np.int64)),
+            "n_events": pa.array(s["n_events"].to_numpy(dtype=np.int64)),
             "sum_value": pa.array(
-                np.round(b.column("sum_c_sum").to_numpy(zero_copy_only=False)
-                         / 100.0, 6),
+                np.round(s["sum_c"].to_numpy(dtype=np.int64) / 100.0, 6),
                 type=pa.float64()),
-        }),
-        batch_format="pyarrow")
+        })
+
+    return events_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("pk").map_groups(sum_part, batch_format="pandas")
 
 
 HOP_US = WINDOW_US // 4  # 15 minutes
@@ -138,30 +147,39 @@ def window_distinct_users(events_ds, window_us: int = WINDOW_US):
     n_users).
 
     The canonical exact count-distinct shape: per-batch local dedup of
-    (window, user) pairs, one ``groupby`` to global-dedup them, then a
-    partial-sum count per window — no per-window row lists ever
+    (window, user) pairs, a coarse ``hash(window, user) % P`` partition
+    whose kernel global-dedups every pair and pre-counts per window
+    (distinct pairs scale with the event count, so a per-pair
+    ``groupby([...]).aggregate`` would pay Ray's per-distinct-key
+    machinery on nearly every row — round-5 fine-key rule), then a
+    small per-window partial sum — no per-window row lists ever
     materialize anywhere."""
     from ray.data.aggregate import Sum
+
+    partitions = 64
 
     def pairs(b: pa.Table) -> pa.Table:
         w = _ts_us(b) // window_us
         u = b.column("user_id").to_numpy(zero_copy_only=False)
         uniq = np.unique(np.stack([w, u], axis=1), axis=0)
-        return pa.table({"window_id": pa.array(uniq[:, 0]),
-                         "user_id": pa.array(uniq[:, 1])})
+        return pa.table({
+            "window_id": pa.array(uniq[:, 0]),
+            "user_id": pa.array(uniq[:, 1]),
+            "pk": pa.array((uniq[:, 0] * 1_000_003 + uniq[:, 1])
+                           % partitions),
+        })
 
-    from ray.data.aggregate import Count
+    def count_part(g: pd.DataFrame) -> pa.Table:
+        d = g.drop_duplicates(["window_id", "user_id"])
+        s = d.groupby("window_id", sort=False).size().rename("n") \
+            .reset_index()
+        return pa.table({
+            "window_id": pa.array(s["window_id"].to_numpy(dtype=np.int64)),
+            "n": pa.array(s["n"].to_numpy(dtype=np.int64)),
+        })
 
-    dedup = events_ds.map_batches(pairs, batch_format="pyarrow") \
-        .groupby(["window_id", "user_id"]).aggregate(Count())
-
-    def partial(b: pa.Table) -> pa.Table:
-        w = b.column("window_id").to_numpy(zero_copy_only=False)
-        uw, c = np.unique(w, return_counts=True)
-        return pa.table({"window_id": pa.array(uw),
-                         "n": pa.array(c.astype(np.int64))})
-
-    out = dedup.map_batches(partial, batch_format="pyarrow") \
+    out = events_ds.map_batches(pairs, batch_format="pyarrow") \
+        .groupby("pk").map_groups(count_part, batch_format="pandas") \
         .groupby("window_id").aggregate(Sum("n", alias_name="n_users"))
     return out.map_batches(
         lambda b: pa.table({
