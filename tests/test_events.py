@@ -234,3 +234,30 @@ def test_session_stats_and_funnel_partition_independence(ray_session):
     f2 = canon(event_funnel(ds.repartition(11), partitions=64).to_pandas())
     assert f1.equals(f2)
     assert len(f1) > 0
+
+
+def test_tumbling_window_partition_count_independence(ray_session):
+    """The coarse hash(user, window) % P shuffle that finishes the
+    per-(user, window) partials is an implementation detail: any
+    partition count yields the identical aggregate."""
+    import ray.data
+
+    from maskmypy_ray.stages.events import tumbling_window
+
+    rng = np.random.default_rng(23)
+    n = 4000
+    ev = pa.table({
+        "user_id": pa.array(rng.integers(0, 50, n).astype(np.int64)),
+        "ts": pa.array(rng.integers(0, 40 * 3_600_000_000, n)
+                       .astype("datetime64[us]")),
+        "value": pa.array(np.round(rng.uniform(0, 100, n), 2)),
+    })
+    ds = ray.data.from_arrow(ev).repartition(6)
+    key = ["user_id", "window_id"]
+    base = tumbling_window(ds, partitions=64).to_pandas() \
+        .sort_values(key).reset_index(drop=True)
+    assert len(base) > 100
+    for p in (1, 7, 1024):
+        got = tumbling_window(ds, partitions=p).to_pandas() \
+            .sort_values(key).reset_index(drop=True)
+        assert got.equals(base)
