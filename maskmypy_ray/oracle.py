@@ -867,3 +867,40 @@ SELECT d.doc_id,
          AS contaminated
 FROM docs d LEFT JOIN hit h ON h.doc_id = d.doc_id
 WHERE d.doc_id % {every} <> 0"""
+
+
+def decontaminate_bloom_sql(n: int = 5, mod: int = 97,
+                            m_bits: int = 1 << 18, k: int = 4) -> str:
+    """Mirror of text.corpus.decontaminate_bloom over the documents
+    table: bit positions ``mix32(gram XOR salt_i) & (m_bits-1)`` per
+    dedup-side positional gram hash (text/grams.py, full windows only),
+    a gram hits iff all ``k`` probe bits are set by some benchmark
+    gram — so the oracle reproduces the engine's Bloom FALSE POSITIVES
+    exactly, not just its true hits."""
+    from .rng import sql_mix32
+    from .text.corpus import _bloom_salts
+
+    salts = "[" + ",".join(str(int(s)) for s in _bloom_salts()[:k]) \
+        + "]::BIGINT[]"
+    pos = sql_mix32("xor(sh, s.salt)") + f" & {m_bits - 1}"
+    return f"""WITH docs AS (SELECT doc_id, text FROM documents),
+tl AS (SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_SQL}') AS l FROM docs),
+tc AS (SELECT doc_id, {SQL_TOKEN_CODES} AS c FROM tl),
+sg AS (SELECT doc_id, unnest({sql_gram_list_expr(n, "skip")}) AS sh FROM tc),
+shd AS (SELECT DISTINCT doc_id, sh FROM sg),
+salts AS (SELECT unnest({salts}) AS salt),
+bits AS (
+  SELECT DISTINCT {pos} AS p
+  FROM shd, salts s WHERE doc_id % {mod} = 0),
+probe AS (
+  SELECT shd.doc_id, shd.sh, s.salt, {pos} AS p
+  FROM shd, salts s WHERE doc_id % {mod} <> 0),
+hitg AS (
+  SELECT doc_id, sh FROM probe JOIN bits USING (p)
+  GROUP BY doc_id, sh HAVING count(DISTINCT salt) = {k}),
+nh AS (SELECT doc_id, count(*) AS nh FROM hitg GROUP BY 1)
+SELECT d.doc_id, CAST(COALESCE(nh.nh, 0) AS BIGINT) AS n_hit_grams,
+       CAST(CASE WHEN COALESCE(nh.nh, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS contaminated
+FROM docs d LEFT JOIN nh ON nh.doc_id = d.doc_id
+WHERE d.doc_id % {mod} <> 0"""

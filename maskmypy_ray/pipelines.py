@@ -2904,16 +2904,52 @@ FULL_QUERIES["sequence_pack"] = q_sequence_pack
 FULL_QUERIES["shuffle_shards"] = q_shuffle_shards
 
 
+def q_decontaminate_bloom(sf_dir: str):
+    """Bloom-filter decontamination: fixed-size broadcast bitset probe
+    (bounded side-structure at any benchmark size); deterministic false
+    positives reproduced exactly by the SQL oracle."""
+    from .text.corpus import decontaminate_bloom
+
+    return decontaminate_bloom(_docs_ds(sf_dir), n=5)
+
+
+def q_decontaminate_both(sf_dir: str):
+    """Exact-gram-set AND Bloom-bitset decontamination in one tagged
+    union (merges decontaminate + decontaminate_bloom; same output
+    schema, the standard exact-vs-bounded-memory hygiene pair)."""
+    spec = [("doc_id", "doc_id", None), ("n_hit_grams", "n_hit_grams", None),
+            ("contaminated", "contaminated", None)]
+    return _union([
+        _tag_ds(FULL_QUERIES["decontaminate"](sf_dir), "exact", spec),
+        _tag_ds(q_decontaminate_bloom(sf_dir), "bloom", spec)])
+
+
+FULL_QUERIES["decontaminate_bloom"] = q_decontaminate_bloom
+# the registered decontamination row now carries BOTH variants
+QUERIES["decontaminate"] = q_decontaminate_both
+
+_FULL_ORACLE_SNAPSHOT = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    out = _FULL_ORACLE_SNAPSHOT()
+    out["decontaminate_bloom"] = oracle.decontaminate_bloom_sql(n=5, mod=97)
+    return out
+
+
 def oracle_queries() -> dict[str, str]:  # noqa: F811 — consolidated surface
     base = full_oracle_queries()
     keep = ["webpages", "displacement", "suppress", "addresses", "ripleys_k",
             "checkpointed_flagship", "url_dedup", "geo_scrub",
             "fingerprint_winnow",
-            "source_quantiles", "outlier_flags", "decontaminate",
+            "source_quantiles", "outlier_flags",
             "cross_corpus_dedup", "dedup_exact", "dedup_minhash",
             "dedup_simhash", "dedup_spans", "chunk_dedup", "embedding_pairs",
             "ann_topk", "media_metadata", "pricing_summary", "top_orders",
             "top_quality_per_source"]
     out = {k: base[k] for k in keep}
+    out["decontaminate"] = _sql_union([
+        ("exact", base["decontaminate"]),
+        ("bloom", base["decontaminate_bloom"])])
     out.update(_merged_oracles())
     return out

@@ -194,6 +194,126 @@ def decontaminate(ds, n: int = 5):
     return ds.map_batches(flag, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination (bounded-broadcast variant)
+# ---------------------------------------------------------------------------
+
+# Bloom geometry: K hash probes into an m-bit array (m a power of two).
+# Probe i of gram g is ``mix32(g XOR BLOOM_SALTS[i]) & (m - 1)`` — the
+# engine's 32-bit avalanche, so the SQL oracle reproduces every bit
+# position (and therefore every false positive) exactly.
+BLOOM_K = 4
+BLOOM_M_BITS = 1 << 18  # 256 Kbit = 32 KiB broadcast at the default
+_BLOOM_SALT_BASE = 0xB100
+
+
+def _bloom_salts() -> np.ndarray:
+    from ..rng import mix32
+
+    return mix32(np.arange(BLOOM_K, dtype=np.int64) + _BLOOM_SALT_BASE)
+
+
+def _bloom_positions(g: np.ndarray, m_bits: int) -> np.ndarray:
+    """(BLOOM_K, len(g)) int64 bit positions for 32-bit gram hashes."""
+    from ..rng import mix32
+
+    salts = _bloom_salts()
+    return np.stack([mix32(g ^ int(s)) & (m_bits - 1) for s in salts])
+
+
+def _bench_bloom_ref(ds, n: int, m_bits: int):
+    """Compile the benchmark slice's word-n-gram Bloom bitset in a Ray
+    task; the driver holds only the ObjectRef. Grams are the dedup-side
+    positional hashes (text/grams.py — full windows only, short docs
+    contribute nothing), so the bitset composes with the near-dup
+    family and has an exact SQL twin."""
+    import ray
+
+    from .grams import gram_hashes_batch, token_codes_batch
+
+    def bench_bits(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = ids % BENCH_MOD == 0
+        if not mask.any():
+            return pa.table({"p": pa.array([], type=pa.int64())})
+        codes, bounds = token_codes_batch(
+            b.filter(pa.array(mask)).column("text").to_pylist())
+        g, _ = gram_hashes_batch(codes, bounds, n, "skip")
+        pos = np.unique(_bloom_positions(np.unique(g), m_bits))
+        return pa.table({"p": pa.array(pos, type=pa.int64())})
+
+    posed = ds.select_columns(["doc_id", "text"]).map_batches(
+        bench_bits, batch_format="pyarrow")
+
+    @ray.remote(num_cpus=1)
+    def union(*blocks):
+        view = np.zeros(m_bits, dtype=bool)
+        for b in blocks:
+            t = b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
+            if "p" in t.column_names and len(t):
+                view[t.column("p").to_numpy(zero_copy_only=False)] = True
+        return np.packbits(view)  # m_bits/8 bytes broadcast
+
+    return union.remote(*posed.to_arrow_refs())
+
+
+def _bloom_test(bits: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Probe a packed (np.packbits big-endian) bitset at ``pos``; bool
+    array of the same shape — two gathers, no unpack of the bitset."""
+    return (bits[pos >> 3] >> (7 - (pos & 7)) & 1).astype(bool)
+
+
+def decontaminate_bloom(ds, n: int = 5, m_bits: int = BLOOM_M_BITS):
+    """Bloom-filter benchmark decontamination: ``(doc_id, n_hit_grams,
+    contaminated)`` for every non-benchmark doc, where a gram "hits"
+    iff all ``BLOOM_K`` of its probe bits are set in the benchmark
+    bitset.
+
+    The 100-TB rationale vs :func:`decontaminate`: the broadcast side
+    is a FIXED ``m_bits/8``-byte bitset regardless of how many grams
+    the benchmark suite holds (an exact gram set for a 10^9-gram eval
+    suite is ~8 GB of hashes; the bloom at 1e-4 FP is ~2.4 GB of bits
+    — and a few MB for normal eval suites), and the probe is four
+    vectorized gathers per batch. The trade is a deterministic false-
+    positive rate (~(1-e^{-K·n_grams/m})^K, over-flagging only — safe
+    for a removal filter). Every bit position derives from ``mix32``,
+    so the DuckDB oracle reproduces the exact output INCLUDING false
+    positives — approximation without nondeterminism."""
+    import ray
+
+    from .grams import distinct_per_doc, gram_hashes_batch, token_codes_batch
+
+    bits_ref = _bench_bloom_ref(ds, n, m_bits)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)  # zero-copy plasma read per task
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = ids % BENCH_MOD != 0
+        out_ids = ids[keep]
+        nh = np.zeros(len(out_ids), dtype=np.int64)
+        texts = batch.filter(pa.array(keep)).column("text").to_pylist()
+        if texts:
+            codes, bounds = token_codes_batch(texts)
+            g, gb = gram_hashes_batch(codes, bounds, n, "skip")
+            g, gb = distinct_per_doc(g, gb)
+            if len(g):
+                pos = _bloom_positions(g, m_bits)
+                hit = _bloom_test(bits, pos).all(axis=0)
+                seg = np.repeat(np.arange(len(gb) - 1, dtype=np.int64),
+                                np.diff(gb))
+                nh = np.bincount(seg[hit],
+                                 minlength=len(out_ids)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(out_ids, type=pa.int64()),
+            "n_hit_grams": pa.array(nh, type=pa.int64()),
+            "contaminated": pa.array((nh > 0).astype(np.int64),
+                                     type=pa.int64()),
+        })
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        flag, batch_format="pyarrow")
+
+
 HOST_RE = r"^https?://(?P<host>[^/]+)"
 
 

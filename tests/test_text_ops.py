@@ -428,3 +428,68 @@ def test_shuffle_shards_rejects_non_pow2_buckets(ray_session):
     t = pa.table({"doc_id": pa.array([1, 2], type=pa.int64())})
     with pytest.raises(ValueError):
         shuffle_shards(ray.data.from_arrow(t), buckets=48)
+
+
+def test_decontaminate_bloom_no_false_negatives(ray_session):
+    """Bloom flags are a superset of exact gram-membership hits under
+    the dedup-side gram scheme, and agree on the fixture (the FP rate
+    at the default 256-Kbit geometry is ~0 for a handful of grams)."""
+    import ray.data
+
+    from maskmypy_ray.text.corpus import decontaminate_bloom
+
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        {"doc_id": 0, "text": bench_text},  # benchmark (0 % 97 == 0)
+        {"doc_id": 1,
+         "text": "alpha beta gamma delta epsilon somethingelse"},
+        {"doc_id": 2, "text": "totally unrelated words here none shared"},
+        {"doc_id": 3, "text": "short doc"},  # < 5 tokens: no grams
+    ]
+    out = decontaminate_bloom(ray.data.from_items(rows), n=5).to_pandas()
+    out = out.set_index("doc_id").sort_index()
+    assert list(out.index) == [1, 2, 3]
+    assert out.loc[1, "contaminated"] == 1 and out.loc[1, "n_hit_grams"] == 1
+    assert out.loc[2, "contaminated"] == 0
+    assert out.loc[3, "n_hit_grams"] == 0
+
+
+def test_decontaminate_bloom_partition_independent(ray_session, sf_dir):
+    """Flags are identical at 1 block and 7 blocks (broadcast bitset +
+    stateless probe — no partition coupling anywhere)."""
+    import ray.data
+
+    from maskmypy_ray.text.corpus import decontaminate_bloom
+
+    def run(nb):
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"],
+                                   override_num_blocks=nb)
+        return decontaminate_bloom(ds).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+
+    a, b = run(1), run(7)
+    assert a.equals(b)
+
+
+def test_decontaminate_bloom_oracle_parity(ray_session, sf_dir):
+    """Engine output equals the DuckDB twin bit-for-bit — including any
+    Bloom false positives (both sides derive positions from mix32)."""
+    import duckdb
+    import ray.data
+
+    from maskmypy_ray import oracle
+    from maskmypy_ray.text.corpus import decontaminate_bloom
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    eng = decontaminate_bloom(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    orc = con.execute(oracle.decontaminate_bloom_sql()).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert eng["doc_id"].tolist() == orc["doc_id"].tolist()
+    assert eng["n_hit_grams"].tolist() == orc["n_hit_grams"].tolist()
+    assert eng["contaminated"].tolist() == orc["contaminated"].tolist()
