@@ -2411,15 +2411,16 @@ def q_corpus_stats(sf_dir: str):
 
 def q_topk_terms(sf_dir: str):
     """Corpus-level and per-doc term rankings in one tagged union
-    (merges ngram_topk + tfidf_topk)."""
+    (merges ngram_topk + tfidf_topk + bm25_topk)."""
     i64 = pa.int64()
     ng = _tag_ds(FULL_QUERIES["ngram_topk"](sf_dir), "corpus_bigram",
                  [("doc_id", ("const", -1), i64), ("rank", ("const", 0), i64),
                   ("term", "gram", None), ("score", "n", i64)])
-    tf = _tag_ds(FULL_QUERIES["tfidf_topk"](sf_dir), "tfidf",
-                 [("doc_id", "doc_id", None), ("rank", "rank", None),
-                  ("term", "token", None), ("score", "score_micro", i64)])
-    return _union([ng, tf])
+    doc_spec = [("doc_id", "doc_id", None), ("rank", "rank", None),
+                ("term", "token", None), ("score", "score_micro", i64)]
+    tf = _tag_ds(FULL_QUERIES["tfidf_topk"](sf_dir), "tfidf", doc_spec)
+    bm = _tag_ds(FULL_QUERIES["bm25_topk"](sf_dir), "bm25", doc_spec)
+    return _union([ng, tf, bm])
 
 
 def q_lm_scores(sf_dir: str):
@@ -2758,7 +2759,10 @@ def _merged_oracles() -> dict[str, str]:
                               "n AS score FROM (" + base["ngram_topk"] + ")"),
             ("tfidf", "SELECT doc_id, rank, token AS term, "
                       "score_micro AS score FROM ("
-                      + base["tfidf_topk"] + ")")]),
+                      + base["tfidf_topk"] + ")"),
+            ("bm25", "SELECT doc_id, rank, token AS term, "
+                     "score_micro AS score FROM ("
+                     + base["bm25_topk"] + ")")]),
         "lm_scores": _sql_union([
             ("scored", base["unigram_logprob"]),
             ("kept", base["filter_by_nll"])]),
@@ -2928,12 +2932,56 @@ FULL_QUERIES["decontaminate_bloom"] = q_decontaminate_bloom
 # the registered decontamination row now carries BOTH variants
 QUERIES["decontaminate"] = q_decontaminate_both
 
+
+def q_bm25_topk(sf_dir: str):
+    """Top-3 Okapi-BM25 keywords per doc — TF-IDF with document-length
+    normalization, scored as one exact int64 rational (text/lm.py)."""
+    from .text.lm import bm25_topk
+
+    return bm25_topk(_docs_ds(sf_dir))
+
+
+FULL_QUERIES["bm25_topk"] = q_bm25_topk
+
+
+def _bm25_sql(k: int = 3, top_v: int = 4096) -> str:
+    """DuckDB twin of text.lm.bm25_topk: same capped-df vocabulary,
+    idf quantized per distinct token, and the all-integer tfnorm
+    rational 22*tf*S / (10*tf*S + 3*S + 9*dl*N) (k1=1.2, b=0.75)."""
+    return f"""WITH tl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS l
+  FROM documents),
+tot AS (SELECT CAST(sum(len(l)) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n FROM tl),
+tok AS (SELECT doc_id, unnest(l) AS tok FROM tl),
+df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tok GROUP BY tok),
+vocab AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT {top_v}),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl FROM tl),
+sc AS (
+  SELECT t.doc_id, t.tok,
+    (CAST(floor(1000000 * ln(1 + (tot.n - COALESCE(v.df, 1) + 0.5)
+                                 / (COALESCE(v.df, 1) + 0.5))) AS BIGINT)
+     * 22 * t.tf * tot.s)
+    // (10 * t.tf * tot.s + 3 * tot.s + 9 * d.dl * tot.n) AS score_micro
+  FROM tf t JOIN dl d USING (doc_id) CROSS JOIN tot
+  LEFT JOIN vocab v ON t.tok = v.tok),
+rk AS (SELECT *, row_number() OVER
+         (PARTITION BY doc_id ORDER BY score_micro DESC, tok) AS rank
+       FROM sc)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok AS token, score_micro
+FROM rk WHERE rank <= {k}"""
+
+
 _FULL_ORACLE_SNAPSHOT = full_oracle_queries
 
 
 def full_oracle_queries():  # noqa: F811 — extends the per-op surface
     out = _FULL_ORACLE_SNAPSHOT()
     out["decontaminate_bloom"] = oracle.decontaminate_bloom_sql(n=5, mod=97)
+    out["bm25_topk"] = _bm25_sql(k=3, top_v=4096)
     return out
 
 

@@ -201,3 +201,106 @@ def tfidf_topk(ds, k: int = 3, top_v: int = TOP_V, text_col: str = "text"):
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword extraction (retrieval-grade twin of TF-IDF)
+# ---------------------------------------------------------------------------
+
+# Okapi BM25 constants as exact rationals: k1 = 12/10, b = 75/100.
+BM25_K1_X10 = 12
+BM25_B_X100 = 75
+
+
+def _total_tokens(ds, text_col: str = "text") -> int:
+    """Global token count S — per-batch partial scalar, one tiny sum."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        n = sum(len(TOKEN_RE.findall(t.lower()))
+                for t in b.column(text_col).to_pylist())
+        return pa.table({"s": pa.array([n], type=pa.int64())})
+
+    out = ds.map_batches(partial, batch_format="pyarrow").aggregate(Sum("s"))
+    return int(out["sum(s)"] or 0)
+
+
+def bm25_topk(ds, k: int = 3, top_v: int = TOP_V, text_col: str = "text"):
+    """Top-``k`` Okapi-BM25 keywords per doc: ``(doc_id, rank, token,
+    score_micro)`` — TF-IDF's retrieval-grade sibling with document-
+    length normalization (long docs stop winning on raw tf).
+
+    Exactness: with k1=1.2, b=0.75 the whole score is one integer
+    rational. Let S = total corpus tokens, N = doc count, dl = this
+    doc's token count; then
+
+        tfnorm = tf*(k1+1) / (tf + k1*(1 - b + b*dl*N/S))
+               = 22*tf*S / (10*tf*S + 3*S + 9*dl*N)      (exact int64)
+        score_micro = (idf_micro * 22*tf*S) // (10*tf*S + 3*S + 9*dl*N)
+
+    with ``idf_micro = floor(1e6 * ln(1 + (N-df+0.5)/(df+0.5)))``
+    quantized per distinct token (the same order-independence recipe
+    as TF-IDF), so the DuckDB oracle is bit-exact. int64 headroom:
+    idf_micro*22*tf*S < 2^63 holds through ~1e8-token corpora at this
+    fixture's tf range; beyond that the quantized products need a
+    wider accumulator (asserted below, not silently wrapped).
+
+    Scale shape mirrors :func:`tfidf_topk`: df vocabulary capped at
+    ``top_v`` rows broadcast once (OOV df = 1 -> max idf), one
+    stateless vectorized scoring pass, no shuffle."""
+    import ray
+
+    dfs = doc_freqs(ds, text_col).materialize()
+    n_docs = ds.count()
+    vocab_rows = dfs.sort(["df", "tok"], descending=[True, False]) \
+        .limit(top_v).take_all()
+    vocab = {r["tok"]: int(r["df"]) for r in vocab_rows}
+    vocab_ref = ray.put(vocab)
+    n = max(int(n_docs), 1)
+    s_tot = max(_total_tokens(ds, text_col), 1)
+
+    def score(b: pa.Table) -> pa.Table:
+        v: dict = ray.get(vocab_ref)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        flat: list[str] = []
+        bounds = [0]
+        for t in b.column(text_col).to_pylist():
+            flat.extend(TOKEN_RE.findall(t.lower()))
+            bounds.append(len(flat))
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "rank": pa.array([], type=pa.int64()),
+                          "token": pa.array([], type=pa.string()),
+                          "score_micro": pa.array([], type=pa.int64())})
+        if not flat:
+            return empty
+        bounds = np.asarray(bounds, dtype=np.int64)
+        dl_per_doc = np.diff(bounds)
+        seg = np.repeat(np.arange(len(ids), dtype=np.int64), dl_per_doc)
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+        dfu = np.array([v.get(u, 1) for u in uniq], dtype=np.float64)
+        idf = np.floor(_Q * np.log(1.0 + (n - dfu + 0.5) / (dfu + 0.5))) \
+            .astype(np.int64)
+        V = len(uniq)
+        uk, tf = np.unique(seg * np.int64(V) + codes, return_counts=True)
+        d = uk // V
+        c = (uk % V).astype(np.int64)
+        tf = tf.astype(np.int64)
+        dl = dl_per_doc[d]
+        num = idf[c] * 22 * tf * s_tot
+        assert num.size == 0 or num.max() < (1 << 62), \
+            "bm25 int64 headroom exceeded; widen the accumulator"
+        den = 10 * tf * s_tot + 3 * s_tot + 9 * dl * n
+        sc = num // den
+        g = pd.DataFrame({"d": d, "token": uniq[c], "score_micro": sc})
+        g = g.sort_values(["d", "score_micro", "token"],
+                          ascending=[True, False, True], kind="mergesort")
+        g["rank"] = g.groupby("d", sort=False).cumcount() + 1
+        g = g[g["rank"] <= k]
+        return pa.table({
+            "doc_id": pa.array(ids[g["d"].to_numpy()], type=pa.int64()),
+            "rank": pa.array(g["rank"].to_numpy().astype(np.int64)),
+            "token": pa.array(g["token"].to_numpy(), type=pa.string()),
+            "score_micro": pa.array(g["score_micro"].to_numpy()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -125,3 +125,60 @@ def test_outlier_flags_bruteforce(ray_session):
         exp[2 * xs > 5 * q75 - 3 * q25] = 1
         assert (sub["flag"].to_numpy() == exp).all()
     assert (res["flag"] == 1).sum() >= 4  # injected outliers flagged
+
+
+def test_bm25_length_normalization(ray_session):
+    """Two docs with the same tf of a rare term: the shorter doc must
+    score it higher (the document-length normalization TF-IDF lacks)."""
+    import ray.data
+
+    from maskmypy_ray.text.lm import bm25_topk
+
+    filler = " ".join(f"common{i % 7}" for i in range(200))
+    rows = [
+        {"doc_id": 1, "text": "zebra quick brown"},
+        {"doc_id": 2, "text": "zebra " + filler},
+        {"doc_id": 3, "text": filler},
+    ]
+    res = bm25_topk(ray.data.from_items(rows), k=10).to_pandas()
+    z = res[res["token"] == "zebra"].set_index("doc_id")["score_micro"]
+    assert z.loc[1] > z.loc[2] > 0
+
+
+def test_bm25_partition_independent(ray_session, sf_dir):
+    """Scores identical at 1 and 5 blocks (global S/N/df are exact
+    aggregates; the per-batch kernel is stateless)."""
+    import ray.data
+
+    from maskmypy_ray.text.lm import bm25_topk
+
+    def run(nb):
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"],
+                                   override_num_blocks=nb)
+        return bm25_topk(ds).to_pandas() \
+            .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+    assert run(1).equals(run(5))
+
+
+def test_bm25_oracle_parity(ray_session, sf_dir):
+    """Engine equals the DuckDB integer-rational twin bit-for-bit."""
+    import duckdb
+    import ray.data
+
+    from maskmypy_ray.pipelines import _bm25_sql
+    from maskmypy_ray.text.lm import bm25_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    eng = bm25_topk(ds).to_pandas() \
+        .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    orc = con.execute(_bm25_sql()).df() \
+        .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    assert eng["doc_id"].tolist() == orc["doc_id"].tolist()
+    assert eng["token"].tolist() == orc["token"].tolist()
+    assert eng["score_micro"].tolist() == orc["score_micro"].tolist()
