@@ -2524,14 +2524,25 @@ def q_dup_clusters_full(sf_dir: str):
     return cc.map_batches(with_survivor, batch_format="pyarrow")
 
 
+def q_ann_pq(sf_dir: str):
+    """Product-quantization ADC scan + exact shortlist rerank (rows-only
+    oracle; recall vs brute force is pytest-checked)."""
+    from .sim.ann import pq_topk
+
+    out = pq_topk(_emb_ds(sf_dir), query_ids=list(range(20)), k=10)
+    return out.select_columns(["query_id", "rank", "vec_id"])
+
+
 def q_ann_approx(sf_dir: str):
-    """Both approximate top-k paths in one tagged union (merges ann_lsh
-    + ann_ivf; rows-only — recall vs brute force is pytest-checked)."""
+    """The three approximate top-k paths in one tagged union (merges
+    ann_lsh + ann_ivf + ann_pq; rows-only — recall vs brute force is
+    pytest-checked)."""
     spec = [("query_id", "query_id", None), ("rank", "rank", None),
             ("vec_id", "vec_id", None)]
     return _union([
         _tag_ds(FULL_QUERIES["ann_lsh"](sf_dir), "lsh", spec),
-        _tag_ds(FULL_QUERIES["ann_ivf"](sf_dir), "ivf", spec)])
+        _tag_ds(FULL_QUERIES["ann_ivf"](sf_dir), "ivf", spec),
+        _tag_ds(FULL_QUERIES["ann_pq"](sf_dir), "pq", spec)])
 
 
 def q_media_pipeline(sf_dir: str):
@@ -2942,6 +2953,7 @@ def q_bm25_topk(sf_dir: str):
 
 
 FULL_QUERIES["bm25_topk"] = q_bm25_topk
+FULL_QUERIES["ann_pq"] = q_ann_pq
 
 
 def _bm25_sql(k: int = 3, top_v: int = 4096) -> str:

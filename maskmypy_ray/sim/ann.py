@@ -759,3 +759,157 @@ def lsh_topk(ds, query_ids: list[int], k: int = 10, nbits: int = 6, seed: int = 
         return g
 
     return scores.groupby("query_id").map_groups(head_k, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ-accelerated scan + exact shortlist rerank)
+# ---------------------------------------------------------------------------
+
+
+def _train_pq_codebooks_ref(ds, m_sub: int, ksub: int,
+                            train_rows: int = 8192, iters: int = 10):
+    """Train per-subspace L2-kmeans codebooks in a Ray TASK over the
+    first ``train_rows`` rows (deterministic: vec_id-sorted sample,
+    evenly spaced init — the :func:`_train_centroids_ref` recipe per
+    subspace). Only the (m_sub, ksub, dim/m_sub) codebook tensor comes
+    back; the driver never holds the training matrix."""
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def train(*blocks):
+        tables = [b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
+                  for b in blocks]
+        tbl = pa.concat_tables(tables)
+        order = np.argsort(tbl.column("vec_id").to_numpy(zero_copy_only=False),
+                           kind="stable")
+        m = _normalize(np.stack(
+            tbl.column("embedding").to_numpy(zero_copy_only=False)))[order]
+        n, dim = m.shape
+        assert dim % m_sub == 0, f"dim {dim} not divisible by m_sub {m_sub}"
+        dsub = dim // m_sub
+        books = np.empty((m_sub, ksub, dsub), dtype=np.float64)
+        for s in range(m_sub):
+            x = m[:, s * dsub:(s + 1) * dsub]
+            c = x[np.linspace(0, n - 1, min(ksub, n)).astype(np.int64)]
+            for _ in range(iters):
+                # L2 assign == argmax(x.c - |c|^2/2); one (n, ksub) matmul
+                d2 = x @ c.T - 0.5 * (c * c).sum(axis=1)[None, :]
+                assign = np.argmax(d2, axis=1)
+                sums = np.zeros_like(c)
+                np.add.at(sums, assign, x)
+                counts = np.bincount(assign, minlength=len(c))[:, None]
+                c = np.where(counts > 0, sums / np.maximum(counts, 1), c)
+            books[s, :len(c)] = c
+            if len(c) < ksub:  # tiny training set: pad with repeats
+                books[s, len(c):] = c[np.zeros(ksub - len(c), dtype=np.int64)]
+        return books
+
+    refs = ds.select_columns(["vec_id", "embedding"]).limit(train_rows) \
+        .to_arrow_refs()
+    return train.remote(*refs)
+
+
+class PqScorer:
+    """Actor-pool stage for PQ top-k: codebooks + queries + each query's
+    ADC (asymmetric-distance) lookup table fetched once per actor. Each
+    batch (a) encodes its vectors — m_sub small matmuls against the
+    codebooks, argmax per subspace — then (b) scores every query
+    against every vector with TABLE LOOKUPS ONLY (sum of m_sub gathered
+    entries, no full-dim matmul), (c) takes the PQ top ``shortlist``
+    per query and reranks just those with the exact dot product. The
+    shuffle still carries at most k rows per (query, batch).
+
+    This is the IVFADC compute shape (Jegou et al. 2011): at scale the
+    scan cost per vector drops from ``dim`` multiplies to ``m_sub``
+    table reads, and the codes (m_sub bytes/vector) can be cached in a
+    fraction of the vectors' memory."""
+
+    def __init__(self, state_ref, k: int, shortlist: int):
+        import ray
+
+        self.q_ids, self.q, self.books = (
+            ray.get(state_ref) if not isinstance(state_ref, tuple)
+            else state_ref)
+        self.k = k
+        self.shortlist = shortlist
+        m_sub, ksub, dsub = self.books.shape
+        # ADC tables: T[j, s, c] = q_j[sub s] . codebook[s, c]
+        self.adc = np.einsum("qsd,scd->qsc",
+                             self.q.reshape(len(self.q), m_sub, dsub),
+                             self.books)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, emb = _embeddings_matrix(batch)
+        m = _normalize(emb)
+        m_sub, ksub, dsub = self.books.shape
+        x = m.reshape(len(m), m_sub, dsub)
+        # encode: per-subspace L2 argmin via the matmul identity
+        codes = np.empty((len(m), m_sub), dtype=np.int64)
+        for s in range(m_sub):
+            d2 = x[:, s, :] @ self.books[s].T \
+                - 0.5 * (self.books[s] * self.books[s]).sum(axis=1)[None, :]
+            codes[:, s] = np.argmax(d2, axis=1)
+        flat = codes + (np.arange(m_sub, dtype=np.int64) * ksub)[None, :]
+        out_q, out_v, out_s = [], [], []
+        for j in range(len(self.q_ids)):
+            approx = self.adc[j].ravel()[flat].sum(axis=1)
+            cand = np.argsort(-approx, kind="stable")[:self.shortlist]
+            cand = cand[ids[cand] != self.q_ids[j]]
+            if not len(cand):
+                continue
+            sims = m[cand] @ self.q[j]  # exact rerank of the shortlist
+            top = np.lexsort((ids[cand], -sims))[:self.k]
+            out_q.append(np.full(len(top), self.q_ids[j], dtype=np.int64))
+            out_v.append(ids[cand[top]])
+            out_s.append(sims[top])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "sim": pa.array([], type=pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), type=pa.float64()),
+        })
+
+
+def pq_topk(ds, query_ids: list[int], k: int = 10, m_sub: int = 8,
+            ksub: int = 16, shortlist: int = 64, train_rows: int = 8192):
+    """Product-quantization approximate top-k — the memory-bound ANN
+    scale path beside :func:`ivf_topk` / :func:`lsh_topk`.
+
+    Shape: per-subspace codebooks trained once in a Ray task
+    (deterministic sample), broadcast with the query matrix; per batch
+    the scan is table lookups over m_sub-byte codes instead of a
+    full-dim matmul, followed by an exact rerank of each query's
+    ``shortlist`` PQ candidates (the standard ADC + rerank recipe, so
+    recall is set by the shortlist, not the coarse 4-bit codes);
+    partial top-k caps the shuffle at k rows per (query, batch). The
+    vector table never visits the driver."""
+    import ray
+
+    from ..util import auto_concurrency
+
+    qdf = ds.map_batches(
+        lambda b: b.filter(pa.array(np.isin(
+            b.column("vec_id").to_numpy(zero_copy_only=False), query_ids))),
+        batch_format="pyarrow").to_pandas()
+    q_ids = qdf["vec_id"].to_numpy()
+    q = _normalize(np.stack(qdf["embedding"].to_numpy()))
+    books = ray.get(_train_pq_codebooks_ref(ds, m_sub, ksub, train_rows))
+    ref = ray.put((q_ids, q, books))
+    scores = ds.map_batches(
+        PqScorer,
+        fn_constructor_kwargs=dict(state_ref=ref, k=k, shortlist=shortlist),
+        batch_format="pyarrow",
+        concurrency=auto_concurrency(),
+    )
+
+    def head_k(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g["vec_id"] != g["query_id"].iloc[0]]
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return scores.groupby("query_id").map_groups(head_k, batch_format="pandas")

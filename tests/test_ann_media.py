@@ -234,3 +234,23 @@ def test_semantic_dedup_single_cluster_matches_bruteforce(ray_session, sf_dir):
     for i in range(len(E)):
         kept[i] = not (S[i, :i][kept[:i]] >= thr).any()
     assert (out["kept"].to_numpy().astype(bool) == kept).all()
+
+
+def test_pq_topk_recall(ray_session, sf_dir):
+    """PQ ADC scan + exact shortlist rerank: high recall@10 vs brute
+    force (the rerank bounds the loss to shortlist misses), and
+    deterministic across runs."""
+    from maskmypy_ray.pipelines import q_ann_pq, q_ann_topk
+
+    exact = q_ann_topk(sf_dir).to_pandas()
+    approx = q_ann_pq(sf_dir).to_pandas()
+    recalls = []
+    for qid in range(20):
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(e & a) / max(1, len(e)))
+    assert np.mean(recalls) > 0.6  # rerank recovers the coarse-code loss
+    again = q_ann_pq(sf_dir).to_pandas()
+    pd.testing.assert_frame_equal(
+        approx.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        again.sort_values(["query_id", "rank"]).reset_index(drop=True))
