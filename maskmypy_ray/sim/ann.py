@@ -35,7 +35,7 @@ def _embeddings_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
 
 
 class TopKScorer:
-    """Actor-pool stage: normalized query matrix fetched once per actor."""
+    """Scorer stage: normalized query matrix fetched per task (zero-copy)."""
 
     def __init__(self, queries_ref, k: int):
         import ray
@@ -68,8 +68,6 @@ def cosine_topk(ds, query_ids: list[int], k: int = 10, exclude_self: bool = True
     """
     import ray
 
-    from ..util import auto_concurrency
-
     qdf = ds.map_batches(
         lambda b: b.filter(pa.array(np.isin(
             b.column("vec_id").to_numpy(zero_copy_only=False), query_ids))),
@@ -77,11 +75,13 @@ def cosine_topk(ds, query_ids: list[int], k: int = 10, exclude_self: bool = True
     q_ids = qdf["vec_id"].to_numpy()
     q = _normalize(np.stack(qdf["embedding"].to_numpy()))
     ref = ray.put((q_ids, q))
+    # Task pool, not an actor pool: the only state is the broadcast
+    # (q_ids, q) ref — a zero-copy plasma read per task — so plain
+    # tasks reach full parallelism instantly, and unions of several
+    # scorer stages can't deadlock a small ray.init on pool minima.
     scores = ds.map_batches(
-        TopKScorer,
-        fn_constructor_kwargs=dict(queries_ref=ref, k=k),
+        lambda b: TopKScorer(queries_ref=ref, k=k)(b),
         batch_format="pyarrow",
-        concurrency=auto_concurrency(),
     )
 
     def head_k(g: pd.DataFrame) -> pd.DataFrame:
@@ -577,8 +577,8 @@ def _train_centroids_ref(ds, nlist: int, train_rows: int = 8192,
 
 
 class IvfScorer:
-    """Actor-pool stage for IVF top-k: centroids + queries + per-query
-    probe-list table fetched once per actor. Each batch assigns its
+    """Scorer stage for IVF top-k: centroids + queries + per-query
+    probe-list table fetched per task (zero-copy plasma read). Each batch assigns its
     vectors to their nearest centroid (one (n, nlist) matmul), scores
     each query only against vectors in its ``nprobe`` probed lists, and
     emits a per-batch partial top-k — the inverted lists shard the
@@ -634,8 +634,6 @@ def ivf_topk(ds, query_ids: list[int], k: int = 10, nlist: int = 32,
     space partitioner — real embedding corpora cluster far better)."""
     import ray
 
-    from ..util import auto_concurrency
-
     qdf = ds.map_batches(
         lambda b: b.filter(pa.array(np.isin(
             b.column("vec_id").to_numpy(zero_copy_only=False), query_ids))),
@@ -649,11 +647,10 @@ def ivf_topk(ds, query_ids: list[int], k: int = 10, nlist: int = 32,
     top_lists = np.argsort(-qc, axis=1)[:, :nprobe]
     np.put_along_axis(probe, top_lists, True, axis=1)
     ref = ray.put((q_ids, q, centroids, probe))
+    # Task pool (broadcast-ref state only; see cosine_topk note).
     scores = ds.map_batches(
-        IvfScorer,
-        fn_constructor_kwargs=dict(state_ref=ref, k=k),
+        lambda b: IvfScorer(state_ref=ref, k=k)(b),
         batch_format="pyarrow",
-        concurrency=auto_concurrency(),
     )
 
     def head_k(g: pd.DataFrame) -> pd.DataFrame:
@@ -667,8 +664,8 @@ def ivf_topk(ds, query_ids: list[int], k: int = 10, nlist: int = 32,
 
 
 class LshScorer:
-    """Actor-pool stage: queries + hyperplanes + per-query probe-bucket
-    lookup table fetched once per actor. Each vector batch hashes its
+    """Scorer stage: queries + hyperplanes + per-query probe-bucket
+    lookup table fetched per task (zero-copy plasma read). Each vector batch hashes its
     vectors to buckets, scores each query ONLY against vectors whose
     bucket is in the query's multi-probe set, and emits a per-batch
     partial top-k — the bucketing shards the matmul and the shuffle
@@ -727,8 +724,6 @@ def lsh_topk(ds, query_ids: list[int], k: int = 10, nbits: int = 6, seed: int = 
     tests)."""
     import ray
 
-    from ..util import auto_concurrency
-
     qdf = ds.map_batches(
         lambda b: b.filter(pa.array(np.isin(
             b.column("vec_id").to_numpy(zero_copy_only=False), query_ids))),
@@ -744,11 +739,10 @@ def lsh_topk(ds, query_ids: list[int], k: int = 10, nbits: int = 6, seed: int = 
     pop = np.array([bin(v).count("1") for v in range(1 << nbits)], dtype=np.int64)
     probe = pop[np.bitwise_xor(qkeys[:, None], buckets[None, :])] <= probe_hamming
     ref = ray.put((q_ids, q, planes, probe))
+    # Task pool (broadcast-ref state only; see cosine_topk note).
     scores = ds.map_batches(
-        LshScorer,
-        fn_constructor_kwargs=dict(state_ref=ref, k=k),
+        lambda b: LshScorer(state_ref=ref, k=k)(b),
         batch_format="pyarrow",
-        concurrency=auto_concurrency(),
     )
 
     def head_k(g: pd.DataFrame) -> pd.DataFrame:
@@ -810,8 +804,8 @@ def _train_pq_codebooks_ref(ds, m_sub: int, ksub: int,
 
 
 class PqScorer:
-    """Actor-pool stage for PQ top-k: codebooks + queries + each query's
-    ADC (asymmetric-distance) lookup table fetched once per actor. Each
+    """Scorer stage for PQ top-k: codebooks + queries fetched per task
+    (zero-copy); the tiny ADC (asymmetric-distance) tables rebuild locally. Each
     batch (a) encodes its vectors — m_sub small matmuls against the
     codebooks, argmax per subspace — then (b) scores every query
     against every vector with TABLE LOOKUPS ONLY (sum of m_sub gathered
@@ -888,8 +882,6 @@ def pq_topk(ds, query_ids: list[int], k: int = 10, m_sub: int = 8,
     vector table never visits the driver."""
     import ray
 
-    from ..util import auto_concurrency
-
     qdf = ds.map_batches(
         lambda b: b.filter(pa.array(np.isin(
             b.column("vec_id").to_numpy(zero_copy_only=False), query_ids))),
@@ -898,11 +890,11 @@ def pq_topk(ds, query_ids: list[int], k: int = 10, m_sub: int = 8,
     q = _normalize(np.stack(qdf["embedding"].to_numpy()))
     books = ray.get(_train_pq_codebooks_ref(ds, m_sub, ksub, train_rows))
     ref = ray.put((q_ids, q, books))
+    # Task pool (broadcast-ref state only; the tiny per-query ADC
+    # tables rebuild in microseconds per batch — see cosine_topk note).
     scores = ds.map_batches(
-        PqScorer,
-        fn_constructor_kwargs=dict(state_ref=ref, k=k, shortlist=shortlist),
+        lambda b: PqScorer(state_ref=ref, k=k, shortlist=shortlist)(b),
         batch_format="pyarrow",
-        concurrency=auto_concurrency(),
     )
 
     def head_k(g: pd.DataFrame) -> pd.DataFrame:
