@@ -289,6 +289,28 @@ def bench_once(q0_only: bool = False) -> dict:
 
     queries["q7_neardup_family"] = timed(run_q7)
 
+    # q8: retrieval + bounded-memory hygiene (extension round-5 ops):
+    # BM25 keyword extraction (integer-rational scoring), Bloom-bitset
+    # decontamination (fixed-size broadcast), and PQ ADC top-k with
+    # exact shortlist rerank. Additive query — q0-q7 compositions are
+    # unchanged so round-over-round comparisons stay valid.
+    from maskmypy_ray.sim.ann import pq_topk
+    from maskmypy_ray.text.corpus import decontaminate_bloom
+    from maskmypy_ray.text.lm import bm25_topk
+
+    def run_q8():
+        docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                               columns=["doc_id", "text"],
+                               override_num_blocks=SMALL_NB)
+        bm25_topk(docs).count()
+        decontaminate_bloom(docs).count()
+        emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                              columns=["vec_id", "embedding"],
+                              override_num_blocks=SMALL_NB)
+        pq_topk(emb, query_ids=list(range(20)), k=10).count()
+
+    queries["q8_retrieval_hygiene"] = timed(run_q8)
+
     headline = queries["q0_fused_mask_k"]
     result = {
         "metric": "flagship_mask_verify_sec",
