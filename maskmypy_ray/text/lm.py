@@ -225,6 +225,45 @@ def _total_tokens(ds, text_col: str = "text") -> int:
     return int(out["sum(s)"] or 0)
 
 
+# Sentinel df-key for the fused global token count: real tokens match
+# TOKEN_RE ([a-z0-9]+ lowercase), so a tab-prefixed key cannot collide.
+_TOTAL_KEY = "\ttotal"
+
+
+def _doc_freqs_and_total(ds, text_col: str = "text"):
+    """(df table materialized, S): document frequencies AND the global
+    token count from ONE tokenize pass — each batch's partial rows
+    carry a ``_TOTAL_KEY`` sentinel row whose df column holds the
+    batch's total token count, summed by the same ``groupby(token)``.
+    At corpus scale this halves the train-side read+tokenize cost vs
+    running :func:`doc_freqs` and :func:`_total_tokens` separately."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        total = 0
+        for t in b.column(text_col).to_pylist():
+            tt = TOKEN_RE.findall(t.lower())
+            total += len(tt)
+            toks.extend(set(tt))
+        u, cnt = (np.unique(np.asarray(toks, dtype=object),
+                            return_counts=True)
+                  if toks else (np.array([], dtype=object),
+                                np.array([], dtype=np.int64)))
+        return pa.table({
+            "tok": pa.array(np.concatenate([u, [_TOTAL_KEY]]),
+                            type=pa.string()),
+            "df": pa.array(np.concatenate(
+                [cnt.astype(np.int64), [total]]).astype(np.int64)),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("tok").aggregate(Sum("df", alias_name="df")).materialize()
+    total_row = agg.filter(expr=f"tok == {_TOTAL_KEY!r}").take_all()
+    s_tot = int(total_row[0]["df"]) if total_row else 0
+    return agg.filter(expr=f"tok != {_TOTAL_KEY!r}"), s_tot
+
+
 def bm25_topk(ds, k: int = 3, top_v: int = TOP_V, text_col: str = "text"):
     """Top-``k`` Okapi-BM25 keywords per doc: ``(doc_id, rank, token,
     score_micro)`` — TF-IDF's retrieval-grade sibling with document-
@@ -250,14 +289,14 @@ def bm25_topk(ds, k: int = 3, top_v: int = TOP_V, text_col: str = "text"):
     stateless vectorized scoring pass, no shuffle."""
     import ray
 
-    dfs = doc_freqs(ds, text_col).materialize()
+    dfs, s_tot = _doc_freqs_and_total(ds, text_col)
+    s_tot = max(s_tot, 1)
     n_docs = ds.count()
     vocab_rows = dfs.sort(["df", "tok"], descending=[True, False]) \
         .limit(top_v).take_all()
     vocab = {r["tok"]: int(r["df"]) for r in vocab_rows}
     vocab_ref = ray.put(vocab)
     n = max(int(n_docs), 1)
-    s_tot = max(_total_tokens(ds, text_col), 1)
 
     def score(b: pa.Table) -> pa.Table:
         v: dict = ray.get(vocab_ref)
