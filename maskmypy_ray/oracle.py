@@ -904,3 +904,47 @@ SELECT d.doc_id, CAST(COALESCE(nh.nh, 0) AS BIGINT) AS n_hit_grams,
          AS contaminated
 FROM docs d LEFT JOIN nh ON nh.doc_id = d.doc_id
 WHERE d.doc_id % {mod} <> 0"""
+
+
+def host_rank_sql(seed: int, iters: int = 10, links: int = 3) -> str:
+    """Mirror of text.rank.host_rank over the pages derivation:
+    deterministic link rule (doc_id*31 + 7*j + 1) % n_docs projected to
+    hosts, then ``iters`` unrolled rounds of the integer PageRank
+    update r' = (15*INIT)//100 + (85 * Σ (r(src)//outdeg(src))*w)//100
+    — every operation is int64, so the engine matches bit-for-bit."""
+    rounds = []
+    prev = "r0"
+    for t in range(1, iters + 1):
+        rounds.append(f"""r{t} AS (
+  SELECT h.host,
+         (15 * (SELECT i FROM init)) // 100
+         + (85 * COALESCE(s.c, 0)) // 100 AS r
+  FROM hl h LEFT JOIN (
+    SELECT ew2.dst, sum((p.r // ew2.ow) * ew2.w) AS c
+    FROM ew2 JOIN {prev} p ON p.host = ew2.src GROUP BY ew2.dst) s
+  ON s.dst = h.host)""")
+        prev = f"r{t}"
+    rounds_sql = ",\n".join(rounds)
+    return f"""WITH {pages_cte(seed)},
+hosts AS (SELECT doc_id,
+          regexp_extract(url, '^https?://([^/]+)', 1) AS host FROM pages),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pages),
+links AS (
+  SELECT p.doc_id AS src_doc,
+         (((p.doc_id % nn.n) * (p.doc_id % nn.n)) % nn.n * 7
+          + p.doc_id * 31 + 97 * j.i + 1) % nn.n AS dst_doc
+  FROM pages p, n nn, unnest(generate_series(0, {links - 1})) AS j(i)
+  WHERE (((p.doc_id % nn.n) * (p.doc_id % nn.n)) % nn.n * 7
+         + p.doc_id * 31 + 97 * j.i + 1) % nn.n <> p.doc_id),
+e AS (
+  SELECT hs.host AS src, hd.host AS dst
+  FROM links l JOIN hosts hs ON hs.doc_id = l.src_doc
+               JOIN hosts hd ON hd.doc_id = l.dst_doc),
+ew AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM e GROUP BY 1, 2),
+outd AS (SELECT src, sum(w) AS ow FROM ew GROUP BY 1),
+ew2 AS (SELECT ew.src, ew.dst, ew.w, o.ow FROM ew JOIN outd o USING (src)),
+hl AS (SELECT DISTINCT host FROM hosts),
+init AS (SELECT CAST(1000000000000 // count(*) AS BIGINT) AS i FROM hl),
+r0 AS (SELECT host, (SELECT i FROM init) AS r FROM hl),
+{rounds_sql}
+SELECT host, r AS rank_micro FROM r{iters}"""

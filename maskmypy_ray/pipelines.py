@@ -2444,13 +2444,19 @@ def q_samples(sf_dir: str):
 
 
 def q_host_filters(sf_dir: str):
-    """Host-level curation filters in one tagged union (merges
-    host_cap_sample + host_blocklist_filter)."""
-    spec = [("doc_id", "doc_id", None), ("host", "host", None)]
+    """Host-level curation in one tagged union (merges host_cap_sample
+    + host_blocklist_filter + host_rank: the filters carry v=0, the
+    PageRank part carries doc_id=-1 and v=rank_micro)."""
+    i64 = pa.int64()
+    spec = [("doc_id", "doc_id", None), ("host", "host", None),
+            ("v", ("const", 0), i64)]
+    rank_spec = [("doc_id", ("const", -1), i64), ("host", "host", None),
+                 ("v", "rank_micro", None)]
     return _union([
         _tag_ds(FULL_QUERIES["host_cap_sample"](sf_dir), "cap", spec),
         _tag_ds(FULL_QUERIES["host_blocklist_filter"](sf_dir), "blocklist",
-                spec)])
+                spec),
+        _tag_ds(FULL_QUERIES["host_rank"](sf_dir), "rank", rank_spec)])
 
 
 def q_pii(sf_dir: str):
@@ -2784,8 +2790,12 @@ def _merged_oracles() -> dict[str, str]:
             ("fixed_k", "SELECT doc_id FROM ("
                         + base["sample_fixed_k"] + ")")]),
         "host_filters": _sql_union([
-            ("cap", base["host_cap_sample"]),
-            ("blocklist", base["host_blocklist_filter"])]),
+            ("cap", "SELECT doc_id, host, CAST(0 AS BIGINT) AS v FROM ("
+                    + base["host_cap_sample"] + ")"),
+            ("blocklist", "SELECT doc_id, host, CAST(0 AS BIGINT) AS v "
+                          "FROM (" + base["host_blocklist_filter"] + ")"),
+            ("rank", "SELECT CAST(-1 AS BIGINT) AS doc_id, host, "
+                     "rank_micro AS v FROM (" + base["host_rank"] + ")")]),
         "pii": (f"WITH s AS ({oracle.pii_stats_sql(every=5)}),\n"
                 f"r AS ({oracle.pii_redact_sql(every=5)})\n"
                 "SELECT s.doc_id, s.n_email, s.n_ipv4, s.n_phone, "
@@ -2956,6 +2966,18 @@ FULL_QUERIES["bm25_topk"] = q_bm25_topk
 FULL_QUERIES["ann_pq"] = q_ann_pq
 
 
+def q_host_rank(sf_dir: str):
+    """Integer-exact host PageRank over the synthesized link graph:
+    two coarse partition joins resolve edge hosts, 10 edge-streaming
+    iterations with a broadcast rank vector (text/rank.py)."""
+    from .text.rank import host_rank
+
+    return host_rank(read_webpages(sf_dir, seed=SEED))
+
+
+FULL_QUERIES["host_rank"] = q_host_rank
+
+
 def _bm25_sql(k: int = 3, top_v: int = 4096) -> str:
     """DuckDB twin of text.lm.bm25_topk: same capped-df vocabulary,
     idf quantized per distinct token, and the all-integer tfnorm
@@ -2994,6 +3016,7 @@ def full_oracle_queries():  # noqa: F811 — extends the per-op surface
     out = _FULL_ORACLE_SNAPSHOT()
     out["decontaminate_bloom"] = oracle.decontaminate_bloom_sql(n=5, mod=97)
     out["bm25_topk"] = _bm25_sql(k=3, top_v=4096)
+    out["host_rank"] = oracle.host_rank_sql(SEED)
     return out
 
 

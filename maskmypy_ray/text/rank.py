@@ -1,0 +1,255 @@
+"""Host-level PageRank over the crawl link graph — the classic
+host-quality signal for web-corpus curation (seed/domain ranking à la
+Common Crawl host ranks; damping 0.85, fixed iteration count).
+
+Fixture link rule (FIXTURES-style deterministic synthesis, like the
+messy-URL refetches and mutated near-dup copies): page ``doc_id``
+links to pages ``((doc_id%n)^2 % n * 7 + doc_id*31 + 97*j + 1) % n``
+for ``j < L`` (exact self-links dropped; the quadratic term makes the
+host in-degree distribution SKEWED — quadratic residues are uneven
+across the ``doc_id % n_sources`` host classes — so the fixture ranks
+genuinely separate and the oracle check is not vacuous), and the
+graph is projected to hosts.
+
+Scale shape:
+
+* **Edge-host resolution** is TWO coarse hash-partition joins (the
+  fact-fact pattern from ``relational.py``): link rows routed by
+  ``dst_doc % P`` meet ``(doc_id, host)`` rows routed by
+  ``doc_id % P``; the half-resolved edges re-route by ``src_doc % P``
+  to meet the host rows again. The corpus-sized doc→host map is never
+  broadcast and never visits the driver.
+* **The host graph is aggregated per src-partition** (every edge of a
+  src host lands in one ``hash(src) % P`` partition, so weights AND
+  out-degrees are exact with one vectorized pandas kernel) and
+  materialized — bounded by distinct (src_host, dst_host) pairs, the
+  same mass every iteration must read anyway.
+* **Iterations stream the edge table**: the rank vector (one int64
+  per host — bounded; ~80 MB at 10^7 hosts) is broadcast each round,
+  one ``map_batches`` over the edges emits integer contributions, and
+  a small ``groupby(dst).sum`` (few distinct keys — the pre-combined-
+  partials regime) plus a driver-side H-row collect closes the round.
+
+Exactness: ranks are int64 micro-units (scale 10^12). Per round,
+``r' (h) = (15*INIT)//100 + (85 * Σ_in (r(src) // outdeg(src)) * w)
+// 100`` — every operation is integer, so sums are order-independent
+and the DuckDB oracle (10 unrolled CTE rounds of the same arithmetic)
+matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+LINKS_PER_DOC = 3
+RANK_SCALE = 10**12
+DAMP_PCT = 85  # damping d = 0.85 as the exact rational 85/100
+RANK_ITERS = 10
+MAX_HOSTS = 50_000_000  # driver-side rank-vector bound (~400 MB)
+SMALL_EDGES = 1 << 22  # host-graph edges below this iterate driver-side
+
+from .corpus import HOST_RE  # noqa: E402  (shared host extraction)
+
+
+def _host_of_url(batch: pa.Table) -> np.ndarray:
+    import pyarrow.compute as pc
+
+    ex = pc.extract_regex(batch.column("url"), HOST_RE)
+    h = pc.fill_null(pc.struct_field(ex, "host"), "<no-host>")
+    return np.asarray(h.to_pylist(), dtype=object)
+
+
+def _host_edges(pages_ds, n_docs: int, links: int, partitions: int):
+    """Dataset[(src, dst, w, ow)] — the aggregated host graph with
+    exact per-src out-degrees. Two coarse partition joins; no
+    broadcast of the doc→host map."""
+
+    def tag_rows(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        hosts = _host_of_url(b)
+        # host rows keyed by own doc_id
+        key = [ids]
+        src = [np.full(len(ids), -1, dtype=np.int64)]
+        hh = [hosts]
+        tag = [np.ones(len(ids), dtype=np.int8)]
+        # link rows keyed by dst_doc
+        for j in range(links):
+            dn = ids % n_docs
+            dst = ((dn * dn) % n_docs * 7 + ids * 31 + 97 * j + 1) % n_docs
+            keep = dst != ids  # drop exact self-links
+            key.append(dst[keep])
+            src.append(ids[keep])
+            hh.append(np.full(int(keep.sum()), "", dtype=object))
+            tag.append(np.zeros(int(keep.sum()), dtype=np.int8))
+        key = np.concatenate(key)
+        return pa.table({
+            "key": pa.array(key, type=pa.int64()),
+            "src_doc": pa.array(np.concatenate(src), type=pa.int64()),
+            "host": pa.array(np.concatenate(hh), type=pa.string()),
+            "is_host": pa.array(np.concatenate(tag)),
+            "p": pa.array(key % partitions),
+        })
+
+    tagged = pages_ds.select_columns(["doc_id", "url"]) \
+        .map_batches(tag_rows, batch_format="pyarrow")
+
+    def resolve_dst(g: pd.DataFrame) -> pd.DataFrame:
+        hosts = g.loc[g["is_host"] == 1, ["key", "host"]] \
+            .rename(columns={"host": "dst_host"})
+        lnk = g.loc[g["is_host"] == 0, ["key", "src_doc"]]
+        m = lnk.merge(hosts, on="key", how="inner")
+        return pd.DataFrame({
+            "key": m["src_doc"],  # re-key by src for join #2
+            "src_doc": m["src_doc"],
+            "host": m["dst_host"],
+            "is_host": np.zeros(len(m), dtype=np.int8),
+        })
+
+    half = tagged.groupby("p").map_groups(resolve_dst,
+                                          batch_format="pandas")
+
+    def to_arrow_rekey(d: pd.DataFrame) -> pa.Table:
+        # arrow-normalize (pandas blocks must not union with arrow ones)
+        # and route by src_doc for the second join
+        return pa.table({
+            "key": pa.array(d["key"].to_numpy(dtype=np.int64)),
+            "src_doc": pa.array(d["src_doc"].to_numpy(dtype=np.int64)),
+            "host": pa.array(d["host"].to_numpy(dtype=object),
+                             type=pa.string()),
+            "is_host": pa.array(d["is_host"].to_numpy(dtype=np.int8)),
+            "p": pa.array(d["key"].to_numpy(dtype=np.int64) % partitions),
+        })
+
+    def host_rows_only(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        hosts = _host_of_url(b)
+        return pa.table({
+            "key": pa.array(ids, type=pa.int64()),
+            "src_doc": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+            "host": pa.array(hosts, type=pa.string()),
+            "is_host": pa.array(np.ones(len(ids), dtype=np.int8)),
+            "p": pa.array(ids % partitions),
+        })
+
+    host_rows = pages_ds.select_columns(["doc_id", "url"]) \
+        .map_batches(host_rows_only, batch_format="pyarrow")
+    rekeyed = half.map_batches(to_arrow_rekey, batch_format="pandas")
+
+    def resolve_src(g: pd.DataFrame) -> pd.DataFrame:
+        hosts = g.loc[g["is_host"] == 1, ["key", "host"]] \
+            .rename(columns={"host": "src_host"})
+        lnk = g.loc[g["is_host"] == 0, ["key", "host"]] \
+            .rename(columns={"host": "dst_host"})
+        m = lnk.merge(hosts, on="key", how="inner")
+        src = m["src_host"].to_numpy(dtype=object)
+        codes = pd.util.hash_array(src.astype("U")).astype(np.int64)
+        return pd.DataFrame({
+            "src": src, "dst": m["dst_host"],
+            "pq": np.abs(codes) % partitions,
+        })
+
+    edges = host_rows.union(rekeyed).repartition(32) \
+        .groupby("p").map_groups(resolve_src, batch_format="pandas")
+
+    def agg_part(g: pd.DataFrame) -> pd.DataFrame:
+        """Weights per (src, dst) + exact out-degree per src — all of a
+        src host's edges live in this partition (routed by src hash)."""
+        w = g.groupby(["src", "dst"], sort=True).size() \
+            .rename("w").reset_index()
+        ow = w.groupby("src", sort=False)["w"].transform("sum")
+        w["ow"] = ow
+        return w
+
+    def agg_arrow(d: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "src": pa.array(d["src"].to_numpy(dtype=object),
+                            type=pa.string()),
+            "dst": pa.array(d["dst"].to_numpy(dtype=object),
+                            type=pa.string()),
+            "w": pa.array(d["w"].to_numpy(dtype=np.int64)),
+            "ow": pa.array(d["ow"].to_numpy(dtype=np.int64)),
+        })
+
+    # Materialized: T iterations re-read this table (dual-consumer
+    # rule); bounded by distinct (src_host, dst_host) pairs.
+    return edges.groupby("pq").map_groups(agg_part,
+                                          batch_format="pandas") \
+        .map_batches(agg_arrow, batch_format="pandas").materialize()
+
+
+def host_rank(pages_ds, iters: int = RANK_ITERS,
+              links: int = LINKS_PER_DOC, partitions: int = 64):
+    """Dataset[(host, rank_micro)] — integer-exact PageRank over the
+    synthesized host link graph after ``iters`` rounds."""
+    import ray
+
+    n_docs = max(int(pages_ds.count()), 1)
+    ew = _host_edges(pages_ds, n_docs, links, partitions)
+
+    # bounded host list: distinct hosts of the graph + isolated hosts
+    def hosts_part(b: pa.Table) -> pa.Table:
+        hosts = np.unique(_host_of_url(b))
+        return pa.table({"host": pa.array(hosts, type=pa.string())})
+
+    hosts = pages_ds.select_columns(["doc_id", "url"]) \
+        .map_batches(hosts_part, batch_format="pyarrow") \
+        .groupby("host").count().select_columns(["host"]).take_all()
+    hl = np.sort(np.asarray([r["host"] for r in hosts], dtype=object))
+    H = len(hl)
+    assert H <= MAX_HOSTS, f"{H} hosts exceed the rank-vector bound"
+    init = RANK_SCALE // max(H, 1)
+    base = (15 * init) // 100
+    ranks = np.full(H, init, dtype=np.int64)
+
+    # Small-graph fast path: below the bound, collect the aggregated
+    # host graph ONCE and run the identical integer loop locally —
+    # 10 Ray rounds on a tiny edge table are pure job overhead. The
+    # distributed rounds below are the >5M-edge scale path; both
+    # compute the exact same int64 arithmetic.
+    n_edges = ew.count()
+    if n_edges <= SMALL_EDGES:
+        edf = ew.to_pandas()
+        si = np.searchsorted(hl, edf["src"].to_numpy(dtype=object))
+        di = np.searchsorted(hl, edf["dst"].to_numpy(dtype=object))
+        w = edf["w"].to_numpy(dtype=np.int64)
+        ow = edf["ow"].to_numpy(dtype=np.int64)
+        for _ in range(iters):
+            c = (ranks[si] // ow) * w
+            insum = np.zeros(H, dtype=np.int64)
+            np.add.at(insum, di, c)
+            ranks = base + (DAMP_PCT * insum) // 100
+    else:
+        for _ in range(iters):
+            ref = ray.put((hl, ranks))
+
+            def contrib(b: pa.Table, ref=ref) -> pa.Table:
+                hl_, r_ = ray.get(ref)  # zero-copy plasma read per task
+                src = np.asarray(b.column("src").to_pylist(), dtype=object)
+                idx = np.searchsorted(hl_, src)
+                w = b.column("w").to_numpy(zero_copy_only=False)
+                ow = b.column("ow").to_numpy(zero_copy_only=False)
+                c = (r_[idx] // ow) * w
+                return pa.table({"dst": b.column("dst"),
+                                 "c": pa.array(c, type=pa.int64())})
+
+            from ray.data.aggregate import Sum
+
+            rows = ew.map_batches(contrib, batch_format="pyarrow") \
+                .groupby("dst").aggregate(Sum("c", alias_name="c")) \
+                .take_all()
+            new = np.full(H, base, dtype=np.int64)
+            if rows:
+                dsts = np.asarray([r["dst"] for r in rows], dtype=object)
+                cs = np.asarray([int(r["c"]) for r in rows],
+                                dtype=np.int64)
+                new[np.searchsorted(hl, dsts)] = \
+                    base + (DAMP_PCT * cs) // 100
+            ranks = new
+
+    out = pa.table({"host": pa.array(hl, type=pa.string()),
+                    "rank_micro": pa.array(ranks, type=pa.int64())})
+    import ray.data
+
+    return ray.data.from_arrow(out)
