@@ -171,6 +171,131 @@ def jaccard(a: set, b: set) -> float:
 LSH_PARTITIONS = 64
 
 
+# Below this many candidate pairs the exact-Jaccard verification runs
+# as one broadcast map instead of the 2-shuffle attach/verify plan
+# (~48 B/pair of ids + the candidate docs' distinct gram arrays in the
+# object store — a few hundred MB at the bound).
+LSH_BROADCAST_VERIFY_MAX_PAIRS = 2_000_000
+
+
+def _segment_gather(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Indices covering [starts[i], starts[i]+lens[i]) per segment i,
+    concatenated — one repeat + one arange, no Python loop."""
+    total = int(lens.sum())
+    if not total:
+        return np.array([], dtype=np.int64)
+    shift = np.concatenate([np.zeros(1, dtype=np.int64),
+                            np.cumsum(lens)[:-1]])
+    return np.repeat(starts - shift, lens) + np.arange(total, dtype=np.int64)
+
+
+def _cand_shingles_ref(ds, cand_docs_ref, text_col: str, ngram: int):
+    """(sorted candidate doc ids, gram bounds, concatenated distinct
+    gram hashes) compiled in a Ray task — the broadcast side of the
+    fast verify path. The tokenize pass is semi-joined to candidate
+    docs exactly like the shuffle path's shingles stage."""
+    import ray
+
+    from ..util import sorted_member_mask
+    from .grams import distinct_per_doc, gram_hashes_batch, token_codes_batch
+
+    def rows(b: pa.Table) -> pa.Table:
+        cd = ray.get(cand_docs_ref)
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = sorted_member_mask(cd, d)
+        if not keep.any():
+            return pa.table({
+                "doc": pa.array([], type=pa.int64()),
+                "shingles": pa.array([], type=pa.list_(pa.int64())),
+            })
+        b = b.filter(pa.array(keep))
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        codes, bounds = token_codes_batch(b.column(text_col).to_pylist())
+        grams, gb = gram_hashes_batch(codes, bounds, ngram, "single")
+        grams, gb = distinct_per_doc(grams, gb)
+        sh = pa.ListArray.from_arrays(pa.array(gb.astype(np.int32)),
+                                      pa.array(grams, type=pa.int64()))
+        return pa.table({"doc": pa.array(d, type=pa.int64()),
+                         "shingles": sh})
+
+    filtered = ds.select_columns(["doc_id", text_col]).map_batches(
+        rows, batch_format="pyarrow")
+
+    @ray.remote(num_cpus=1)
+    def compile_side(*blocks):
+        tbls = [b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
+                for b in blocks]
+        tbls = [t for t in tbls if len(t)]
+        if not tbls:
+            z = np.array([], dtype=np.int64)
+            return z, np.zeros(1, dtype=np.int64), z
+        t = pa.concat_tables(tbls)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False) \
+            if "doc_id" in t.column_names \
+            else t.column("doc").to_numpy(zero_copy_only=False)
+        sh = t.column("shingles")
+        if isinstance(sh, pa.ChunkedArray):
+            sh = sh.combine_chunks()
+        lens = np.asarray([len(x) for x in sh], dtype=np.int64)
+        flat = np.asarray(sh.flatten(), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")  # each doc in ONE block
+        starts = np.concatenate([np.zeros(1, dtype=np.int64),
+                                 np.cumsum(lens)])[:-1]
+        idx = _segment_gather(starts[order], lens[order])
+        bounds = np.concatenate([np.zeros(1, dtype=np.int64),
+                                 np.cumsum(lens[order])])
+        return ids[order], bounds, flat[idx]
+
+    return compile_side.remote(*filtered.to_arrow_refs())
+
+
+def _verify_pairs_broadcast(ds, uniq, cand_docs_ref, threshold: float,
+                            text_col: str, ngram: int):
+    """Exact-Jaccard verification of the materialized pair list with
+    ONE stateless map: both sides' distinct shingle sets come from the
+    broadcast (ids, bounds, grams) arrays; the per-pair intersection
+    is the same packed ``np.intersect1d`` kernel as the shuffle path's
+    verify partition. Bit-identical output."""
+    import ray
+
+    sh_ref = _cand_shingles_ref(ds, cand_docs_ref, text_col, ngram)
+
+    def verify(b: pa.Table) -> pa.Table:
+        ids_, bounds_, grams_ = ray.get(sh_ref)
+        a = b.column("doc_a").to_numpy(zero_copy_only=False)
+        bb = b.column("doc_b").to_numpy(zero_copy_only=False)
+        n_pairs = len(a)
+        empty = pa.table({"doc_a": pa.array([], type=pa.int64()),
+                          "doc_b": pa.array([], type=pa.int64()),
+                          "sim": pa.array([], type=pa.float64())})
+        if not n_pairs:
+            return empty
+        assert n_pairs < (1 << 31)
+        ia = np.searchsorted(ids_, a)
+        ib = np.searchsorted(ids_, bb)
+        la = bounds_[ia + 1] - bounds_[ia]
+        lb = bounds_[ib + 1] - bounds_[ib]
+        pid = np.arange(n_pairs, dtype=np.int64)
+        pa_ = np.repeat(pid, la) * (1 << 32) \
+            + grams_[_segment_gather(bounds_[ia], la)]
+        pb_ = np.repeat(pid, lb) * (1 << 32) \
+            + grams_[_segment_gather(bounds_[ib], lb)]
+        inter = np.intersect1d(pa_, pb_, assume_unique=True)
+        i_cnt = np.bincount(inter >> 32, minlength=n_pairs)
+        union = la + lb - i_cnt
+        sim = np.divide(i_cnt, union,
+                        out=np.ones(n_pairs, dtype=np.float64),
+                        where=union > 0)
+        keep = sim >= threshold
+        return pa.table({
+            "doc_a": pa.array(a[keep], type=pa.int64()),
+            "doc_b": pa.array(bb[keep], type=pa.int64()),
+            "sim": pa.array(sim[keep], type=pa.float64()),
+        })
+
+    return uniq.map_batches(verify, batch_format="pyarrow")
+
+
 def minhash_lsh_pairs(ds, threshold: float = 0.8, text_col: str = "text",
                       ngram: int = 5, partitions: int = LSH_PARTITIONS,
                       shuffle_blocks: int = 32):
@@ -247,6 +372,18 @@ def minhash_lsh_pairs(ds, threshold: float = 0.8, text_col: str = "text",
     from ..util import pair_ids_ref, sorted_member_mask
 
     cand_docs_ref = pair_ids_ref(uniq, "doc_a", "doc_b")
+
+    # Small-candidate fast path: below the bound, compile the candidate
+    # docs' distinct shingle sets into ONE broadcast structure (off-
+    # driver, like the decontamination gram set) and verify every pair
+    # with a single stateless map over the pair list — this removes
+    # the explode/union and BOTH verify shuffles, whose fixed all-to-
+    # all latency dominates when candidates are few (the common case
+    # at selective thresholds). Above the bound the shuffle path below
+    # carries the same exact-Jaccard semantics at any candidate count.
+    if uniq.count() <= LSH_BROADCAST_VERIFY_MAX_PAIRS:
+        return _verify_pairs_broadcast(ds, uniq, cand_docs_ref, threshold,
+                                       text_col, ngram)
 
     def explode_sides(b: pa.Table) -> pa.Table:
         da = b.column("doc_a").to_numpy(zero_copy_only=False)
