@@ -238,6 +238,84 @@ def with_perturbed_copies(ds, every: int = 10, target_cos: float = 0.95,
     return ds.map_batches(perturb, batch_format="pyarrow")
 
 
+# Below this many candidate pairs the exact-cosine verification runs
+# as one broadcast map instead of the two-sided partition hash-merge
+# (the candidate vectors' normalized matrix lives once in the object
+# store — bounded by min(2*pairs, corpus) rows).
+LSH_BROADCAST_VERIFY_MAX_PAIRS = 2_000_000
+
+
+def _cand_vectors_ref(ds, member_ref):
+    """(sorted candidate vec ids, normalized float64 matrix) compiled
+    in a Ray task — the broadcast side of the cosine fast path."""
+    import ray
+
+    from ..util import sorted_member_mask
+
+    def rows(b: pa.Table) -> pa.Table:
+        mem = ray.get(member_ref)
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        keep = sorted_member_mask(mem, ids)
+        if not keep.any():
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "embedding": pa.array(
+                                 [], type=pa.list_(pa.float64()))})
+        return b.filter(pa.array(keep))
+
+    filtered = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        rows, batch_format="pyarrow")
+
+    @ray.remote(num_cpus=1)
+    def compile_side(*blocks):
+        tbls = [b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
+                for b in blocks]
+        tbls = [t for t in tbls if len(t)]
+        if not tbls:
+            return np.array([], dtype=np.int64), \
+                np.zeros((0, 0), dtype=np.float64)
+        t = pa.concat_tables(tbls)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        m = _normalize(np.stack(
+            t.column("embedding").to_numpy(zero_copy_only=False))
+            .astype(np.float64))
+        order = np.argsort(ids, kind="stable")  # ids unique across blocks
+        return ids[order], m[order]
+
+    return compile_side.remote(*filtered.to_arrow_refs())
+
+
+def _verify_cosine_broadcast(ds, uniq, threshold: float):
+    """Exact-cosine verification of the materialized pair list with ONE
+    stateless map against the broadcast candidate matrix — bit-
+    identical to the partition hash-merge plan."""
+    import ray
+
+    from ..util import pair_ids_ref
+
+    vec_ref = _cand_vectors_ref(ds, pair_ids_ref(uniq, "vec_a", "vec_b"))
+
+    def verify(b: pa.Table) -> pa.Table:
+        ids_, m_ = ray.get(vec_ref)
+        va = b.column("vec_a").to_numpy(zero_copy_only=False)
+        vb = b.column("vec_b").to_numpy(zero_copy_only=False)
+        empty = pa.table({"vec_a": pa.array([], type=pa.int64()),
+                          "vec_b": pa.array([], type=pa.int64()),
+                          "sim": pa.array([], type=pa.float64())})
+        if not len(va) or not len(ids_):
+            return empty
+        ia = np.searchsorted(ids_, va)
+        ib = np.searchsorted(ids_, vb)
+        sims = np.einsum("ij,ij->i", m_[ia], m_[ib])
+        ok = sims >= threshold
+        return pa.table({
+            "vec_a": pa.array(va[ok], type=pa.int64()),
+            "vec_b": pa.array(vb[ok], type=pa.int64()),
+            "sim": pa.array(sims[ok], type=pa.float64()),
+        })
+
+    return uniq.map_batches(verify, batch_format="pyarrow")
+
+
 def cosine_pairs_lsh(ds, threshold: float = 0.4,
                      bits_per_band: int | None = None,
                      n_bands: int | None = None, seed: int = 42,
@@ -361,6 +439,15 @@ def cosine_pairs_lsh(ds, threshold: float = 0.4,
     logging.getLogger(__name__).info(
         "cosine_pairs_lsh: %d candidate pairs at threshold=%.2f "
         "(b=%d, L=%d)", uniq.count(), threshold, bits_per_band, n_bands)
+
+    # Small-candidate fast path (mirror of minhash_lsh_pairs'): below
+    # the bound, compile the candidate vectors into one broadcast
+    # (sorted ids, normalized matrix) and verify every pair with a
+    # single stateless map — no explode/union, no verify shuffles.
+    # Above it, the two-sided partition hash-merge below carries the
+    # same semantics at any candidate count.
+    if uniq.count() <= LSH_BROADCAST_VERIFY_MAX_PAIRS:
+        return _verify_cosine_broadcast(ds, uniq, threshold)
 
     dtype = pa.list_(pa.float64())
 
