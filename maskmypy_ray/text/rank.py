@@ -63,30 +63,29 @@ def _host_of_url(batch: pa.Table) -> np.ndarray:
 
 def _host_edges(pages_ds, n_docs: int, links: int, partitions: int):
     """Dataset[(src, dst, w, ow)] — the aggregated host graph with
-    exact per-src out-degrees. Two coarse partition joins; no
-    broadcast of the doc→host map."""
+    exact per-src out-degrees. ONE coarse partition join (a link row
+    originates from its src page, so it carries src_host locally; only
+    the dst side needs the doc→host resolution) — the corpus-sized
+    doc→host map is never broadcast and never visits the driver."""
 
     def tag_rows(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
         hosts = _host_of_url(b)
-        # host rows keyed by own doc_id
+        # host rows keyed by own doc_id (the dst-resolution side)
         key = [ids]
-        src = [np.full(len(ids), -1, dtype=np.int64)]
         hh = [hosts]
         tag = [np.ones(len(ids), dtype=np.int8)]
-        # link rows keyed by dst_doc
+        # link rows keyed by dst_doc, already carrying src_host
         for j in range(links):
             dn = ids % n_docs
             dst = ((dn * dn) % n_docs * 7 + ids * 31 + 97 * j + 1) % n_docs
             keep = dst != ids  # drop exact self-links
             key.append(dst[keep])
-            src.append(ids[keep])
-            hh.append(np.full(int(keep.sum()), "", dtype=object))
+            hh.append(hosts[keep])
             tag.append(np.zeros(int(keep.sum()), dtype=np.int8))
         key = np.concatenate(key)
         return pa.table({
             "key": pa.array(key, type=pa.int64()),
-            "src_doc": pa.array(np.concatenate(src), type=pa.int64()),
             "host": pa.array(np.concatenate(hh), type=pa.string()),
             "is_host": pa.array(np.concatenate(tag)),
             "p": pa.array(key % partitions),
@@ -98,50 +97,8 @@ def _host_edges(pages_ds, n_docs: int, links: int, partitions: int):
     def resolve_dst(g: pd.DataFrame) -> pd.DataFrame:
         hosts = g.loc[g["is_host"] == 1, ["key", "host"]] \
             .rename(columns={"host": "dst_host"})
-        lnk = g.loc[g["is_host"] == 0, ["key", "src_doc"]]
-        m = lnk.merge(hosts, on="key", how="inner")
-        return pd.DataFrame({
-            "key": m["src_doc"],  # re-key by src for join #2
-            "src_doc": m["src_doc"],
-            "host": m["dst_host"],
-            "is_host": np.zeros(len(m), dtype=np.int8),
-        })
-
-    half = tagged.groupby("p").map_groups(resolve_dst,
-                                          batch_format="pandas")
-
-    def to_arrow_rekey(d: pd.DataFrame) -> pa.Table:
-        # arrow-normalize (pandas blocks must not union with arrow ones)
-        # and route by src_doc for the second join
-        return pa.table({
-            "key": pa.array(d["key"].to_numpy(dtype=np.int64)),
-            "src_doc": pa.array(d["src_doc"].to_numpy(dtype=np.int64)),
-            "host": pa.array(d["host"].to_numpy(dtype=object),
-                             type=pa.string()),
-            "is_host": pa.array(d["is_host"].to_numpy(dtype=np.int8)),
-            "p": pa.array(d["key"].to_numpy(dtype=np.int64) % partitions),
-        })
-
-    def host_rows_only(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        hosts = _host_of_url(b)
-        return pa.table({
-            "key": pa.array(ids, type=pa.int64()),
-            "src_doc": pa.array(np.full(len(ids), -1, dtype=np.int64)),
-            "host": pa.array(hosts, type=pa.string()),
-            "is_host": pa.array(np.ones(len(ids), dtype=np.int8)),
-            "p": pa.array(ids % partitions),
-        })
-
-    host_rows = pages_ds.select_columns(["doc_id", "url"]) \
-        .map_batches(host_rows_only, batch_format="pyarrow")
-    rekeyed = half.map_batches(to_arrow_rekey, batch_format="pandas")
-
-    def resolve_src(g: pd.DataFrame) -> pd.DataFrame:
-        hosts = g.loc[g["is_host"] == 1, ["key", "host"]] \
-            .rename(columns={"host": "src_host"})
         lnk = g.loc[g["is_host"] == 0, ["key", "host"]] \
-            .rename(columns={"host": "dst_host"})
+            .rename(columns={"host": "src_host"})
         m = lnk.merge(hosts, on="key", how="inner")
         src = m["src_host"].to_numpy(dtype=object)
         codes = pd.util.hash_array(src.astype("U")).astype(np.int64)
@@ -150,8 +107,8 @@ def _host_edges(pages_ds, n_docs: int, links: int, partitions: int):
             "pq": np.abs(codes) % partitions,
         })
 
-    edges = host_rows.union(rekeyed).repartition(32) \
-        .groupby("p").map_groups(resolve_src, batch_format="pandas")
+    edges = tagged.repartition(32) \
+        .groupby("p").map_groups(resolve_dst, batch_format="pandas")
 
     def agg_part(g: pd.DataFrame) -> pd.DataFrame:
         """Weights per (src, dst) + exact out-degree per src — all of a
