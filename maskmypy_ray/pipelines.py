@@ -2424,13 +2424,15 @@ def q_topk_terms(sf_dir: str):
 
 
 def q_lm_scores(sf_dir: str):
-    """Unigram-LM NLL scoring and its percentile filter in one tagged
-    union (merges unigram_logprob + filter_by_nll)."""
+    """LM scoring family in one tagged union (merges unigram_logprob +
+    filter_by_nll + bigram_logprob; the bigram part's n_tokens column
+    counts adjacent bigrams)."""
     spec = [("doc_id", "doc_id", None), ("n_tokens", "n_tokens", None),
             ("nll", "nll", None)]
     return _union([
         _tag_ds(FULL_QUERIES["unigram_logprob"](sf_dir), "scored", spec),
-        _tag_ds(FULL_QUERIES["filter_by_nll"](sf_dir), "kept", spec)])
+        _tag_ds(FULL_QUERIES["filter_by_nll"](sf_dir), "kept", spec),
+        _tag_ds(FULL_QUERIES["bigram_logprob"](sf_dir), "bigram", spec)])
 
 
 def q_samples(sf_dir: str):
@@ -2782,7 +2784,8 @@ def _merged_oracles() -> dict[str, str]:
                      + base["bm25_topk"] + ")")]),
         "lm_scores": _sql_union([
             ("scored", base["unigram_logprob"]),
-            ("kept", base["filter_by_nll"])]),
+            ("kept", base["filter_by_nll"]),
+            ("bigram", base["bigram_logprob"])]),
         "samples": _sql_union([
             ("mix", "SELECT doc_id FROM (" + base["sample_mix"] + ")"),
             ("weighted", "SELECT doc_id FROM ("
@@ -3009,6 +3012,60 @@ SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok AS token, score_micro
 FROM rk WHERE rank <= {k}"""
 
 
+def q_bigram_logprob(sf_dir: str):
+    """Bigram-LM NLL with stupid backoff — the context-aware upgrade of
+    the unigram perplexity filter (text/lm.py)."""
+    from .text.lm import bigram_logprob
+
+    return bigram_logprob(_docs_ds(sf_dir))
+
+
+FULL_QUERIES["bigram_logprob"] = q_bigram_logprob
+
+
+def _bigram_lm_sql(top_v: int = 4096) -> str:
+    """DuckDB twin of text.lm.bigram_logprob: same capped unigram and
+    bigram vocabularies (ties broken on the joined ``w1 || ' ' || w2``
+    key), terms quantized per distinct bigram, stupid-backoff constant
+    mirrored verbatim."""
+    from .text.lm import BACKOFF_MICRO
+
+    return f"""WITH docs AS (SELECT doc_id, text FROM documents),
+tl AS (SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS l FROM docs),
+tok AS (SELECT doc_id, unnest(l) AS tok FROM tl),
+cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+tot AS (SELECT greatest(sum(c), 1) AS N FROM cnt),
+vu AS (SELECT tok, c FROM cnt ORDER BY c DESC, tok LIMIT {top_v}),
+bgz AS (SELECT doc_id, unnest(list_zip(l, l[2:])) AS z FROM tl
+        WHERE len(l) >= 2),
+bg AS (SELECT doc_id, struct_extract(z, 1) AS w1, struct_extract(z, 2) AS w2
+       FROM bgz WHERE struct_extract(z, 2) IS NOT NULL),
+cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY 1, 2),
+vb AS (SELECT w1, w2, c FROM cb ORDER BY c DESC, w1 || ' ' || w2
+       LIMIT {top_v}),
+per AS (
+  SELECT bg.doc_id,
+    CASE WHEN vb.c IS NOT NULL THEN
+      CAST(floor(1000000 * ln(CAST(vb.c AS DOUBLE)
+                              / CAST(COALESCE(v1.c, 1) AS DOUBLE)))
+           AS BIGINT)
+    ELSE {BACKOFF_MICRO}
+         + CAST(floor(1000000 * ln(CAST(COALESCE(v2.c, 1) AS DOUBLE)
+                                   / CAST((SELECT N FROM tot) AS DOUBLE)))
+                AS BIGINT)
+    END AS li
+  FROM bg LEFT JOIN vb ON vb.w1 = bg.w1 AND vb.w2 = bg.w2
+          LEFT JOIN vu v1 ON v1.tok = bg.w1
+          LEFT JOIN vu v2 ON v2.tok = bg.w2),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, sum(li) AS s
+        FROM per GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens,
+  CASE WHEN a.n_tokens > 0
+       THEN (-CAST(a.s AS DOUBLE)) / (1000000.0 * a.n_tokens)
+       ELSE 0.0 END AS nll
+FROM docs d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
+
+
 _FULL_ORACLE_SNAPSHOT = full_oracle_queries
 
 
@@ -3017,6 +3074,7 @@ def full_oracle_queries():  # noqa: F811 — extends the per-op surface
     out["decontaminate_bloom"] = oracle.decontaminate_bloom_sql(n=5, mod=97)
     out["bm25_topk"] = _bm25_sql(k=3, top_v=4096)
     out["host_rank"] = oracle.host_rank_sql(SEED)
+    out["bigram_logprob"] = _bigram_lm_sql(top_v=4096)
     return out
 
 

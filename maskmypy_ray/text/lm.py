@@ -343,3 +343,112 @@ def bm25_topk(ds, k: int = 3, top_v: int = TOP_V, text_col: str = "text"):
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM scoring with stupid backoff (KenLM-shaped upgrade of the
+# unigram filter: context-aware perplexity is the CCNet-style signal)
+# ---------------------------------------------------------------------------
+
+# floor(1e6 * ln(0.4)) — the stupid-backoff penalty as a quantized
+# constant, mirrored verbatim into the SQL twin.
+BACKOFF_MICRO = int(np.floor(_Q * np.log(0.4)))
+
+
+def bigram_counts(ds, text_col: str = "text"):
+    """(bg, c) global adjacent-bigram counts (key = ``w1 || ' ' || w2``;
+    tokens contain no spaces, so the join is bijective) — partial per
+    batch, one ``groupby(bg)``."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        bgs: list[str] = []
+        for t in b.column(text_col).to_pylist():
+            toks = TOKEN_RE.findall(t.lower())
+            bgs.extend(a + " " + bb for a, bb in zip(toks, toks[1:]))
+        if not bgs:
+            return pa.table({"bg": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64())})
+        u, cnt = np.unique(np.asarray(bgs, dtype=object), return_counts=True)
+        return pa.table({"bg": pa.array(u, type=pa.string()),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bg").aggregate(Sum("c", alias_name="c"))
+
+
+def bigram_logprob(ds, top_v: int = TOP_V, text_col: str = "text"):
+    """Per-doc bigram-LM NLL with stupid backoff: ``(doc_id, n_tokens,
+    nll)`` where n_tokens counts the doc's ADJACENT BIGRAMS and
+
+        term(w1, w2) = floor(Q·ln(c_bi / c_uni(w1)))      (bigram in vocab)
+                     = BACKOFF_MICRO
+                       + floor(Q·ln(c_uni(w2) / N))       (backoff)
+
+    with both vocabularies capped at ``top_v`` rows (OOV count = 1) and
+    every term quantized per DISTINCT bigram/token before the per-doc
+    integer sum — the unigram filter's order-independence recipe, so
+    the DuckDB twin is bit-exact. Docs with < 2 tokens score 0.0.
+
+    Scale shape: two count passes (unigram reuses :func:`token_counts`)
+    each ending in one bounded ``groupby``; the two top-``top_v``
+    vocabularies broadcast once; one stateless scoring pass."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    uni = token_counts(ds, text_col).materialize()
+    total = int(uni.aggregate(Sum("c"))["sum(c)"] or 0)
+    n_total = max(total, 1)
+    uni_rows = uni.sort(["c", "tok"], descending=[True, False]) \
+        .limit(top_v).take_all()
+    bi_rows = bigram_counts(ds, text_col) \
+        .sort(["c", "bg"], descending=[True, False]).limit(top_v).take_all()
+    vocab_ref = ray.put((
+        {r["tok"]: int(r["c"]) for r in uni_rows},
+        {r["bg"]: int(r["c"]) for r in bi_rows}))
+
+    def score(b: pa.Table) -> pa.Table:
+        v_uni, v_bi = ray.get(vocab_ref)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        flat: list[str] = []
+        bounds = [0]
+        for t in b.column(text_col).to_pylist():
+            flat.extend(TOKEN_RE.findall(t.lower()))
+            bounds.append(len(flat))
+        bounds = np.asarray(bounds, dtype=np.int64)
+        n_tok = np.diff(bounds)
+        n_bg = np.maximum(n_tok - 1, 0)
+        sums = np.zeros(len(ids), dtype=np.int64)
+        if len(flat) >= 2:
+            doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), n_tok)
+            valid = doc_of[:-1] == doc_of[1:]
+            w1 = np.asarray(flat[:-1], dtype=object)[valid]
+            w2 = np.asarray(flat[1:], dtype=object)[valid]
+            seg = doc_of[:-1][valid]
+            bgs = np.asarray([a + " " + bb for a, bb in zip(w1, w2)],
+                             dtype=object)
+            # quantize per DISTINCT bigram, then gather
+            codes, uniq = pd.factorize(bgs)
+            u1 = np.asarray([u.split(" ", 1)[0] for u in uniq], dtype=object)
+            u2 = np.asarray([u.split(" ", 1)[1] for u in uniq], dtype=object)
+            cb = np.array([v_bi.get(u, 0) for u in uniq], dtype=np.int64)
+            c1 = np.array([v_uni.get(u, 1) for u in u1], dtype=np.float64)
+            c2 = np.array([v_uni.get(u, 1) for u in u2], dtype=np.float64)
+            in_bi = cb > 0
+            term = np.empty(len(uniq), dtype=np.int64)
+            if in_bi.any():
+                term[in_bi] = np.floor(_Q * np.log(
+                    cb[in_bi].astype(np.float64) / c1[in_bi])) \
+                    .astype(np.int64)
+            if (~in_bi).any():
+                term[~in_bi] = BACKOFF_MICRO + np.floor(_Q * np.log(
+                    c2[~in_bi] / n_total)).astype(np.int64)
+            np.add.at(sums, seg, term[codes])
+        nll = np.where(n_bg > 0, -sums / (_Q * np.maximum(n_bg, 1)), 0.0)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_tokens": pa.array(n_bg),
+            "nll": pa.array(nll, type=pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -628,3 +628,59 @@ def test_host_blocklist_filter_exact(ray_session):
     out = host_blocklist_filter(ray.data.from_arrow(t)).to_pandas()
     assert set(out["host"]) == {"h1.example.org", "h2.example.org"}
     assert len(out) == 60
+
+
+def test_bigram_lm_context_sensitivity(ray_session):
+    """A doc whose bigrams all appear in training scores strictly
+    better (lower NLL) than a doc of the same tokens in a shuffled
+    order that creates unseen bigrams (the context signal the unigram
+    LM cannot express)."""
+    import ray.data
+
+    from maskmypy_ray.text.lm import bigram_logprob
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [{"doc_id": i, "text": common} for i in range(8)]
+    rows.append({"doc_id": 100, "text": common})                  # fluent
+    rows.append({"doc_id": 101,
+                 "text": "dog the over quick lazy fox brown jumps the"})
+    out = bigram_logprob(ray.data.from_items(rows)).to_pandas() \
+        .set_index("doc_id")
+    assert out.loc[100, "nll"] < out.loc[101, "nll"]
+    assert out.loc[100, "n_tokens"] == 8  # bigram count
+
+
+def test_bigram_lm_partition_independent(ray_session, sf_dir):
+    import ray.data
+
+    from maskmypy_ray.text.lm import bigram_logprob
+
+    def run(nb):
+        ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "text"],
+                                   override_num_blocks=nb)
+        return bigram_logprob(ds).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+
+    assert run(1).equals(run(6))
+
+
+def test_bigram_lm_oracle_parity(ray_session, sf_dir):
+    import duckdb
+    import ray.data
+
+    from maskmypy_ray.pipelines import _bigram_lm_sql
+    from maskmypy_ray.text.lm import bigram_logprob
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+    eng = bigram_logprob(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    orc = con.execute(_bigram_lm_sql()).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert eng["doc_id"].tolist() == orc["doc_id"].tolist()
+    assert eng["n_tokens"].tolist() == orc["n_tokens"].tolist()
+    assert eng["nll"].tolist() == orc["nll"].tolist()
