@@ -2425,24 +2425,33 @@ def q_topk_terms(sf_dir: str):
 
 def q_lm_scores(sf_dir: str):
     """LM scoring family in one tagged union (merges unigram_logprob +
-    filter_by_nll + bigram_logprob; the bigram part's n_tokens column
-    counts adjacent bigrams)."""
+    filter_by_nll + bigram_logprob + dsir_weights; the bigram part's
+    n_tokens column counts adjacent bigrams, the dsir part carries
+    n_feats as n_tokens and the int64 Gumbel resampling key as nll —
+    the cast to double is exact, |key| << 2^53)."""
     spec = [("doc_id", "doc_id", None), ("n_tokens", "n_tokens", None),
             ("nll", "nll", None)]
+    dsir_spec = [("doc_id", "doc_id", None), ("n_tokens", "n_feats", None),
+                 ("nll", "key_micro", pa.float64())]
     return _union([
         _tag_ds(FULL_QUERIES["unigram_logprob"](sf_dir), "scored", spec),
         _tag_ds(FULL_QUERIES["filter_by_nll"](sf_dir), "kept", spec),
-        _tag_ds(FULL_QUERIES["bigram_logprob"](sf_dir), "bigram", spec)])
+        _tag_ds(FULL_QUERIES["bigram_logprob"](sf_dir), "bigram", spec),
+        _tag_ds(FULL_QUERIES["dsir_weights"](sf_dir), "dsir", dsir_spec)])
 
 
 def q_samples(sf_dir: str):
-    """The three doc-level deterministic samplers in one tagged union of
-    kept doc_ids (merges sample_mix + weighted_sample + sample_fixed_k)."""
+    """The four doc-level deterministic samplers in one tagged union of
+    kept doc_ids (merges sample_mix + weighted_sample + sample_fixed_k
+    + the DSIR Gumbel top-k importance resample — the dsir part checks
+    the full weight-vector ORDERING; the values themselves are gated in
+    the lm_scores row)."""
     spec = [("doc_id", "doc_id", None)]
     return _union([
         _tag_ds(FULL_QUERIES["sample_mix"](sf_dir), "mix", spec),
         _tag_ds(FULL_QUERIES["weighted_sample"](sf_dir), "weighted", spec),
-        _tag_ds(FULL_QUERIES["sample_fixed_k"](sf_dir), "fixed_k", spec)])
+        _tag_ds(FULL_QUERIES["sample_fixed_k"](sf_dir), "fixed_k", spec),
+        _tag_ds(FULL_QUERIES["dsir_sample"](sf_dir), "dsir", spec)])
 
 
 def q_host_filters(sf_dir: str):
@@ -2785,13 +2794,18 @@ def _merged_oracles() -> dict[str, str]:
         "lm_scores": _sql_union([
             ("scored", base["unigram_logprob"]),
             ("kept", base["filter_by_nll"]),
-            ("bigram", base["bigram_logprob"])]),
+            ("bigram", base["bigram_logprob"]),
+            ("dsir", "SELECT doc_id, n_feats AS n_tokens, "
+                     "CAST(key_micro AS DOUBLE) AS nll FROM ("
+                     + base["dsir_weights"] + ")")]),
         "samples": _sql_union([
             ("mix", "SELECT doc_id FROM (" + base["sample_mix"] + ")"),
             ("weighted", "SELECT doc_id FROM ("
                          + base["weighted_sample"] + ")"),
             ("fixed_k", "SELECT doc_id FROM ("
-                        + base["sample_fixed_k"] + ")")]),
+                        + base["sample_fixed_k"] + ")"),
+            ("dsir", "SELECT doc_id FROM ("
+                     + base["dsir_sample"] + ")")]),
         "host_filters": _sql_union([
             ("cap", "SELECT doc_id, host, CAST(0 AS BIGINT) AS v FROM ("
                     + base["host_cap_sample"] + ")"),
@@ -3093,4 +3107,50 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — consolidated surface
         ("exact", base["decontaminate"]),
         ("bloom", base["decontaminate_bloom"])])
     out.update(_merged_oracles())
+    return out
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (round-5 extension; no reference counterpart)
+# ---------------------------------------------------------------------------
+
+
+def _docs_lang_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "lang"],
+                                 override_num_blocks=16)
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR log importance weights + Gumbel keys (Xie et al. 2023) with
+    the `lang='en'` slice as the target distribution — bit-exact int64
+    scores (text/dsir.py)."""
+    from .text.dsir import dsir_weights
+
+    return dsir_weights(_docs_lang_ds(sf_dir), target_lang="en", seed=SEED)
+
+
+def q_dsir_sample(sf_dir: str):
+    """Gumbel top-100 importance resample toward the English target —
+    a without-replacement sample proportional to the DSIR weights."""
+    from .text.dsir import dsir_sample
+
+    return dsir_sample(_docs_lang_ds(sf_dir), k=100, target_lang="en",
+                       seed=SEED)
+
+
+FULL_QUERIES["dsir_weights"] = q_dsir_weights
+FULL_QUERIES["dsir_sample"] = q_dsir_sample
+
+_FULL_ORACLE_SNAPSHOT_DSIR = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    from .text.dsir import dsir_sql
+
+    out = _FULL_ORACLE_SNAPSHOT_DSIR()
+    out["dsir_weights"] = dsir_sql(target_lang="en", seed=SEED)
+    out["dsir_sample"] = dsir_sql(target_lang="en", seed=SEED, k=100)
     return out

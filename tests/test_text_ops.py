@@ -513,3 +513,81 @@ def test_minhash_verify_paths_agree(ray_session, sf_dir, monkeypatch):
     monkeypatch.setattr(dedup_mod, "LSH_BROADCAST_VERIFY_MAX_PAIRS", 0)
     slow = run()
     assert len(fast) > 0 and fast.equals(slow)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (round-5 extension)
+# ---------------------------------------------------------------------------
+
+
+def _dsir_docs(sf_dir, nb=4):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "lang"],
+                                 override_num_blocks=nb)
+
+
+def test_dsir_oracle_parity(ray_session, sf_dir):
+    """dsir_weights equals the DuckDB twin bit-for-bit: quantized
+    log-ratio sums AND the Gumbel resampling keys."""
+    import duckdb
+
+    from maskmypy_ray.text.dsir import dsir_sql, dsir_weights
+
+    eng = dsir_weights(_dsir_docs(sf_dir), target_lang="en", seed=0) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    orc = con.execute(dsir_sql(target_lang="en", seed=0)).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for c in ("doc_id", "n_feats", "logw_micro", "key_micro"):
+        assert eng[c].tolist() == orc[c].tolist(), c
+
+
+def test_dsir_partition_independence(ray_session, sf_dir):
+    """Weights are identical regardless of block split (the histogram
+    pass pre-aggregates per batch; sums are order-independent int64)."""
+    from maskmypy_ray.text.dsir import dsir_weights
+
+    def run(nb):
+        return dsir_weights(_dsir_docs(sf_dir, nb)).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+
+    assert run(1).equals(run(7))
+
+
+def test_dsir_sample_enriches_target(ray_session, sf_dir):
+    """The Gumbel top-k resample is biased toward the target slice:
+    the kept fraction of target-language docs exceeds the pool's."""
+    from maskmypy_ray.text.dsir import dsir_sample
+
+    docs = _dsir_docs(sf_dir).to_pandas()
+    kept = dsir_sample(_dsir_docs(sf_dir), k=50).to_pandas()
+    kept_lang = docs[docs.doc_id.isin(kept.doc_id)]["lang"]
+    pool_frac = (docs["lang"] == "en").mean()
+    assert (kept_lang == "en").mean() > pool_frac
+    assert len(kept) == 50
+    # keys are returned sorted descending, ties by doc_id
+    k = kept["key_micro"].to_numpy()
+    assert (k[:-1] >= k[1:]).all()
+
+
+def test_dsir_empty_and_short_docs(ray_session):
+    """Empty docs score 0 with 0 features; 1-token docs contribute a
+    unigram but no bigram (short_doc='skip')."""
+    import pyarrow as pa
+    import ray.data
+
+    from maskmypy_ray.text.dsir import dsir_weights
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["", "word", "two words here"]),
+        "lang": pa.array(["en", "en", "de"]),
+    })
+    out = dsir_weights(ray.data.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["n_feats"].tolist() == [0, 1, 5]  # 0; 1 uni; 3 uni + 2 bi
+    assert out.loc[0, "logw_micro"] == 0
