@@ -948,3 +948,33 @@ init AS (SELECT CAST(1000000000000 // count(*) AS BIGINT) AS i FROM hl),
 r0 AS (SELECT host, (SELECT i FROM init) AS r FROM hl),
 {rounds_sql}
 SELECT host, r AS rank_micro FROM r{iters}"""
+
+
+def source_similarity_sql(ngram: int = 5) -> str:
+    """Mirror of text.dedup.source_minhash_similarity over the
+    documents view: per-source MinHash signatures (64 permutation
+    minima over the union of the source's word-ngram shingle hashes)
+    compared pairwise; jaccard_est = matching minima / 64 (an exact
+    dyadic, so the float compare is bit-exact)."""
+    from .rng import mix32, sql_mix32
+    from .text.dedup import _SALT, N_PERM
+
+    import numpy as np
+
+    perms = mix32(np.arange(N_PERM, dtype=np.int64) + _SALT)
+    perm_rows = ", ".join(f"({j}, {int(perms[j])})" for j in range(N_PERM))
+    mix = sql_mix32("xor(s.sh, p.p)")
+    return f"""WITH docs AS (SELECT doc_id, source, text FROM documents),
+{_shingle_ctes(ngram)},
+ss AS (SELECT d.source, s.sh FROM sg s JOIN docs d USING (doc_id)),
+perms(j, p) AS (SELECT * FROM (VALUES {perm_rows})),
+sig AS (
+  SELECT s.source, p.j, min({mix}) AS m
+  FROM ss s CROSS JOIN perms p GROUP BY 1, 2),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) FILTER (WHERE a.m = b.m) AS BIGINT) AS n_match
+  FROM sig a JOIN sig b ON a.j = b.j AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT source_a, source_b, n_match,
+       CAST(n_match AS DOUBLE) / {N_PERM} AS jaccard_est FROM pairs"""

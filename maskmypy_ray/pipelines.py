@@ -2394,8 +2394,13 @@ def q_text_signals(sf_dir: str):
 
 
 def q_corpus_stats(sf_dir: str):
-    """Per-source and per-host corpus aggregates in one tagged union
-    (merges source_stats + domain_stats)."""
+    """Per-source and per-host corpus aggregates plus the pairwise
+    source-similarity matrix in one tagged union (merges source_stats +
+    domain_stats + source_similarity; the similarity part carries the
+    pair as key, matching minima as n_rows and the Jaccard estimate —
+    an exact dyadic n/64 — as avg_chars)."""
+    import pyarrow.compute as pc
+
     i64, f64 = pa.int64(), pa.float64()
     src = _tag_ds(FULL_QUERIES["source_stats"](sf_dir), "source",
                   [("key", "source", None), ("n_rows", "n_docs", None),
@@ -2406,7 +2411,20 @@ def q_corpus_stats(sf_dir: str):
                    ("n_tokens", ("const", 0), i64),
                    ("n_chars", "n_chars", None),
                    ("avg_chars", ("const", 0.0), f64)])
-    return _union([src, dom])
+    simt = _as_ds(FULL_QUERIES["source_similarity"](sf_dir)).map_batches(
+        lambda b: pa.table({
+            "key": pc.binary_join_element_wise(
+                b.column("source_a"), b.column("source_b"), "|"),
+            "n_rows": b.column("n_match"),
+            "n_tokens": pa.array([0] * len(b), type=i64),
+            "n_chars": pa.array([0] * len(b), type=i64),
+            "avg_chars": b.column("jaccard_est"),
+        }), batch_format="pyarrow")
+    sim = _tag_ds(simt, "similarity",
+                  [("key", "key", None), ("n_rows", "n_rows", None),
+                   ("n_tokens", "n_tokens", None), ("n_chars", "n_chars", None),
+                   ("avg_chars", "avg_chars", None)])
+    return _union([src, dom, sim])
 
 
 def q_topk_terms(sf_dir: str):
@@ -2780,7 +2798,12 @@ def _merged_oracles() -> dict[str, str]:
                        + base["source_stats"] + ")"),
             ("host", "SELECT host AS key, n_pages AS n_rows, "
                      "CAST(0 AS BIGINT) AS n_tokens, n_chars, "
-                     "0.0 AS avg_chars FROM (" + base["domain_stats"] + ")")]),
+                     "0.0 AS avg_chars FROM (" + base["domain_stats"] + ")"),
+            ("similarity", "SELECT source_a || '|' || source_b AS key, "
+                           "n_match AS n_rows, CAST(0 AS BIGINT) AS n_tokens, "
+                           "CAST(0 AS BIGINT) AS n_chars, "
+                           "jaccard_est AS avg_chars FROM ("
+                           + base["source_similarity"] + ")")]),
         "topk_terms": _sql_union([
             ("corpus_bigram", "SELECT CAST(-1 AS BIGINT) AS doc_id, "
                               "CAST(0 AS BIGINT) AS rank, gram AS term, "
@@ -3153,4 +3176,28 @@ def full_oracle_queries():  # noqa: F811 — extends the per-op surface
     out = _FULL_ORACLE_SNAPSHOT_DSIR()
     out["dsir_weights"] = dsir_sql(target_lang="en", seed=SEED)
     out["dsir_sample"] = dsir_sql(target_lang="en", seed=SEED, k=100)
+    return out
+
+
+def q_source_similarity(sf_dir: str):
+    """Pairwise source-level MinHash Jaccard estimates — the corpus
+    snapshot/provenance comparison matrix (text/dedup.py)."""
+    import ray.data
+
+    from .text.dedup import source_minhash_similarity
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "source"],
+                               override_num_blocks=16)
+    return source_minhash_similarity(ds)
+
+
+FULL_QUERIES["source_similarity"] = q_source_similarity
+
+_FULL_ORACLE_SNAPSHOT_SRCSIM = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    out = _FULL_ORACLE_SNAPSHOT_SRCSIM()
+    out["source_similarity"] = oracle.source_similarity_sql()
     return out

@@ -944,3 +944,77 @@ def cross_corpus_flags(ds, every: int = 97, text_col: str = "text",
 
     return ds.select_columns(["doc_id", text_col]).map_batches(
         flag, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# corpus-level source similarity (round-5 extension)
+# ---------------------------------------------------------------------------
+
+
+def source_minhash_similarity(ds, ngram: int = 5, text_col: str = "text",
+                              source_col: str = "source"):
+    """Pairwise estimated Jaccard similarity BETWEEN SOURCES via
+    source-level MinHash: each source's signature is the 64
+    permutation minima over the union of its docs' word-``ngram``
+    shingle hashes (a MinHash of a union is the elementwise min of the
+    parts, so per-batch partial minima + one tiny
+    ``groupby(source, perm).min`` compute it with no doc-level state).
+
+    Returns an Arrow table ``(source_a, source_b, n_match,
+    jaccard_est)`` for every unordered source pair (a < b), where
+    ``jaccard_est = n_match / 64`` estimates ``J(shingles_a,
+    shingles_b)``. The driver-side pairwise step touches only
+    ``n_sources x 64`` int64s — corpora have few sources even at
+    100 TB, so this is bounded by design.
+
+    The corpus-analysis tool for comparing crawl snapshots / provenance
+    slices before mixing; SQL twin:
+    :func:`maskmypy_ray.oracle.source_similarity_sql`."""
+    from ray.data.aggregate import Min
+
+    perms = mix32(np.arange(N_PERM, dtype=np.int64) + _SALT)
+
+    def partial(b: pa.Table) -> pa.Table:
+        texts = b.column(text_col).to_pylist()
+        srcs = b.column(source_col).to_numpy(zero_copy_only=False)
+        codes, bounds = token_codes_batch(texts)
+        grams, gb = gram_hashes_batch(codes, bounds, ngram, "single")
+        if not len(grams):
+            e = pa.array([], type=pa.int64())
+            return pa.table({"source": pa.array([], type=pa.string()),
+                             "perm": e, "m": e})
+        src_per_gram = np.repeat(srcs, np.diff(gb))
+        order = np.argsort(src_per_gram, kind="stable")
+        g_sorted = grams[order]
+        uniq_src, first = np.unique(src_per_gram[order], return_index=True)
+        sb = np.concatenate([first, [len(g_sorted)]]).astype(np.int64)
+        sig = minhash_signatures(g_sorted, sb, perms)
+        return pa.table({
+            "source": pa.array(np.repeat(uniq_src, N_PERM),
+                               type=pa.string()),
+            "perm": pa.array(np.tile(np.arange(N_PERM, dtype=np.int64),
+                                     len(uniq_src))),
+            "m": pa.array(sig.ravel()),
+        })
+
+    mins = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["source", "perm"]).aggregate(Min("m", alias_name="m"))
+    rows = mins.take_all()  # bounded: n_sources x N_PERM rows
+    sigs: dict[str, np.ndarray] = {}
+    for r in rows:
+        sigs.setdefault(r["source"], np.zeros(N_PERM, dtype=np.int64))[
+            int(r["perm"])] = int(r["m"])
+    names = sorted(sigs)
+    a_out, b_out, n_out = [], [], []
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            a_out.append(a)
+            b_out.append(b)
+            n_out.append(int((sigs[a] == sigs[b]).sum()))
+    n = np.asarray(n_out, dtype=np.int64)
+    return pa.table({
+        "source_a": pa.array(a_out, type=pa.string()),
+        "source_b": pa.array(b_out, type=pa.string()),
+        "n_match": pa.array(n),
+        "jaccard_est": pa.array(n / float(N_PERM), type=pa.float64()),
+    })

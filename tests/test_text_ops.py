@@ -591,3 +591,62 @@ def test_dsir_empty_and_short_docs(ray_session):
         .sort_values("doc_id").reset_index(drop=True)
     assert out["n_feats"].tolist() == [0, 1, 5]  # 0; 1 uni; 3 uni + 2 bi
     assert out.loc[0, "logw_micro"] == 0
+
+
+def test_source_similarity_oracle_parity(ray_session, sf_dir):
+    """Per-source MinHash signatures and pairwise match counts equal
+    the DuckDB twin bit-for-bit (including the dyadic jaccard_est)."""
+    import duckdb
+    import ray.data
+
+    from maskmypy_ray import oracle
+    from maskmypy_ray.text.dedup import source_minhash_similarity
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "source"],
+                               override_num_blocks=5)
+    eng = source_minhash_similarity(ds).to_pandas() \
+        .sort_values(["source_a", "source_b"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    orc = con.execute(oracle.source_similarity_sql()).df() \
+        .sort_values(["source_a", "source_b"]).reset_index(drop=True)
+    for c in ("source_a", "source_b", "n_match", "jaccard_est"):
+        assert eng[c].tolist() == orc[c].tolist(), c
+
+
+def test_source_similarity_estimates_true_jaccard(ray_session, sf_dir):
+    """On two constructed sources sharing half their docs, the MinHash
+    estimate lands near the TRUE shingle-set Jaccard (the union-min
+    identity makes the source signature a real MinHash, so the usual
+    ~1/sqrt(64) error bound applies)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from maskmypy_ray.text.dedup import (_shingle_hashes,
+                                         source_minhash_similarity)
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    docs = t.to_pandas().head(60)
+    # A = docs 0..39, B = docs 20..59 -> true overlap on shingle sets
+    rows = []
+    for i, r in docs.iterrows():
+        if i < 40:
+            rows.append((int(r.doc_id), r.text, "A"))
+        if i >= 20:
+            rows.append((int(r.doc_id) + 100000, r.text, "B"))
+    import pyarrow as pa
+
+    tbl = pa.table({"doc_id": pa.array([x[0] for x in rows], type=pa.int64()),
+                    "text": pa.array([x[1] for x in rows]),
+                    "source": pa.array([x[2] for x in rows])})
+    out = source_minhash_similarity(
+        ray.data.from_arrow(tbl)).to_pandas()
+    est = float(out.loc[0, "jaccard_est"])
+    sa = set().union(*(set(_shingle_hashes(t)) for t in docs.text[:40]))
+    sb = set().union(*(set(_shingle_hashes(t)) for t in docs.text[20:60]))
+    true_j = len(sa & sb) / len(sa | sb)
+    assert abs(est - true_j) < 0.2
+    assert est > 0.2  # the overlap is real and detected
