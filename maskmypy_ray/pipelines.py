@@ -2489,9 +2489,12 @@ def q_host_filters(sf_dir: str):
 
 
 def q_pii(sf_dir: str):
-    """PII stats AND redaction in one fused scan (merges pii_stats +
-    pii_redact: both kernels share the injected corpus and one batch
-    pass emits counts + redacted text + n_redacted)."""
+    """Text-hygiene transforms in one tagged union: part ``pii`` fuses
+    pii_stats + pii_redact in one scan over the injected corpus; part
+    ``lines`` is the C4-style line filter over the derived multi-line
+    corpus, with the merged columns carrying (n_email := n_lines,
+    n_ipv4 := n_kept, n_phone := 0, n_redacted := n_dropped) and the
+    reassembled cleaned text value-checked byte-for-byte."""
     from .text.pii import pii_redact_batch, pii_stats_batch, with_pii
 
     ds = with_pii(_docs_ds(sf_dir))
@@ -2508,7 +2511,30 @@ def q_pii(sf_dir: str):
             "n_redacted": r.column("n_redacted"),
         })
 
-    return ds.map_batches(both, batch_format="pyarrow")
+    pii_part = _tag_ds(
+        ds.map_batches(both, batch_format="pyarrow"), "pii",
+        [("doc_id", "doc_id", None), ("n_email", "n_email", None),
+         ("n_ipv4", "n_ipv4", None), ("n_phone", "n_phone", None),
+         ("text", "text", None), ("n_redacted", "n_redacted", None)])
+
+    import pyarrow.compute as pc
+
+    lf = _as_ds(FULL_QUERIES["line_filter"](sf_dir)).map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_email": b.column("n_lines"),
+            "n_ipv4": b.column("n_kept"),
+            "n_phone": pa.array([0] * len(b), type=pa.int64()),
+            "text": b.column("text"),
+            "n_redacted": pc.subtract(b.column("n_lines"),
+                                      b.column("n_kept")),
+        }), batch_format="pyarrow")
+    lines_part = _tag_ds(
+        lf, "lines",
+        [("doc_id", "doc_id", None), ("n_email", "n_email", None),
+         ("n_ipv4", "n_ipv4", None), ("n_phone", "n_phone", None),
+         ("text", "text", None), ("n_redacted", "n_redacted", None)])
+    return _union([pii_part, lines_part])
 
 
 def q_quantile_report(sf_dir: str):
@@ -2836,10 +2862,15 @@ def _merged_oracles() -> dict[str, str]:
                           "FROM (" + base["host_blocklist_filter"] + ")"),
             ("rank", "SELECT CAST(-1 AS BIGINT) AS doc_id, host, "
                      "rank_micro AS v FROM (" + base["host_rank"] + ")")]),
-        "pii": (f"WITH s AS ({oracle.pii_stats_sql(every=5)}),\n"
-                f"r AS ({oracle.pii_redact_sql(every=5)})\n"
-                "SELECT s.doc_id, s.n_email, s.n_ipv4, s.n_phone, "
-                "r.text, r.n_redacted FROM s JOIN r USING (doc_id)"),
+        "pii": _sql_union([
+            ("pii", f"WITH s AS ({oracle.pii_stats_sql(every=5)}),\n"
+                    f"r AS ({oracle.pii_redact_sql(every=5)})\n"
+                    "SELECT s.doc_id, s.n_email, s.n_ipv4, s.n_phone, "
+                    "r.text, r.n_redacted FROM s JOIN r USING (doc_id)"),
+            ("lines", "SELECT doc_id, n_lines AS n_email, n_kept AS n_ipv4, "
+                      "CAST(0 AS BIGINT) AS n_phone, text, "
+                      "n_lines - n_kept AS n_redacted FROM ("
+                      + base["line_filter"] + ")")]),
         "quantile_report": _sql_union([
             ("lineitem_price", base["quantiles"]),
             ("media_bytes", base["media_size_quantiles"])]),
@@ -3200,4 +3231,25 @@ _FULL_ORACLE_SNAPSHOT_SRCSIM = full_oracle_queries
 def full_oracle_queries():  # noqa: F811 — extends the per-op surface
     out = _FULL_ORACLE_SNAPSHOT_SRCSIM()
     out["source_similarity"] = oracle.source_similarity_sql()
+    return out
+
+
+def q_line_filter(sf_dir: str):
+    """C4-style line-level filter over the derived multi-line corpus
+    (text/lines.py): per-doc line counts + cleaned reassembled text."""
+    from .text.lines import line_filter, with_lines
+
+    return line_filter(with_lines(_docs_ds(sf_dir), seed=SEED))
+
+
+FULL_QUERIES["line_filter"] = q_line_filter
+
+_FULL_ORACLE_SNAPSHOT_LINES = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    from .text.lines import line_filter_sql
+
+    out = _FULL_ORACLE_SNAPSHOT_LINES()
+    out["line_filter"] = line_filter_sql(seed=SEED)
     return out

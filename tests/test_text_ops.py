@@ -650,3 +650,52 @@ def test_source_similarity_estimates_true_jaccard(ray_session, sf_dir):
     true_j = len(sa & sb) / len(sa | sb)
     assert abs(est - true_j) < 0.2
     assert est > 0.2  # the overlap is real and detected
+
+
+def test_line_filter_oracle_parity(ray_session, sf_dir):
+    """line_filter(with_lines(.)) equals the DuckDB twin byte-for-byte,
+    including the reassembled cleaned text."""
+    import duckdb
+    import ray.data
+
+    from maskmypy_ray.text.lines import line_filter, line_filter_sql, with_lines
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"],
+                               override_num_blocks=5)
+    eng = line_filter(with_lines(ds, seed=0)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    orc = con.execute(line_filter_sql(seed=0)).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for c in ("doc_id", "n_lines", "n_kept", "text"):
+        assert eng[c].tolist() == orc[c].tolist(), c
+    # the filter does real work on the fixture: some lines dropped,
+    # some kept, boilerplate never survives
+    assert 0 < eng["n_kept"].sum() < eng["n_lines"].sum()
+    assert not eng["text"].str.contains("javascript").any()
+
+
+def test_line_filter_rules():
+    """Unit rules: terminal punctuation, min words, boilerplate."""
+    import pyarrow as pa
+    import ray.data
+
+    from maskmypy_ray.text.lines import line_filter
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array([
+            "good line with words.\nno punct here\nok.\n"
+            "please enable javascript and cookies.\naccept our cookie policy.",
+            "",
+        ]),
+    })
+    out = line_filter(ray.data.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.loc[0, "n_lines"] == 5
+    assert out.loc[0, "n_kept"] == 1  # 'ok.' fails min-words
+    assert out.loc[0, "text"] == "good line with words."
+    assert out.loc[1, "n_lines"] == 0 and out.loc[1, "text"] == ""
