@@ -2428,8 +2428,11 @@ def q_corpus_stats(sf_dir: str):
 
 
 def q_topk_terms(sf_dir: str):
-    """Corpus-level and per-doc term rankings in one tagged union
-    (merges ngram_topk + tfidf_topk + bm25_topk)."""
+    """Corpus-level and per-doc term rankings plus BM25 retrieval in
+    one tagged union (merges ngram_topk + tfidf_topk + bm25_topk +
+    bm25_search; the search part carries 'q<query_id>' as term)."""
+    import pyarrow.compute as pc
+
     i64 = pa.int64()
     ng = _tag_ds(FULL_QUERIES["ngram_topk"](sf_dir), "corpus_bigram",
                  [("doc_id", ("const", -1), i64), ("rank", ("const", 0), i64),
@@ -2438,7 +2441,17 @@ def q_topk_terms(sf_dir: str):
                 ("term", "token", None), ("score", "score_micro", i64)]
     tf = _tag_ds(FULL_QUERIES["tfidf_topk"](sf_dir), "tfidf", doc_spec)
     bm = _tag_ds(FULL_QUERIES["bm25_topk"](sf_dir), "bm25", doc_spec)
-    return _union([ng, tf, bm])
+    srch = _as_ds(FULL_QUERIES["bm25_search"](sf_dir)).map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "rank": b.column("rank"),
+            "token": pc.binary_join_element_wise(
+                pa.array(["q"] * len(b), type=pa.string()),
+                pc.cast(b.column("query_id"), pa.string()), ""),
+            "score_micro": b.column("score_micro"),
+        }), batch_format="pyarrow")
+    se = _tag_ds(srch, "search", doc_spec)
+    return _union([ng, tf, bm, se])
 
 
 def q_lm_scores(sf_dir: str):
@@ -2839,7 +2852,10 @@ def _merged_oracles() -> dict[str, str]:
                       + base["tfidf_topk"] + ")"),
             ("bm25", "SELECT doc_id, rank, token AS term, "
                      "score_micro AS score FROM ("
-                     + base["bm25_topk"] + ")")]),
+                     + base["bm25_topk"] + ")"),
+            ("search", "SELECT doc_id, rank, 'q' || query_id AS term, "
+                       "score_micro AS score FROM ("
+                       + base["bm25_search"] + ")")]),
         "lm_scores": _sql_union([
             ("scored", base["unigram_logprob"]),
             ("kept", base["filter_by_nll"]),
@@ -3252,4 +3268,25 @@ def full_oracle_queries():  # noqa: F811 — extends the per-op surface
 
     out = _FULL_ORACLE_SNAPSHOT_LINES()
     out["line_filter"] = line_filter_sql(seed=SEED)
+    return out
+
+
+def q_bm25_search(sf_dir: str):
+    """BM25 retrieval: top-10 docs per fixed query over the corpus —
+    the serving twin of the bm25_topk keyword extractor (text/lm.py)."""
+    from .text.lm import bm25_search
+
+    return bm25_search(_docs_ds(sf_dir), k=10)
+
+
+FULL_QUERIES["bm25_search"] = q_bm25_search
+
+_FULL_ORACLE_SNAPSHOT_SEARCH = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    from .text.lm import bm25_search_sql
+
+    out = _FULL_ORACLE_SNAPSHOT_SEARCH()
+    out["bm25_search"] = bm25_search_sql(k=10)
     return out

@@ -452,3 +452,162 @@ def bigram_logprob(ds, top_v: int = TOP_V, text_col: str = "text"):
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (query-set search over the corpus — the serving twin of
+# the bm25_topk keyword extractor)
+# ---------------------------------------------------------------------------
+
+#: deterministic default query set over the fixture vocabulary
+DEFAULT_SEARCH_QUERIES = (
+    "spark join order",
+    "window batch stream",
+    "hash merge sort table",
+    "slow query filter",
+    "vector data row column",
+)
+
+
+def bm25_search(ds, queries: tuple = DEFAULT_SEARCH_QUERIES, k: int = 10,
+                top_v: int = TOP_V, text_col: str = "text"):
+    """Top-``k`` docs per query by Okapi BM25: ``(query_id, rank,
+    doc_id, score_micro)``, rank 1..k by (score desc, doc_id asc);
+    only docs containing at least one query term participate.
+
+    A doc's score for a query is the integer-rational BM25 sum over
+    the query's DISTINCT terms (query tf ignored, the standard Okapi
+    form), bit-exact in SQL via the :func:`bm25_topk` recipe.
+
+    Scale shape: the query-term table and the capped df vocabulary are
+    broadcast once; each batch scores its docs against every query
+    vectorized and emits only its PARTIAL top-k per query (shuffle
+    capped at k rows x queries x batches); the final per-query head-k
+    is a tiny ``groupby(query_id).map_groups`` (few, small groups)."""
+    import ray
+
+    dfs, s_tot = _doc_freqs_and_total(ds, text_col)
+    s_tot = max(s_tot, 1)
+    n = max(int(ds.count()), 1)
+    vocab_rows = dfs.sort(["df", "tok"], descending=[True, False]) \
+        .limit(top_v).take_all()
+    vocab = {r["tok"]: int(r["df"]) for r in vocab_rows}
+    qterms = [sorted(set(TOKEN_RE.findall(q.lower()))) for q in queries]
+    # term -> query ids that contain it (the tiny broadcast side)
+    term_qids: dict[str, list[int]] = {}
+    for qi, ts in enumerate(qterms):
+        for t in ts:
+            term_qids.setdefault(t, []).append(qi)
+    state_ref = ray.put((vocab, term_qids))
+
+    empty = pa.table({"query_id": pa.array([], type=pa.int64()),
+                      "doc_id": pa.array([], type=pa.int64()),
+                      "score_micro": pa.array([], type=pa.int64())})
+
+    def score(b: pa.Table) -> pa.Table:
+        v, tq = ray.get(state_ref)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        flat: list[str] = []
+        bounds = [0]
+        for t in b.column(text_col).to_pylist():
+            flat.extend(TOKEN_RE.findall(t.lower()))
+            bounds.append(len(flat))
+        if not flat:
+            return empty
+        bounds = np.asarray(bounds, dtype=np.int64)
+        dl_per_doc = np.diff(bounds)
+        seg = np.repeat(np.arange(len(ids), dtype=np.int64), dl_per_doc)
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+        in_q = np.array([u in tq for u in uniq], dtype=bool)
+        if not in_q.any():
+            return empty
+        keep = in_q[codes]
+        seg_k, codes_k = seg[keep], codes[keep]
+        V = len(uniq)
+        uk, tf = np.unique(seg_k * np.int64(V) + codes_k, return_counts=True)
+        d = uk // V
+        c = (uk % V).astype(np.int64)
+        tf = tf.astype(np.int64)
+        dfu = np.array([v.get(u, 1) for u in uniq], dtype=np.float64)
+        idf = np.floor(_Q * np.log(1.0 + (n - dfu + 0.5) / (dfu + 0.5))) \
+            .astype(np.int64)
+        num = idf[c] * 22 * tf * s_tot
+        assert num.size == 0 or num.max() < (1 << 62), \
+            "bm25 int64 headroom exceeded; widen the accumulator"
+        den = 10 * tf * s_tot + 3 * s_tot + 9 * dl_per_doc[d] * n
+        sc = num // den
+        # fan each (doc, term) score out to the term's queries, then
+        # sum per (query, doc) — both sides tiny (terms ~ tens)
+        q_out, d_out, s_out = [], [], []
+        for qi_list, di, si in zip((tq[uniq[j]] for j in c), d, sc):
+            for qi in qi_list:
+                q_out.append(qi)
+                d_out.append(int(ids[di]))
+                s_out.append(int(si))
+        if not q_out:
+            return empty
+        g = pd.DataFrame({"query_id": q_out, "doc_id": d_out,
+                          "score_micro": s_out})
+        g = g.groupby(["query_id", "doc_id"], as_index=False,
+                      sort=False)["score_micro"].sum()
+        # partial top-k per query inside the batch
+        g = g.sort_values(["query_id", "score_micro", "doc_id"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g[g.groupby("query_id", sort=False).cumcount() < k]
+        return pa.table({
+            "query_id": pa.array(g["query_id"].to_numpy().astype(np.int64)),
+            "doc_id": pa.array(g["doc_id"].to_numpy().astype(np.int64)),
+            "score_micro": pa.array(
+                g["score_micro"].to_numpy().astype(np.int64)),
+        })
+
+    def head_k(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score_micro", "doc_id"],
+                          ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "doc_id", "score_micro"]]
+
+    return ds.map_batches(score, batch_format="pyarrow") \
+        .groupby("query_id").map_groups(head_k, batch_format="pandas")
+
+
+def bm25_search_sql(queries: tuple = DEFAULT_SEARCH_QUERIES, k: int = 10,
+                    top_v: int = TOP_V) -> str:
+    """DuckDB twin of :func:`bm25_search` over the documents view."""
+    qrows = ", ".join(
+        f"({i}, '{q}')" for i, q in enumerate(queries))
+    return f"""WITH qs(query_id, qtext) AS (SELECT * FROM (VALUES {qrows})),
+qt AS (SELECT query_id,
+              unnest(list_distinct(regexp_extract_all(lower(qtext),
+                                                      '[a-z0-9]+'))) AS tok
+       FROM qs),
+tl AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+       FROM documents),
+tot AS (SELECT CAST(sum(len(l)) AS BIGINT) AS s,
+               CAST(count(*) AS BIGINT) AS n FROM tl),
+tok AS (SELECT doc_id, unnest(l) AS tok FROM tl),
+df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tok GROUP BY tok),
+vocab AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT {top_v}),
+tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       FROM tok WHERE tok IN (SELECT tok FROM qt) GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, CAST(len(l) AS BIGINT) AS dl FROM tl),
+sc AS (
+  SELECT t.doc_id, t.tok,
+    (CAST(floor(1000000 * ln(1 + (tot.n - COALESCE(v.df, 1) + 0.5)
+                                 / (COALESCE(v.df, 1) + 0.5))) AS BIGINT)
+     * 22 * t.tf * tot.s)
+    // (10 * t.tf * tot.s + 3 * tot.s + 9 * d.dl * tot.n) AS score_micro
+  FROM tf t JOIN dl d USING (doc_id) CROSS JOIN tot
+  LEFT JOIN vocab v ON t.tok = v.tok),
+qd AS (
+  SELECT q.query_id, s.doc_id,
+         CAST(sum(s.score_micro) AS BIGINT) AS score_micro
+  FROM sc s JOIN qt q USING (tok) GROUP BY 1, 2),
+rk AS (SELECT *, row_number() OVER
+         (PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rank
+       FROM qd)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
+       doc_id, score_micro
+FROM rk WHERE rank <= {k}"""

@@ -699,3 +699,47 @@ def test_line_filter_rules():
     assert out.loc[0, "n_kept"] == 1  # 'ok.' fails min-words
     assert out.loc[0, "text"] == "good line with words."
     assert out.loc[1, "n_lines"] == 0 and out.loc[1, "text"] == ""
+
+
+def test_bm25_search_oracle_parity(ray_session, sf_dir):
+    """bm25_search equals the DuckDB twin bit-for-bit (integer-rational
+    scores, rank 1..k by score desc / doc_id asc)."""
+    import duckdb
+    import ray.data
+
+    from maskmypy_ray.text.lm import bm25_search, bm25_search_sql
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"],
+                               override_num_blocks=5)
+    eng = bm25_search(ds, k=5).to_pandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    orc = con.execute(bm25_search_sql(k=5)).df() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    for c in ("query_id", "rank", "doc_id", "score_micro"):
+        assert eng[c].tolist() == orc[c].tolist(), c
+
+
+def test_bm25_search_only_matching_docs(ray_session):
+    """Docs with no query term never appear; scores sum the per-term
+    BM25 over DISTINCT query terms (query tf ignored)."""
+    import pyarrow as pa
+    import ray.data
+
+    from maskmypy_ray.text.lm import bm25_search
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["apple banana cherry", "apple apple apple",
+                          "durian elderberry fig"]),
+    })
+    out = bm25_search(ray.data.from_arrow(t),
+                      queries=("apple apple banana",), k=10).to_pandas()
+    assert set(out["doc_id"]) == {1, 2}  # doc 3 matches nothing
+    assert (out["query_id"] == 0).all()
+    # doc 1 matches both terms, doc 2 only 'apple' (higher tf) — both
+    # present with positive scores
+    assert (out["score_micro"] > 0).all()
