@@ -311,6 +311,33 @@ def bench_once(q0_only: bool = False) -> dict:
 
     queries["q8_retrieval_hygiene"] = timed(run_q8)
 
+    # q9: data-selection + corpus analysis (late round-5 ops): DSIR
+    # importance resampling (histogram pass + broadcast lambda table +
+    # Gumbel top-k), source-level MinHash similarity matrix, C4-style
+    # line filtering, and BM25 retrieval over a fixed query set.
+    # Additive query — earlier compositions unchanged.
+    from maskmypy_ray.text.dedup import source_minhash_similarity
+    from maskmypy_ray.text.dsir import dsir_sample
+    from maskmypy_ray.text.lines import line_filter, with_lines
+    from maskmypy_ray.text.lm import bm25_search
+
+    def run_q9():
+        docs3 = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                                columns=["doc_id", "text", "lang"],
+                                override_num_blocks=SMALL_NB)
+        dsir_sample(docs3, k=100, seed=SEED).count()
+        docs_src = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                                   columns=["doc_id", "text", "source"],
+                                   override_num_blocks=SMALL_NB)
+        source_minhash_similarity(docs_src).num_rows
+        docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                               columns=["doc_id", "text"],
+                               override_num_blocks=SMALL_NB)
+        line_filter(with_lines(docs, seed=SEED)).count()
+        bm25_search(docs, k=10).count()
+
+    queries["q9_selection_analysis"] = timed(run_q9)
+
     headline = queries["q0_fused_mask_k"]
     result = {
         "metric": "flagship_mask_verify_sec",

@@ -3290,3 +3290,83 @@ def full_oracle_queries():  # noqa: F811 — extends the per-op surface
     out = _FULL_ORACLE_SNAPSHOT_SEARCH()
     out["bm25_search"] = bm25_search_sql(k=10)
     return out
+
+
+def q_snapshot_delta(sf_dir: str):
+    """Per-URL cross-snapshot delta (0 unchanged / 1 changed / 2 added
+    / 3 removed) over the derived recrawl (text/snapshots.py)."""
+    from .text.snapshots import snapshot_delta
+
+    return snapshot_delta(read_webpages(sf_dir, seed=SEED,
+                                        include_html=False))
+
+
+def q_snapshot_delta_stats(sf_dir: str):
+    """Per-(host, status) recrawl health counts."""
+    from .text.snapshots import snapshot_delta_stats
+
+    return snapshot_delta_stats(read_webpages(sf_dir, seed=SEED,
+                                              include_html=False))
+
+
+FULL_QUERIES["snapshot_delta"] = q_snapshot_delta
+FULL_QUERIES["snapshot_delta_stats"] = q_snapshot_delta_stats
+
+
+def q_url_dedup_all(sf_dir: str):
+    """URL-level crawl curation in one tagged union: canonical-URL
+    refetch dedup + the cross-snapshot delta (per-URL statuses AND the
+    per-host recrawl health rollup). Merged columns: the delta part
+    carries status as kept_fetch_id; the host part carries host as
+    canonical_url and the count as n_fetches."""
+    i64 = pa.int64()
+    canon = _tag_ds(q_url_dedup(sf_dir), "canonical",
+                    [("canonical_url", "canonical_url", None),
+                     ("kept_fetch_id", "kept_fetch_id", None),
+                     ("doc_id", "doc_id", None),
+                     ("n_fetches", "n_fetches", None)])
+    delta = _tag_ds(FULL_QUERIES["snapshot_delta"](sf_dir), "delta",
+                    [("canonical_url", "url", None),
+                     ("kept_fetch_id", "status", None),
+                     ("doc_id", ("const", -1), i64),
+                     ("n_fetches", ("const", -1), i64)])
+    hosts = _tag_ds(FULL_QUERIES["snapshot_delta_stats"](sf_dir),
+                    "delta_hosts",
+                    [("canonical_url", "host", None),
+                     ("kept_fetch_id", "status", None),
+                     ("doc_id", ("const", -1), i64),
+                     ("n_fetches", "n", None)])
+    return _union([canon, delta, hosts])
+
+
+QUERIES["url_dedup"] = q_url_dedup_all
+
+_FULL_ORACLE_SNAPSHOT_DELTA = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    from .text.snapshots import snapshot_delta_sql
+
+    out = _FULL_ORACLE_SNAPSHOT_DELTA()
+    out["snapshot_delta"] = snapshot_delta_sql(oracle.pages_cte(SEED))
+    out["snapshot_delta_stats"] = snapshot_delta_sql(
+        oracle.pages_cte(SEED), per_host=True)
+    return out
+
+
+_ORACLE_SNAPSHOT_DELTA = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge delta parts
+    out = _ORACLE_SNAPSHOT_DELTA()
+    base = full_oracle_queries()
+    out["url_dedup"] = _sql_union([
+        ("canonical", base["url_dedup"]),
+        ("delta", "SELECT url AS canonical_url, status AS kept_fetch_id, "
+                  "CAST(-1 AS BIGINT) AS doc_id, CAST(-1 AS BIGINT) AS "
+                  "n_fetches FROM (" + base["snapshot_delta"] + ")"),
+        ("delta_hosts", "SELECT host AS canonical_url, status AS "
+                        "kept_fetch_id, CAST(-1 AS BIGINT) AS doc_id, "
+                        "n AS n_fetches FROM ("
+                        + base["snapshot_delta_stats"] + ")")])
+    return out

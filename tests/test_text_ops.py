@@ -743,3 +743,57 @@ def test_bm25_search_only_matching_docs(ray_session):
     # doc 1 matches both terms, doc 2 only 'apple' (higher tf) — both
     # present with positive scores
     assert (out["score_micro"] > 0).all()
+
+
+def test_snapshot_delta_oracle_parity(ray_session, sf_dir):
+    """snapshot_delta + stats equal the DuckDB twin bit-for-bit."""
+    import duckdb
+
+    from maskmypy_ray import oracle
+    from maskmypy_ray.sources.webpages import read_webpages
+    from maskmypy_ray.text.snapshots import (snapshot_delta,
+                                             snapshot_delta_sql,
+                                             snapshot_delta_stats)
+
+    pages = read_webpages(sf_dir, seed=42, include_html=False)
+    eng = snapshot_delta(pages).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    orc = con.execute(snapshot_delta_sql(oracle.pages_cte(42))).df() \
+        .sort_values("url").reset_index(drop=True)
+    assert eng["url"].tolist() == orc["url"].tolist()
+    assert eng["status"].tolist() == orc["status"].tolist()
+    st = snapshot_delta_stats(
+        read_webpages(sf_dir, seed=42, include_html=False)).to_pandas() \
+        .sort_values(["host", "status"]).reset_index(drop=True)
+    orc_h = con.execute(
+        snapshot_delta_sql(oracle.pages_cte(42), per_host=True)).df() \
+        .sort_values(["host", "status"]).reset_index(drop=True)
+    for c in ("host", "status", "n"):
+        assert st[c].tolist() == orc_h[c].tolist(), c
+
+
+def test_snapshot_delta_statuses():
+    """Unit semantics on a constructed pair of snapshots: the doc_id
+    rules produce each of the four statuses."""
+    import pyarrow as pa
+    import ray.data
+
+    from maskmypy_ray.text.snapshots import snapshot_delta
+
+    # doc_ids chosen to hit each rule: 13 -> removed, 7 -> changed,
+    # 11 -> added (plus unchanged), 1 -> unchanged
+    t = pa.table({
+        "doc_id": pa.array([1, 7, 11, 13], type=pa.int64()),
+        "url": pa.array([f"https://h{i}.org/p" for i in (1, 7, 11, 13)]),
+        "text": pa.array(["a b c", "d e f", "g h i", "j k l"]),
+    })
+    out = snapshot_delta(ray.data.from_arrow(t)).to_pandas() \
+        .set_index("url")["status"]
+    assert out["https://h1.org/p"] == 0   # unchanged
+    assert out["https://h7.org/p"] == 1   # changed
+    assert out["https://h11.org/p"] == 0  # original unchanged...
+    assert out["https://h11.org/p?v=2"] == 2  # ...copy added
+    assert out["https://h13.org/p"] == 3  # removed
