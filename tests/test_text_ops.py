@@ -797,3 +797,43 @@ def test_snapshot_delta_statuses():
     assert out["https://h11.org/p"] == 0  # original unchanged...
     assert out["https://h11.org/p?v=2"] == 2  # ...copy added
     assert out["https://h13.org/p"] == 3  # removed
+
+
+def test_new_ops_partition_independence(ray_session, sf_dir):
+    """Round-5 extension ops are block-split independent: partial
+    aggregation / per-partition kernels never depend on batch
+    boundaries (nb=1 vs nb=7 bit-identical)."""
+    import ray.data
+
+    from maskmypy_ray.sources.webpages import read_webpages
+    from maskmypy_ray.text.dedup import source_minhash_similarity
+    from maskmypy_ray.text.lines import line_filter, with_lines
+    from maskmypy_ray.text.lm import bm25_search
+    from maskmypy_ray.text.snapshots import snapshot_delta
+
+    def run(nb):
+        def docs(cols):
+            return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                         columns=cols,
+                                         override_num_blocks=nb)
+
+        return {
+            "srcsim": source_minhash_similarity(
+                docs(["doc_id", "text", "source"])).to_pandas()
+                .sort_values(["source_a", "source_b"])
+                .reset_index(drop=True),
+            "lines": line_filter(with_lines(docs(["doc_id", "text"]),
+                                            seed=0)).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True),
+            "bm25s": bm25_search(docs(["doc_id", "text"]), k=5)
+                .to_pandas().sort_values(["query_id", "rank"])
+                .reset_index(drop=True),
+            "delta": snapshot_delta(
+                read_webpages(sf_dir, seed=42, include_html=False)
+                .repartition(nb)).to_pandas()
+                .sort_values("url").reset_index(drop=True),
+        }
+
+    a, b = run(1), run(7)
+    for name in a:
+        assert a[name].equals(b[name]), name
