@@ -978,3 +978,39 @@ pairs AS (
   GROUP BY 1, 2)
 SELECT source_a, source_b, n_match,
        CAST(n_match AS DOUBLE) / {N_PERM} AS jaccard_est FROM pairs"""
+
+
+def host_components_sql(seed: int, links: int = 3) -> str:
+    """Mirror of text.rank.host_components: the same deterministic
+    link rule as host_rank_sql projected to hosts, then min-63-bit-hash
+    label propagation via a recursive CTE (component = min
+    ``md5_number_upper(host) & (2^63 - 1)`` reachable)."""
+    return f"""WITH RECURSIVE {pages_cte(seed)},
+hosts AS (SELECT doc_id,
+          regexp_extract(url, '^https?://([^/]+)', 1) AS host FROM pages),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pages),
+links AS (
+  SELECT p.doc_id AS src_doc,
+         (((p.doc_id % nn.n) * (p.doc_id % nn.n)) % nn.n * 7
+          + p.doc_id * 31 + 97 * j.i + 1) % nn.n AS dst_doc
+  FROM pages p, n nn, unnest(generate_series(0, {links - 1})) AS j(i)
+  WHERE (((p.doc_id % nn.n) * (p.doc_id % nn.n)) % nn.n * 7
+         + p.doc_id * 31 + 97 * j.i + 1) % nn.n <> p.doc_id),
+e AS (
+  SELECT hs.host AS src, hd.host AS dst
+  FROM links l JOIN hosts hs ON hs.doc_id = l.src_doc
+               JOIN hosts hd ON hd.doc_id = l.dst_doc),
+hh AS (SELECT DISTINCT host FROM hosts),
+hid AS (SELECT host,
+        CAST(md5_number_upper(host) & 9223372036854775807 AS BIGINT)
+          AS node FROM hh),
+ed AS (SELECT DISTINCT s.node AS a, d.node AS b
+       FROM e JOIN hid s ON s.host = e.src
+              JOIN hid d ON d.host = e.dst),
+sym AS (SELECT a, b FROM ed UNION ALL SELECT b AS a, a AS b FROM ed),
+reach(node, label) AS (
+  SELECT node, node FROM hid
+  UNION
+  SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node)
+SELECT h.host, min(r.label) AS component
+FROM reach r JOIN hid h USING (node) GROUP BY h.host"""

@@ -2487,18 +2487,23 @@ def q_samples(sf_dir: str):
 
 def q_host_filters(sf_dir: str):
     """Host-level curation in one tagged union (merges host_cap_sample
-    + host_blocklist_filter + host_rank: the filters carry v=0, the
-    PageRank part carries doc_id=-1 and v=rank_micro)."""
+    + host_blocklist_filter + host_rank + host_components: the filters
+    carry v=0, the PageRank part carries doc_id=-1 and v=rank_micro,
+    the components part doc_id=-1 and v=the min-63-bit-hash label)."""
     i64 = pa.int64()
     spec = [("doc_id", "doc_id", None), ("host", "host", None),
             ("v", ("const", 0), i64)]
     rank_spec = [("doc_id", ("const", -1), i64), ("host", "host", None),
                  ("v", "rank_micro", None)]
+    comp_spec = [("doc_id", ("const", -1), i64), ("host", "host", None),
+                 ("v", "component", None)]
     return _union([
         _tag_ds(FULL_QUERIES["host_cap_sample"](sf_dir), "cap", spec),
         _tag_ds(FULL_QUERIES["host_blocklist_filter"](sf_dir), "blocklist",
                 spec),
-        _tag_ds(FULL_QUERIES["host_rank"](sf_dir), "rank", rank_spec)])
+        _tag_ds(FULL_QUERIES["host_rank"](sf_dir), "rank", rank_spec),
+        _tag_ds(FULL_QUERIES["host_components"](sf_dir), "components",
+                comp_spec)])
 
 
 def q_pii(sf_dir: str):
@@ -2877,7 +2882,10 @@ def _merged_oracles() -> dict[str, str]:
             ("blocklist", "SELECT doc_id, host, CAST(0 AS BIGINT) AS v "
                           "FROM (" + base["host_blocklist_filter"] + ")"),
             ("rank", "SELECT CAST(-1 AS BIGINT) AS doc_id, host, "
-                     "rank_micro AS v FROM (" + base["host_rank"] + ")")]),
+                     "rank_micro AS v FROM (" + base["host_rank"] + ")"),
+            ("components", "SELECT CAST(-1 AS BIGINT) AS doc_id, host, "
+                           "component AS v FROM ("
+                           + base["host_components"] + ")")]),
         "pii": _sql_union([
             ("pii", f"WITH s AS ({oracle.pii_stats_sql(every=5)}),\n"
                     f"r AS ({oracle.pii_redact_sql(every=5)})\n"
@@ -3369,4 +3377,24 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge delta parts
                         "kept_fetch_id, CAST(-1 AS BIGINT) AS doc_id, "
                         "n AS n_fetches FROM ("
                         + base["snapshot_delta_stats"] + ")")])
+    return out
+
+
+def q_host_components(sf_dir: str):
+    """Connected components of the host link graph (min-63-bit-hash
+    labels via BSP label propagation — text/rank.py)."""
+    from .text.rank import host_components
+
+    return host_components(read_webpages(sf_dir, seed=SEED,
+                                         include_html=False))
+
+
+FULL_QUERIES["host_components"] = q_host_components
+
+_FULL_ORACLE_SNAPSHOT_COMP = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    out = _FULL_ORACLE_SNAPSHOT_COMP()
+    out["host_components"] = oracle.host_components_sql(SEED)
     return out

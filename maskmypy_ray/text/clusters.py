@@ -63,18 +63,28 @@ def _round_part(g: pd.DataFrame, partitions: int,
     labs = g.loc[g["v"] == -1, ["key", "label"]]
     msgs = g.loc[g["v"] == -2, ["key", "label"]]
     edges = g.loc[g["v"] >= 0, ["key", "v"]]
-    cur = labs
+    cur_key = labs["key"].to_numpy(dtype=np.int64)
+    cur_lab = labs["label"].to_numpy(dtype=np.int64).copy()
     changed = np.full(len(labs), send_all)
     if len(msgs):
-        mm = msgs.groupby("key", sort=False, as_index=False)["label"].min() \
-            .rename(columns={"label": "m"})
-        cur = labs.merge(mm, on="key", how="left")
-        old = cur["label"].to_numpy(dtype=np.int64)
-        new = np.fmin(old.astype(np.float64),
-                      cur["m"].to_numpy(dtype=np.float64)).astype(np.int64)
-        changed = changed | (new < old)
-        cur = pd.DataFrame({"key": cur["key"].to_numpy(dtype=np.int64),
-                            "label": new})
+        # positional int64 update — NEVER a left merge: the NaN fill
+        # for message-less nodes forces float64 and silently rounds
+        # labels above 2^53 (bit-exact for small doc_ids, wrong for
+        # 63-bit host hashes)
+        mm = msgs.groupby("key", sort=False, as_index=False)["label"].min()
+        mkey = mm["key"].to_numpy(dtype=np.int64)
+        mval = mm["label"].to_numpy(dtype=np.int64)
+        order = np.argsort(cur_key, kind="mergesort")
+        ins = np.searchsorted(cur_key[order], mkey)
+        ins = np.minimum(ins, len(cur_key) - 1) if len(cur_key) else ins
+        pos = order[ins] if len(cur_key) else ins
+        valid = len(cur_key) > 0 and cur_key[pos] == mkey
+        if np.any(valid):
+            pos, mval = pos[valid], mval[valid]
+            upd = mval < cur_lab[pos]
+            cur_lab[pos[upd]] = mval[upd]
+            changed[pos[upd]] = True
+    cur = pd.DataFrame({"key": cur_key, "label": cur_lab})
     senders = cur[changed]
     em = edges.merge(senders, on="key", how="inner")
     out_m = pd.DataFrame({"key": em["v"].to_numpy(dtype=np.int64),

@@ -210,3 +210,125 @@ def host_rank(pages_ds, iters: int = RANK_ITERS,
     import ray.data
 
     return ray.data.from_arrow(out)
+
+
+# ---------------------------------------------------------------------------
+# Host connected components (web-graph communities over the same graph)
+# ---------------------------------------------------------------------------
+
+_H63 = (1 << 63) - 1
+
+
+def _hash63(hosts) -> np.ndarray:
+    """First 8 md5 bytes per host masked to 63 bits — int64-safe on
+    both sides (SQL: ``md5_number_upper(host) & (2^63 - 1)``), so the
+    min-label propagation order agrees bit-for-bit."""
+    from .corpus import _host_hash64
+
+    return (_host_hash64(list(hosts))
+            & np.uint64(_H63)).astype(np.int64)
+
+
+def host_components(pages_ds, links: int = LINKS_PER_DOC,
+                    partitions: int = 64):
+    """Connected components of the host link graph ->
+    ``(host, component)`` with component = min 63-bit host hash in the
+    component — the web-graph community labeling that pairs with
+    :func:`host_rank` (same synthesized edge rule, same one-join
+    resolution).
+
+    Scale shape: hosts enter the BSP min-label propagation
+    (:func:`maskmypy_ray.text.clusters.connected_components` — one
+    fused coarse shuffle per round, Pregel delta messaging) as content
+    hashes, so no driver-side host dictionary exists at any point; the
+    final hash->host attachment is one coarse partition merge over the
+    (host, hash) map rows."""
+    from .clusters import connected_components
+
+    n_docs = pages_ds.count()
+    edges = _host_edges(pages_ds, n_docs, links, partitions)
+
+    def edge_ids(b: pa.Table) -> pa.Table:
+        src = b.column("src").to_pylist()
+        dst = b.column("dst").to_pylist()
+        return pa.table({
+            "doc_a": pa.array(_hash63(src)),
+            "doc_b": pa.array(_hash63(dst)),
+        })
+
+    def node_map(b: pa.Table) -> pa.Table:
+        # distinct within the partition-local batch; cross-batch dups
+        # are dropped in the attach merge below
+        hosts = sorted(set(b.column("src").to_pylist())
+                       | set(b.column("dst").to_pylist()))
+        h = _hash63(hosts)
+        return pa.table({
+            "host": pa.array(hosts, type=pa.string()),
+            "node": pa.array(h),
+            "p": pa.array(h % partitions),
+        })
+
+    eid = edges.map_batches(edge_ids, batch_format="pyarrow")
+    nmap = edges.map_batches(node_map, batch_format="pyarrow")
+
+    # connected_components needs UNIQUE node rows: per-partition
+    # first-wins over the (host, hash) map rows; the same deduped rows
+    # feed the final attach merge.
+    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["node", "host"], kind="mergesort")
+        return g[~g["node"].duplicated().to_numpy()][["host", "node", "p"]]
+
+    uniq = nmap.groupby("p").map_groups(dedupe, batch_format="pandas") \
+        .map_batches(lambda b: pa.table({
+            "host": b.column("host"), "node": b.column("node"),
+            "p": b.column("p")}), batch_format="pyarrow").materialize()
+    nodes = uniq.map_batches(
+        lambda b: pa.table({"node": b.column("node")}),
+        batch_format="pyarrow")
+    cc = connected_components(nodes, eid, node_col="node")
+
+    def cc_part(b: pa.Table) -> pa.Table:
+        n = b.column("node").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": b.column("node"),
+            "cluster_id": b.column("cluster_id"),
+            "p": pa.array(n % partitions),
+        })
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        # sentinel -1 tags the map side: a nullable column would force
+        # pandas to float64 and silently round the int63 hash labels
+        m = g[g["cluster_id"] == -1][["node", "host"]]
+        c = g[g["cluster_id"] != -1][["node", "cluster_id"]]
+        j = m.merge(c, on="node", how="inner")
+        return pd.DataFrame({
+            "host": j["host"].to_numpy(),
+            "component": j["cluster_id"].to_numpy().astype(np.int64),
+        })
+
+    side_m = uniq.map_batches(
+        lambda b: pa.table({
+            "node": b.column("node"),
+            "host": b.column("host"),
+            "cluster_id": pa.array([-1] * len(b), type=pa.int64()),
+            "p": b.column("p"),
+        }), batch_format="pyarrow")
+    side_c = cc.map_batches(cc_part, batch_format="pyarrow").map_batches(
+        lambda b: pa.table({
+            "node": b.column("node"),
+            "host": pa.array([""] * len(b), type=pa.string()),
+            "cluster_id": b.column("cluster_id"),
+            "p": b.column("p"),
+        }), batch_format="pyarrow")
+
+    def to_arrow(d: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "host": pa.array(d["host"].to_numpy(dtype=object),
+                             type=pa.string()),
+            "component": pa.array(d["component"].to_numpy(),
+                                  type=pa.int64()),
+        })
+
+    return side_m.union(side_c).groupby("p") \
+        .map_groups(attach, batch_format="pandas") \
+        .map_batches(to_arrow, batch_format="pandas")

@@ -69,3 +69,50 @@ def test_host_rank_mass_bounded(ray_session, sf_dir):
     init = RANK_SCALE // H
     assert r.sum() <= H * init
     assert (r >= (15 * init) // 100).all()
+
+
+def test_host_components_oracle_parity(ray_session, sf_dir):
+    """host_components equals the recursive-CTE DuckDB twin bit-for-bit
+    (63-bit hash labels — exercises the int64-exact BSP update path)."""
+    import duckdb
+
+    from maskmypy_ray.oracle import host_components_sql
+    from maskmypy_ray.sources.webpages import read_webpages
+    from maskmypy_ray.text.rank import host_components
+
+    mine = host_components(
+        read_webpages(sf_dir, seed=42, include_html=False)).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    orc = con.execute(host_components_sql(42)).df() \
+        .sort_values("host").reset_index(drop=True)
+    assert mine["host"].tolist() == orc["host"].tolist()
+    assert mine["component"].tolist() == orc["component"].tolist()
+
+
+def test_connected_components_labels_above_2_53(ray_session):
+    """Regression: BSP label propagation must stay int64-exact for
+    labels above 2^53 (the old left-merge + fmin path silently rounded
+    through float64 — fine for doc_ids, wrong for 63-bit hashes)."""
+    import pyarrow as pa
+    import ray.data
+
+    from maskmypy_ray.text.clusters import connected_components
+
+    base = (1 << 62) + 12345678901234567  # not float64-representable
+    ids = [base + i for i in (0, 1, 2, 3, 10, 11)]
+    edges = pa.table({
+        "doc_a": pa.array([ids[0], ids[1], ids[2], ids[4]],
+                          type=pa.int64()),
+        "doc_b": pa.array([ids[1], ids[2], ids[3], ids[5]],
+                          type=pa.int64()),
+    })
+    nodes = pa.table({"node": pa.array(ids, type=pa.int64())})
+    out = connected_components(ray.data.from_arrow(nodes),
+                               ray.data.from_arrow(edges)).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    # chain 0-1-2-3 collapses to min = ids[0]; pair 10-11 to ids[4]
+    assert out["cluster_id"].tolist() == [ids[0]] * 4 + [ids[4]] * 2
+    assert out["node"].tolist() == ids
