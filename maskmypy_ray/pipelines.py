@@ -2687,7 +2687,10 @@ def q_windows(sf_dir: str):
                  ("n", "n_users", None), ("v", ("const", 0.0), f64)]),
         _tag_ds(FULL_QUERIES["window_top_types"](sf_dir), "top_types",
                 [("k1", "window_id", None), ("k2", "event_type", None),
-                 ("n", "n_events", None), ("v", "rank", f64)])])
+                 ("n", "n_events", None), ("v", "rank", f64)]),
+        _tag_ds(FULL_QUERIES["window_anomaly"](sf_dir), "anomaly",
+                [("k1", "window_id", None), ("k2", "event_type", None),
+                 ("n", "n_events", None), ("v", "z", None)])])
 
 
 def q_sessions(sf_dir: str):
@@ -2924,7 +2927,10 @@ def _merged_oracles() -> dict[str, str]:
                                + base["window_distinct_users"] + ")"),
             ("top_types", "SELECT window_id AS k1, event_type AS k2, "
                           "n_events AS n, CAST(rank AS DOUBLE) AS v FROM ("
-                          + base["window_top_types"] + ")")]),
+                          + base["window_top_types"] + ")"),
+            ("anomaly", "SELECT window_id AS k1, event_type AS k2, "
+                        "n_events AS n, z AS v FROM ("
+                        + base["window_anomaly"] + ")")]),
         "sessions": _sql_union([
             ("assign", "SELECT event_id AS k1, user_id AS k2, "
                        "session_seq AS n, 0.0 AS v, 0.0 AS v2 FROM ("
@@ -3397,4 +3403,30 @@ _FULL_ORACLE_SNAPSHOT_COMP = full_oracle_queries
 def full_oracle_queries():  # noqa: F811 — extends the per-op surface
     out = _FULL_ORACLE_SNAPSHOT_COMP()
     out["host_components"] = oracle.host_components_sql(SEED)
+    return out
+
+
+def q_window_anomaly(sf_dir: str):
+    """Per-(event_type, window) anomaly z-scores over the events table
+    (stages/events.py:window_anomaly)."""
+    import ray.data
+
+    from .stages.events import window_anomaly
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"],
+                               override_num_blocks=16)
+    return window_anomaly(ev)
+
+
+FULL_QUERIES["window_anomaly"] = q_window_anomaly
+
+_FULL_ORACLE_SNAPSHOT_ANOM = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    from .stages.events import window_anomaly_sql
+
+    out = _FULL_ORACLE_SNAPSHOT_ANOM()
+    out["window_anomaly"] = window_anomaly_sql()
     return out

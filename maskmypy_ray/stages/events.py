@@ -527,3 +527,112 @@ def event_funnel(events_ds, first_type: str = "view",
     return events_ds.select_columns(["user_id", "ts", "event_type"]) \
         .map_batches(partial, batch_format="pyarrow") \
         .groupby("pu").map_groups(finish_part, batch_format="pandas")
+
+
+def window_anomaly(events_ds, window_us: int = WINDOW_US,
+                   z_thresh: float = 2.0):
+    """Per-(event_type, window) anomaly z-scores ->
+    ``(event_type, window_id, n_events, z, is_anomaly)``.
+
+    A window's count is scored against ITS TYPE's distribution over the
+    corpus's whole window span (quiet windows count as zero via the
+    span normalization, so z is the population z-score over W =
+    max_window - min_window + 1 windows): z = (n - S/W) / sqrt(SS/W -
+    (S/W)^2), rounded to 6 dp; constant-count types score 0.
+
+    Scale shape: per-batch partial counts pre-combine before one
+    ``groupby(event_type, window_id)`` over a SMALL key space (types x
+    windows — the pre-combined-few-keys case where a plain aggregate
+    is right); per-type (S, SS) fold into a tiny broadcast map and the
+    z pass is stateless. The float expression is written identically
+    in the SQL twin, so the driver compare is exact."""
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        w = _ts_us(b) // window_us
+        df = pd.DataFrame({
+            "event_type": b.column("event_type")
+            .to_numpy(zero_copy_only=False),
+            "window_id": w,
+        })
+        g = df.groupby(["event_type", "window_id"], sort=False) \
+            .size().rename("n").reset_index()
+        return pa.table({
+            "event_type": pa.array(g["event_type"].to_numpy(dtype=object),
+                                   type=pa.string()),
+            "window_id": pa.array(g["window_id"].to_numpy(dtype=np.int64)),
+            "n": pa.array(g["n"].to_numpy(dtype=np.int64)),
+        })
+
+    counts = events_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "window_id"]) \
+        .aggregate(Sum("n", alias_name="n")).materialize()
+    span = counts.aggregate(Min("window_id"), Max("window_id"))
+    W = int(span["max(window_id)"]) - int(span["min(window_id)"]) + 1
+
+    def sq(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "s": b.column("n"),
+            "ss": pa.array(n * n),
+        })
+
+    st_rows = counts.map_batches(sq, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(Sum("s", alias_name="s"),
+                                         Sum("ss", alias_name="ss")) \
+        .take_all()  # bounded: one row per event type
+    st = {r["event_type"]: (int(r["s"]), int(r["ss"])) for r in st_rows}
+    st_ref = ray.put(st)
+
+    def score(b: pa.Table) -> pa.Table:
+        stats: dict = ray.get(st_ref)
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        n = b.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.array([stats[t][0] for t in et], dtype=np.float64)
+        ss = np.array([stats[t][1] for t in et], dtype=np.float64)
+        mean = s / W
+        var = ss / W - mean * mean
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = np.where(var > 0, (n - mean) / np.sqrt(var), 0.0)
+        z = np.round(z, 6)
+        return pa.table({
+            "event_type": b.column("event_type"),
+            "window_id": b.column("window_id"),
+            "n_events": b.column("n"),
+            "z": pa.array(z, type=pa.float64()),
+            "is_anomaly": pa.array((np.abs(z) > z_thresh).astype(np.int64)),
+        })
+
+    return counts.map_batches(score, batch_format="pyarrow")
+
+
+def window_anomaly_sql(window_us: int = WINDOW_US,
+                       z_thresh: float = 2.0) -> str:
+    """DuckDB twin of :func:`window_anomaly` over the events view —
+    the z expression is written in the same operation order."""
+    return f"""WITH ev AS (
+  SELECT event_type, epoch_us(ts) // {window_us} AS window_id FROM events),
+c AS (SELECT event_type, window_id, CAST(count(*) AS BIGINT) AS n
+      FROM ev GROUP BY 1, 2),
+span AS (SELECT max(window_id) - min(window_id) + 1 AS w FROM c),
+st AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS s,
+              CAST(sum(n * n) AS BIGINT) AS ss
+       FROM c GROUP BY 1),
+z AS (
+  SELECT c.event_type, c.window_id, c.n AS n_events,
+         CASE WHEN (CAST(st.ss AS DOUBLE) / sp.w
+                    - (CAST(st.s AS DOUBLE) / sp.w)
+                      * (CAST(st.s AS DOUBLE) / sp.w)) > 0
+              THEN round((CAST(c.n AS DOUBLE)
+                          - CAST(st.s AS DOUBLE) / sp.w)
+                         / sqrt(CAST(st.ss AS DOUBLE) / sp.w
+                                - (CAST(st.s AS DOUBLE) / sp.w)
+                                  * (CAST(st.s AS DOUBLE) / sp.w)), 6)
+              ELSE 0.0 END AS z
+  FROM c JOIN st USING (event_type), span sp)
+SELECT event_type, window_id, n_events, z,
+       CAST(CASE WHEN abs(z) > {z_thresh} THEN 1 ELSE 0 END AS BIGINT)
+         AS is_anomaly
+FROM z"""

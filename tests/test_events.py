@@ -261,3 +261,53 @@ def test_tumbling_window_partition_count_independence(ray_session):
         got = tumbling_window(ds, partitions=p).to_pandas() \
             .sort_values(key).reset_index(drop=True)
         assert got.equals(base)
+
+
+def test_window_anomaly_oracle_parity(ray_session, sf_dir):
+    """window_anomaly equals the DuckDB twin exactly (identical float
+    expression order for the z-score)."""
+    import duckdb
+    import ray.data
+
+    from maskmypy_ray.stages.events import window_anomaly, window_anomaly_sql
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "event_type"],
+                               override_num_blocks=4)
+    eng = window_anomaly(ev).to_pandas() \
+        .sort_values(["event_type", "window_id"]).reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet')")
+    orc = con.execute(window_anomaly_sql()).df() \
+        .sort_values(["event_type", "window_id"]).reset_index(drop=True)
+    for c in ("event_type", "window_id", "n_events", "z", "is_anomaly"):
+        assert eng[c].tolist() == orc[c].tolist(), c
+    assert eng["is_anomaly"].sum() > 0  # the fixture has real spikes
+
+
+def test_window_anomaly_constant_type(ray_session):
+    """A type with identical counts in every window has var 0 -> z 0;
+    a clear spike scores |z| > 2."""
+    import pyarrow as pa
+    import ray.data
+
+    from maskmypy_ray.stages.events import WINDOW_US, window_anomaly
+
+    rows = []
+    # 'flat': one event per window for 10 windows
+    for w in range(10):
+        rows.append(("flat", w * WINDOW_US + 5))
+    # 'spiky': one event per window, but 40 in window 7
+    for w in range(10):
+        for _ in range(40 if w == 7 else 1):
+            rows.append(("spiky", w * WINDOW_US + 5))
+    t = pa.table({
+        "ts": pa.array([r[1] for r in rows], type=pa.timestamp("us")),
+        "event_type": pa.array([r[0] for r in rows]),
+    })
+    out = window_anomaly(ray.data.from_arrow(t)).to_pandas()
+    flat = out[out.event_type == "flat"]
+    assert (flat["z"] == 0.0).all() and (flat["is_anomaly"] == 0).all()
+    spike = out[(out.event_type == "spiky") & (out.window_id == 7)]
+    assert (spike["is_anomaly"] == 1).all()
