@@ -2424,7 +2424,19 @@ def q_corpus_stats(sf_dir: str):
                   [("key", "key", None), ("n_rows", "n_rows", None),
                    ("n_tokens", "n_tokens", None), ("n_chars", "n_chars", None),
                    ("avg_chars", "avg_chars", None)])
-    return _union([src, dom, sim])
+    zf = FULL_QUERIES["zipf_fit"](sf_dir)
+    v = int(zf.column("n_tokens_fit")[0].as_py())
+    zrows = pa.table({
+        "part": pa.array(["zipf", "zipf"], type=pa.string()),
+        "key": pa.array(["slope", "intercept"], type=pa.string()),
+        "n_rows": pa.array([v, v], type=i64),
+        "n_tokens": pa.array([0, 0], type=i64),
+        "n_chars": pa.array([0, 0], type=i64),
+        "avg_chars": pa.array([zf.column("slope")[0].as_py(),
+                               zf.column("intercept")[0].as_py()],
+                              type=f64),
+    })
+    return _union([src, dom, sim, _as_ds(zrows)])
 
 
 def q_topk_terms(sf_dir: str):
@@ -2850,7 +2862,14 @@ def _merged_oracles() -> dict[str, str]:
                            "n_match AS n_rows, CAST(0 AS BIGINT) AS n_tokens, "
                            "CAST(0 AS BIGINT) AS n_chars, "
                            "jaccard_est AS avg_chars FROM ("
-                           + base["source_similarity"] + ")")]),
+                           + base["source_similarity"] + ")"),
+            ("zipf", "SELECT u.key, z.n_tokens_fit AS n_rows, "
+                     "CAST(0 AS BIGINT) AS n_tokens, "
+                     "CAST(0 AS BIGINT) AS n_chars, "
+                     "CASE u.key WHEN 'slope' THEN z.slope "
+                     "ELSE z.intercept END AS avg_chars "
+                     "FROM (" + base["zipf_fit"] + ") z, "
+                     "(SELECT unnest(['slope', 'intercept']) AS key) u")]),
         "topk_terms": _sql_union([
             ("corpus_bigram", "SELECT CAST(-1 AS BIGINT) AS doc_id, "
                               "CAST(0 AS BIGINT) AS rank, gram AS term, "
@@ -3429,4 +3448,25 @@ def full_oracle_queries():  # noqa: F811 — extends the per-op surface
 
     out = _FULL_ORACLE_SNAPSHOT_ANOM()
     out["window_anomaly"] = window_anomaly_sql()
+    return out
+
+
+def q_zipf_fit(sf_dir: str):
+    """Zipf exponent over the top-V token frequency curve — the
+    corpus-health diagnostic (text/lm.py:zipf_fit)."""
+    from .text.lm import zipf_fit
+
+    return zipf_fit(_docs_ds(sf_dir))
+
+
+FULL_QUERIES["zipf_fit"] = q_zipf_fit
+
+_FULL_ORACLE_SNAPSHOT_ZIPF = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    from .text.lm import zipf_fit_sql
+
+    out = _FULL_ORACLE_SNAPSHOT_ZIPF()
+    out["zipf_fit"] = zipf_fit_sql()
     return out

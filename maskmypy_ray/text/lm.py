@@ -611,3 +611,82 @@ rk AS (SELECT *, row_number() OVER
 SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rank AS BIGINT) AS rank,
        doc_id, score_micro
 FROM rk WHERE rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit (corpus-health diagnostic over the token frequency curve)
+# ---------------------------------------------------------------------------
+
+
+def zipf_fit(ds, top_v: int = TOP_V, text_col: str = "text"):
+    """Least-squares slope of log(count) vs log(rank) over the top-V
+    token frequencies — the Zipf exponent, a standard corpus-health
+    diagnostic (natural text ~ -1; boilerplate-heavy or synthetic
+    corpora drift off). Returns one row ``(n_tokens_fit, slope,
+    intercept)`` (slope/intercept in nats, rounded 6 dp).
+
+    Exactness: x = floor(1e6 ln(rank)), y = floor(1e6 ln(count)) are
+    quantized per point BEFORE the sums, so Sx/Sy/Sxx/Sxy are
+    order-independent int64 arithmetic and the closed-form division is
+    one exact float op — bit-reproducible in SQL. int64 headroom:
+    V * (1e6 * ln(2^63))^2 < 2^63 holds for V <= ~4700 at this
+    quantization (asserted).
+
+    Scale shape: reuses the distributed token-count pass (partials +
+    one groupby) and the sort+limit vocabulary; the regression itself
+    touches top_v rows."""
+    counts = token_counts(ds, text_col)
+    rows = counts.sort(["c", "tok"], descending=[True, False]) \
+        .limit(top_v).take_all()
+    c = np.array([int(r["c"]) for r in rows], dtype=np.int64)
+    v = len(c)
+    if v < 2:
+        return pa.table({
+            "n_tokens_fit": pa.array([v], type=pa.int64()),
+            "slope": pa.array([0.0], type=pa.float64()),
+            "intercept": pa.array([0.0], type=pa.float64()),
+        })
+    rank = np.arange(1, v + 1, dtype=np.float64)
+    x = np.floor(_Q * np.log(rank)).astype(np.int64)
+    y = np.floor(_Q * np.log(c.astype(np.float64))).astype(np.int64)
+    assert int(np.abs(x * y).max()) < (1 << 62) // max(v, 1), \
+        "zipf int64 headroom exceeded; lower top_v"
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx, sxy = int((x * x).sum()), int((x * y).sum())
+    den = v * sxx - sx * sx
+    slope = (v * sxy - sx * sy) / den if den else 0.0
+    intercept = (sy - slope * sx) / v / _Q
+    return pa.table({
+        "n_tokens_fit": pa.array([v], type=pa.int64()),
+        "slope": pa.array([round(slope, 6)], type=pa.float64()),
+        "intercept": pa.array([round(intercept, 6)], type=pa.float64()),
+    })
+
+
+def zipf_fit_sql(top_v: int = TOP_V) -> str:
+    """DuckDB twin of :func:`zipf_fit` over the documents view — same
+    quantized sums, same closed form, same rounding."""
+    return f"""WITH tl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS l
+  FROM documents),
+tok AS (SELECT unnest(l) AS tok FROM tl),
+tc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok),
+top AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rank
+        FROM tc ORDER BY c DESC, tok LIMIT {top_v}),
+q AS (SELECT CAST(floor(1000000 * ln(CAST(rank AS DOUBLE))) AS BIGINT) AS x,
+             CAST(floor(1000000 * ln(CAST(c AS DOUBLE))) AS BIGINT) AS y
+      FROM top),
+s AS (SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(x * y) AS BIGINT) AS sxy FROM q)
+SELECT v AS n_tokens_fit,
+       round(CASE WHEN v * sxx - sx * sx != 0
+                  THEN CAST(v * sxy - sx * sy AS DOUBLE)
+                       / (v * sxx - sx * sx) ELSE 0.0 END, 6) AS slope,
+       round((CAST(sy AS DOUBLE)
+              - (CASE WHEN v * sxx - sx * sx != 0
+                      THEN CAST(v * sxy - sx * sy AS DOUBLE)
+                           / (v * sxx - sx * sx) ELSE 0.0 END)
+                * CAST(sx AS DOUBLE)) / v / 1000000, 6) AS intercept
+FROM s"""

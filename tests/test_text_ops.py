@@ -837,3 +837,37 @@ def test_new_ops_partition_independence(ray_session, sf_dir):
     a, b = run(1), run(7)
     for name in a:
         assert a[name].equals(b[name]), name
+
+
+def test_zipf_fit_oracle_parity(ray_session, sf_dir):
+    import duckdb
+    import ray.data
+
+    from maskmypy_ray.text.lm import zipf_fit, zipf_fit_sql
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"],
+                               override_num_blocks=5)
+    eng = zipf_fit(ds).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    orc = con.execute(zipf_fit_sql()).df()
+    assert eng.equals(orc)
+
+
+def test_zipf_fit_recovers_known_slope(ray_session):
+    """A corpus constructed with count(rank) ~ rank^-1 recovers slope
+    ~ -1 (the natural-text signature the diagnostic detects)."""
+    import pyarrow as pa
+    import ray.data
+
+    from maskmypy_ray.text.lm import zipf_fit
+
+    words = [f"w{i}" for i in range(50)]
+    text = " ".join(w for r, w in enumerate(words, 1)
+                    for _ in range(max(1, 1000 // r)))
+    t = pa.table({"doc_id": pa.array([1], type=pa.int64()),
+                  "text": pa.array([text])})
+    out = zipf_fit(ray.data.from_arrow(t)).to_pandas()
+    assert abs(out.loc[0, "slope"] + 1.0) < 0.1
