@@ -3470,3 +3470,62 @@ def full_oracle_queries():  # noqa: F811 — extends the per-op surface
     out = _FULL_ORACLE_SNAPSHOT_ZIPF()
     out["zipf_fit"] = zipf_fit_sql()
     return out
+
+
+def q_trimmed_source_stats(sf_dir: str):
+    """Robust per-source trimmed mean (drop outside exact [q10, q90])
+    — text/quality.py:trimmed_source_stats."""
+    import ray.data
+
+    from .text.quality import trimmed_source_stats
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "n_chars"],
+                               override_num_blocks=16)
+    return trimmed_source_stats(ds)
+
+
+FULL_QUERIES["trimmed_source_stats"] = q_trimmed_source_stats
+
+
+def q_source_quantiles_all(sf_dir: str):
+    """Per-source robust statistics in one tagged union: exact
+    quartiles + the [q10, q90]-trimmed mean (part ``trimmed`` carries
+    n_kept as a, trimmed_mean as b, 0 as c — the int->double casts are
+    exact)."""
+    f64 = pa.float64()
+    quart = _tag_ds(FULL_QUERIES["source_quantiles"](sf_dir), "quartiles",
+                    [("source", "source", None), ("a", "q25", None),
+                     ("b", "q50", None), ("c", "q75", None)])
+    trim = _tag_ds(FULL_QUERIES["trimmed_source_stats"](sf_dir), "trimmed",
+                   [("source", "source", None), ("a", "n_kept", f64),
+                    ("b", "trimmed_mean", None), ("c", ("const", 0.0), f64)])
+    return _union([quart, trim])
+
+
+QUERIES["source_quantiles"] = q_source_quantiles_all
+
+_FULL_ORACLE_SNAPSHOT_TRIM = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    from .text.quality import trimmed_source_stats_sql
+
+    out = _FULL_ORACLE_SNAPSHOT_TRIM()
+    out["trimmed_source_stats"] = trimmed_source_stats_sql()
+    return out
+
+
+_ORACLE_SNAPSHOT_TRIM = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge trimmed part
+    out = _ORACLE_SNAPSHOT_TRIM()
+    base = full_oracle_queries()
+    out["source_quantiles"] = _sql_union([
+        ("quartiles", "SELECT source, q25 AS a, q50 AS b, q75 AS c FROM ("
+                      + base["source_quantiles"] + ")"),
+        ("trimmed", "SELECT source, CAST(n_kept AS DOUBLE) AS a, "
+                    "trimmed_mean AS b, 0.0 AS c FROM ("
+                    + base["trimmed_source_stats"] + ")")])
+    return out

@@ -586,3 +586,88 @@ def source_outlier_flags(ds, val_col: str = "n_chars"):
         })
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+def trimmed_source_stats(ds, lo_q: float = 0.1, hi_q: float = 0.9,
+                         val_col: str = "n_chars"):
+    """Robust (trimmed) per-source mean: drop each source's values
+    outside its exact [q10, q90] order statistics, then average what
+    remains -> ``(source, n_kept, trimmed_mean)`` (mean rounded 6 dp).
+    The boilerplate-resistant length profile: a source's handful of
+    giant concatenation pages or empty stubs no longer move its mean.
+
+    Scale shape: the trim bounds come from the keyed
+    histogram-refinement kernel (no source group ever materializes in
+    one task); the bounded (n_sources x 2) bound map broadcasts and the
+    kept-sum pass is stateless per-batch integer partials before one
+    tiny ``groupby(source)`` — all exact int64 until the single final
+    division, so the SQL twin is bit-identical."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..analysis.aggregates import keyed_quantiles_distributed
+
+    per_key = keyed_quantiles_distributed(ds, "source", val_col,
+                                          [lo_q, hi_q])
+    bounds = {k: (v[0], v[1]) for k, v in per_key.items()}
+    b_ref = ray.put(bounds)
+
+    def partial(b: pa.Table) -> pa.Table:
+        bd: dict = ray.get(b_ref)
+        src = b.column("source").to_numpy(zero_copy_only=False)
+        v = b.column(val_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lo = np.array([bd[s][0] for s in src])
+        hi = np.array([bd[s][1] for s in src])
+        keep = (v >= lo) & (v <= hi)
+        df = pd.DataFrame({"source": src[keep], "v": v[keep]})
+        g = df.groupby("source", sort=False).agg(
+            n_kept=("v", "size"), s=("v", "sum")).reset_index()
+        return pa.table({
+            "source": pa.array(g["source"].to_numpy(dtype=object),
+                               type=pa.string()),
+            "n_kept": pa.array(g["n_kept"].to_numpy(dtype=np.int64)),
+            "s": pa.array(g["s"].to_numpy(dtype=np.int64)),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("n_kept", alias_name="n_kept"),
+                                     Sum("s", alias_name="s"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b.column("n_kept").to_numpy(zero_copy_only=False)
+        s = b.column("s").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "source": b.column("source"),
+            "n_kept": b.column("n_kept"),
+            "trimmed_mean": pa.array(
+                np.round(np.where(n > 0, s / np.maximum(n, 1), 0.0), 6),
+                type=pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def trimmed_source_stats_sql(lo_q: float = 0.1, hi_q: float = 0.9) -> str:
+    """DuckDB twin of :func:`trimmed_source_stats` — same lower-order-
+    statistic bounds (rank floor(q*(n-1))), same integer sums, one
+    final float division."""
+    return f"""WITH s AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS v,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars) - 1 AS r,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents),
+b AS (
+  SELECT source,
+         min(CASE WHEN r = CAST(floor({lo_q} * (n - 1)) AS BIGINT)
+                  THEN v END) AS lo,
+         min(CASE WHEN r = CAST(floor({hi_q} * (n - 1)) AS BIGINT)
+                  THEN v END) AS hi
+  FROM s GROUP BY source),
+k AS (
+  SELECT s.source, CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(sum(s.v) AS BIGINT) AS sv
+  FROM s JOIN b USING (source)
+  WHERE s.v >= b.lo AND s.v <= b.hi GROUP BY s.source)
+SELECT source, n_kept,
+       round(CAST(sv AS DOUBLE) / n_kept, 6) AS trimmed_mean FROM k"""

@@ -871,3 +871,38 @@ def test_zipf_fit_recovers_known_slope(ray_session):
                   "text": pa.array([text])})
     out = zipf_fit(ray.data.from_arrow(t)).to_pandas()
     assert abs(out.loc[0, "slope"] + 1.0) < 0.1
+
+
+def test_trimmed_source_stats_oracle_parity(ray_session, sf_dir):
+    import duckdb
+    import ray.data
+
+    from maskmypy_ray.text.quality import (trimmed_source_stats,
+                                           trimmed_source_stats_sql)
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "n_chars"],
+                               override_num_blocks=5)
+    eng = trimmed_source_stats(ds).to_pandas() \
+        .sort_values("source").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    orc = con.execute(trimmed_source_stats_sql()).df() \
+        .sort_values("source").reset_index(drop=True)
+    assert eng.equals(orc)
+
+
+def test_trimmed_mean_resists_outliers(ray_session):
+    """One giant page must not move a source's trimmed mean."""
+    import pyarrow as pa
+    import ray.data
+
+    from maskmypy_ray.text.quality import trimmed_source_stats
+
+    vals = [100] * 19 + [10_000_000]  # one absurd outlier
+    t = pa.table({"source": pa.array(["s"] * 20),
+                  "n_chars": pa.array(vals, type=pa.int64())})
+    out = trimmed_source_stats(ray.data.from_arrow(t)).to_pandas()
+    assert out.loc[0, "trimmed_mean"] == 100.0
+    assert out.loc[0, "n_kept"] == 19
