@@ -2654,13 +2654,15 @@ def q_sketch_counts(sf_dir: str):
     """Both mergeable sketches in one tagged union (merges hll_distinct
     + cms_counts)."""
     i64, f64 = pa.int64(), pa.float64()
-    hll = _tag_ds(FULL_QUERIES["hll_distinct"](sf_dir), "hll",
-                  [("key", "grp", None), ("n1", "n_zero", None),
-                   ("n2", "inv_sum_num", None), ("est", "estimate", None)])
+    hll_spec = [("key", "grp", None), ("n1", "n_zero", None),
+                ("n2", "inv_sum_num", None), ("est", "estimate", None)]
+    hll = _tag_ds(FULL_QUERIES["hll_distinct"](sf_dir), "hll", hll_spec)
     cms = _tag_ds(FULL_QUERIES["cms_counts"](sf_dir), "cms",
                   [("key", "token", None), ("n1", "est_count", i64),
                    ("n2", ("const", 0), i64), ("est", ("const", 0.0), f64)])
-    return _union([hll, cms])
+    thll = _tag_ds(FULL_QUERIES["source_token_hll"](sf_dir), "token_hll",
+                   hll_spec)
+    return _union([hll, cms, thll])
 
 
 # -- events ------------------------------------------------------------------
@@ -2932,7 +2934,10 @@ def _merged_oracles() -> dict[str, str]:
                     + base["hll_distinct"] + ")"),
             ("cms", "SELECT token AS key, est_count AS n1, "
                     "CAST(0 AS BIGINT) AS n2, 0.0 AS est FROM ("
-                    + base["cms_counts"] + ")")]),
+                    + base["cms_counts"] + ")"),
+            ("token_hll", "SELECT grp AS key, n_zero AS n1, "
+                          "inv_sum_num AS n2, estimate AS est FROM ("
+                          + base["source_token_hll"] + ")")]),
         "windows": _sql_union([
             ("tumbling", "SELECT window_id AS k1, "
                          "CAST(user_id AS VARCHAR) AS k2, n_events AS n, "
@@ -3528,4 +3533,30 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge trimmed part
         ("trimmed", "SELECT source, CAST(n_kept AS DOUBLE) AS a, "
                     "trimmed_mean AS b, 0.0 AS c FROM ("
                     + base["trimmed_source_stats"] + ")")])
+    return out
+
+
+def q_source_token_hll(sf_dir: str):
+    """Per-source distinct-token HLL (vocabulary richness profile) —
+    sketches.py:source_token_hll."""
+    import ray.data
+
+    from .sketches import source_token_hll
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"],
+                               override_num_blocks=16)
+    return source_token_hll(ds)
+
+
+FULL_QUERIES["source_token_hll"] = q_source_token_hll
+
+_FULL_ORACLE_SNAPSHOT_THLL = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    from .sketches import source_token_hll_sql
+
+    out = _FULL_ORACLE_SNAPSHOT_THLL()
+    out["source_token_hll"] = source_token_hll_sql()
     return out

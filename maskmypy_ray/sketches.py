@@ -91,15 +91,10 @@ def hll_distinct(ds, key_col: str, group_col: str):
     FEW-BIG-GROUPS ``map_groups`` (one group per distinct ``group_col``
     value — the pattern reserved for exactly this case, BASELINE.md §6).
     """
-    from ray.data.aggregate import Max
-
     partials = ds.select_columns([key_col, group_col]).map_batches(
         lambda b: hll_partial_batch(b, key_col, group_col),
         batch_format="pyarrow")
-    merged = partials.groupby(["grp", "bucket"]).aggregate(
-        Max("reg", alias_name="reg"))
-    return merged.groupby("grp").map_groups(_finish_group,
-                                            batch_format="pandas")
+    return _hll_from_partials(partials)
 
 
 def hll_sql(table: str, key_expr: str, group_col: str) -> str:
@@ -256,3 +251,48 @@ probes(token, d, bucket) AS (SELECT * FROM (VALUES {probes}))
 SELECT p.token, CAST(min(coalesce(r.cnt, 0)) AS BIGINT) AS est_count
 FROM probes p LEFT JOIN regs r ON r.d = p.d AND r.bucket = p.bucket
 GROUP BY p.token"""
+
+
+def _hll_from_partials(partials):
+    """merge (grp, bucket, reg) partials -> per-group HLL finish."""
+    from ray.data.aggregate import Max
+
+    merged = partials.groupby(["grp", "bucket"]).aggregate(
+        Max("reg", alias_name="reg"))
+    return merged.groupby("grp").map_groups(_finish_group,
+                                            batch_format="pandas")
+
+
+def source_token_hll(ds, text_col: str = "text",
+                     source_col: str = "source"):
+    """Approximate DISTINCT-TOKEN count per source (vocabulary richness
+    / type-token profile) — the keyed-sketch instantiation of the HLL:
+    token md5 codes (the SQL-mirrored 32-bit codes of
+    :mod:`maskmypy_ray.text.grams`) explode inside the partial kernel,
+    so the shuffle still carries at most |sources| x 256 register rows
+    per batch no matter how many tokens a batch holds.
+
+    SQL twin: :func:`source_token_hll_sql` (register-exact)."""
+    from .text.grams import token_codes_batch
+
+    def explode_partial(b: pa.Table) -> pa.Table:
+        codes, bounds = token_codes_batch(b.column(text_col).to_pylist())
+        srcs = b.column(source_col).to_numpy(zero_copy_only=False)
+        grp = np.repeat(srcs, np.diff(bounds))
+        t = pa.table({"k": pa.array(codes, type=pa.int64()),
+                      "grp": pa.array(grp, type=pa.string())})
+        return hll_partial_batch(t, "k", "grp")
+
+    return _hll_from_partials(
+        ds.select_columns([source_col, text_col]).map_batches(
+            explode_partial, batch_format="pyarrow"))
+
+
+def source_token_hll_sql() -> str:
+    """DuckDB twin of :func:`source_token_hll` over the documents view."""
+    inner = ("(SELECT source, "
+             "CAST(md5_number_upper(tok) & 4294967295 AS BIGINT) AS code "
+             "FROM (SELECT source, "
+             "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok "
+             "FROM documents)) tt")
+    return hll_sql(inner, "tt.code", "tt.source")

@@ -77,3 +77,31 @@ def test_cms_upper_bound_and_partition_invariance(ray_session):
     out2 = cms_token_counts(ds.repartition(7), probes).to_pandas() \
         .set_index("token")
     assert out2.sort_index().equals(out.sort_index())
+
+
+def test_source_token_hll_parity_and_accuracy(ray_session, sf_dir):
+    """Keyed token HLL equals the DuckDB twin register-for-register,
+    and the estimates land near the true per-source vocab sizes."""
+    import duckdb
+    import ray.data
+
+    from maskmypy_ray.sketches import source_token_hll, source_token_hll_sql
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"],
+                               override_num_blocks=5)
+    eng = source_token_hll(ds).to_pandas() \
+        .sort_values("grp").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    orc = con.execute(source_token_hll_sql()).df() \
+        .sort_values("grp").reset_index(drop=True)
+    assert eng.equals(orc)
+    true = con.execute(
+        "SELECT source, CAST(count(DISTINCT tok) AS BIGINT) AS d FROM "
+        "(SELECT source, unnest(regexp_extract_all(lower(text), "
+        "'[a-z0-9]+')) AS tok FROM documents) GROUP BY 1 ORDER BY 1").df()
+    rel = (eng["estimate"].to_numpy() - true["d"].to_numpy()) \
+        / true["d"].to_numpy()
+    assert (abs(rel) < 0.15).all()  # HLL-256 ~ 6.5% standard error
