@@ -1014,3 +1014,26 @@ reach(node, label) AS (
   SELECT s.b, r.label FROM reach r JOIN sym s ON s.a = r.node)
 SELECT h.host, min(r.label) AS component
 FROM reach r JOIN hid h USING (node) GROUP BY h.host"""
+
+
+def dup_gram_fraction_sql(k: int = 8) -> str:
+    """Mirror of text.dedup.dup_gram_fraction over the documents view
+    (distinct per-doc word-k-grams via the shared SQL-mirrored kernel;
+    a gram is duplicated iff it appears in >= 2 docs)."""
+    return f"""WITH docs AS (SELECT doc_id, text FROM documents),
+tl AS (SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_SQL}') AS l
+       FROM docs),
+tc AS (SELECT doc_id, {SQL_TOKEN_CODES} AS c FROM tl),
+sg AS (SELECT DISTINCT doc_id, unnest({sql_gram_list_expr(k, "skip")}) AS gh
+       FROM tc),
+nd AS (SELECT gh, CAST(count(*) AS BIGINT) AS n FROM sg GROUP BY gh),
+per AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(*) FILTER (WHERE nd.n >= 2) AS BIGINT) AS n_dup
+  FROM sg s JOIN nd USING (gh) GROUP BY 1)
+SELECT d.doc_id, coalesce(p.n_grams, 0) AS n_grams,
+       coalesce(p.n_dup, 0) AS n_dup,
+       round(CASE WHEN coalesce(p.n_grams, 0) > 0
+                  THEN CAST(p.n_dup AS DOUBLE) / p.n_grams
+                  ELSE 0.0 END, 6) AS dup_frac
+FROM docs d LEFT JOIN per p ON p.doc_id = d.doc_id"""

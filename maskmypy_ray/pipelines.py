@@ -3560,3 +3560,54 @@ def full_oracle_queries():  # noqa: F811 — extends the per-op surface
     out = _FULL_ORACLE_SNAPSHOT_THLL()
     out["source_token_hll"] = source_token_hll_sql()
     return out
+
+
+def q_dup_gram_fraction(sf_dir: str):
+    """Per-doc cross-document duplicate-gram fraction (the RefinedWeb
+    shared-boilerplate filter input — text/dedup.py)."""
+    from .text.dedup import dup_gram_fraction
+
+    return dup_gram_fraction(_docs_ds(sf_dir), k=8)
+
+
+FULL_QUERIES["dup_gram_fraction"] = q_dup_gram_fraction
+
+
+def q_dedup_spans_all(sf_dir: str):
+    """Substring-level dedup signals in one tagged union: the >= 2-doc
+    span list (gram granularity) + the per-doc duplicate-gram fraction
+    (doc granularity; v carries dup_frac)."""
+    f64 = pa.float64()
+    spans = _tag_ds(FULL_QUERIES["dedup_spans"](sf_dir), "spans",
+                    [("k", "gram_hash", None), ("a", "n_docs", None),
+                     ("b", "first_doc", None), ("v", ("const", 0.0), f64)])
+    frac = _tag_ds(FULL_QUERIES["dup_gram_fraction"](sf_dir), "fraction",
+                   [("k", "doc_id", None), ("a", "n_grams", None),
+                    ("b", "n_dup", None), ("v", "dup_frac", None)])
+    return _union([spans, frac])
+
+
+QUERIES["dedup_spans"] = q_dedup_spans_all
+
+_FULL_ORACLE_SNAPSHOT_DGF = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    out = _FULL_ORACLE_SNAPSHOT_DGF()
+    out["dup_gram_fraction"] = oracle.dup_gram_fraction_sql(k=8)
+    return out
+
+
+_ORACLE_SNAPSHOT_DGF = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge fraction part
+    out = _ORACLE_SNAPSHOT_DGF()
+    base = full_oracle_queries()
+    out["dedup_spans"] = _sql_union([
+        ("spans", "SELECT gram_hash AS k, n_docs AS a, first_doc AS b, "
+                  "0.0 AS v FROM (" + base["dedup_spans"] + ")"),
+        ("fraction", "SELECT doc_id AS k, n_grams AS a, n_dup AS b, "
+                     "dup_frac AS v FROM ("
+                     + base["dup_gram_fraction"] + ")")])
+    return out

@@ -1018,3 +1018,89 @@ def source_minhash_similarity(ds, ngram: int = 5, text_col: str = "text",
         "n_match": pa.array(n),
         "jaccard_est": pa.array(n / float(N_PERM), type=pa.float64()),
     })
+
+
+def dup_gram_fraction(ds, k: int = 8, text_col: str = "text",
+                      partitions: int = 64):
+    """Per-doc CROSS-document duplication fraction: the share of a
+    doc's distinct word-``k``-grams that occur in >= 2 distinct docs ->
+    ``(doc_id, n_grams, n_dup, dup_frac)`` (frac rounded 6 dp; docs
+    shorter than k tokens score 0 with 0 grams). The corpus-level
+    complement of the within-doc Gopher repetition signals — the
+    RefinedWeb-style "how much of this page is boilerplate shared with
+    other pages" filter input.
+
+    Scale shape: one gram explode routed by ``gram_hash % P`` (every
+    holder of a gram lands in one partition, so the >= 2-docs flag
+    completes there); per-partition vectorized per-doc PARTIAL
+    (n_grams, n_dup) counts; one ``groupby(doc_id)`` over partials
+    (docs x partitions rows, not gram rows); gram-less docs complete
+    via zero partials emitted from the original scan."""
+    grams = ds.map_batches(lambda b: span_hashes_batch(b, k, text_col),
+                           batch_format="pyarrow")
+
+    def with_pq(b: pa.Table) -> pa.Table:
+        g = b.column("gram_hash").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "pq", pa.array(g % partitions, type=pa.int64()))
+
+    def part_counts(g: pd.DataFrame) -> pd.DataFrame:
+        # span_hashes_batch emits DISTINCT grams per doc, so group size
+        # == distinct-doc count per gram
+        nd = g.groupby("gram_hash", sort=False)["doc_id"] \
+            .transform("size")
+        dup = (nd >= 2).to_numpy()
+        out = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                            "dup": dup.astype(np.int64)})
+        agg = out.groupby("doc_id", sort=False).agg(
+            n_grams=("dup", "size"), n_dup=("dup", "sum")).reset_index()
+        return agg
+
+    def to_arrow(d: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array(d["doc_id"].to_numpy(), type=pa.int64()),
+            "n_grams": pa.array(d["n_grams"].to_numpy(), type=pa.int64()),
+            "n_dup": pa.array(d["n_dup"].to_numpy(), type=pa.int64()),
+        })
+
+    def zero_partials(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_grams": pa.array(np.zeros(n, dtype=np.int64)),
+            "n_dup": pa.array(np.zeros(n, dtype=np.int64)),
+        })
+
+    partials = grams.map_batches(with_pq, batch_format="pyarrow") \
+        .groupby("pq").map_groups(part_counts, batch_format="pandas") \
+        .map_batches(to_arrow, batch_format="pandas")
+    zeros = ds.select_columns(["doc_id"]).map_batches(
+        zero_partials, batch_format="pyarrow")
+
+    # final per-doc sum: distinct keys ~ row count, so a fine-key
+    # groupby(doc_id).aggregate would pay Ray's per-distinct-key
+    # machinery on every doc (round-5 rule) — coarse doc_id % P
+    # partitions with one vectorized pandas sum each instead
+    def with_dp(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "dp", pa.array(d % partitions, type=pa.int64()))
+
+    def sum_part(g: pd.DataFrame) -> pa.Table:
+        s = g.groupby("doc_id", sort=False).agg(
+            n_grams=("n_grams", "sum"), n_dup=("n_dup", "sum")) \
+            .reset_index()
+        n = s["n_grams"].to_numpy(dtype=np.int64)
+        d = s["n_dup"].to_numpy(dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(s["doc_id"].to_numpy(dtype=np.int64)),
+            "n_grams": pa.array(n),
+            "n_dup": pa.array(d),
+            "dup_frac": pa.array(
+                np.round(np.where(n > 0, d / np.maximum(n, 1), 0.0), 6),
+                type=pa.float64()),
+        })
+
+    return partials.union(zeros) \
+        .map_batches(with_dp, batch_format="pyarrow") \
+        .groupby("dp").map_groups(sum_part, batch_format="pandas")

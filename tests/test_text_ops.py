@@ -906,3 +906,46 @@ def test_trimmed_mean_resists_outliers(ray_session):
     out = trimmed_source_stats(ray.data.from_arrow(t)).to_pandas()
     assert out.loc[0, "trimmed_mean"] == 100.0
     assert out.loc[0, "n_kept"] == 19
+
+
+def test_dup_gram_fraction_oracle_parity(ray_session, sf_dir):
+    import duckdb
+
+    from maskmypy_ray.oracle import dup_gram_fraction_sql
+    from maskmypy_ray.text.dedup import dup_gram_fraction
+
+    eng = dup_gram_fraction(_dsir_docs(sf_dir).select_columns(
+        ["doc_id", "text"]), k=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    orc = con.execute(dup_gram_fraction_sql(k=8)).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert eng.equals(orc)
+
+
+def test_dup_gram_fraction_semantics(ray_session):
+    """A doc sharing half its 3-grams with another scores 0.5-ish;
+    a unique doc scores 0; short docs have 0 grams."""
+    import pyarrow as pa
+    import ray.data
+
+    from maskmypy_ray.text.dedup import dup_gram_fraction
+
+    shared = "one two three four five"
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([
+            shared,                               # 3 grams, all shared
+            shared + " six seven eight",          # 6 grams, 3 shared
+            "nine ten eleven twelve thirteen",    # unique
+            "hi",                                 # < k tokens
+        ]),
+    })
+    out = dup_gram_fraction(ray.data.from_arrow(t), k=3).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[1, "dup_frac"] == 1.0
+    assert out.loc[2, "dup_frac"] == 0.5
+    assert out.loc[3, "dup_frac"] == 0.0 and out.loc[3, "n_grams"] == 3
+    assert out.loc[4, "n_grams"] == 0 and out.loc[4, "dup_frac"] == 0.0
