@@ -3611,3 +3611,64 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge fraction part
                      "dup_frac AS v FROM ("
                      + base["dup_gram_fraction"] + ")")])
     return out
+
+
+def q_curate_corpus(sf_dir: str):
+    """End-to-end curation pipeline verdicts: quality -> exact dedup ->
+    near-dup clusters -> decontamination (text/curate.py)."""
+    from .text.curate import curate_corpus
+
+    return curate_corpus(_docs_ds(sf_dir))
+
+
+FULL_QUERIES["curate_corpus"] = q_curate_corpus
+
+_FULL_ORACLE_SNAPSHOT_CUR = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    from .text.curate import curate_corpus_sql
+
+    out = _FULL_ORACLE_SNAPSHOT_CUR()
+    out["curate_corpus"] = curate_corpus_sql()
+    return out
+
+
+# merge the pipeline into the registered rows: the per-doc verdicts ride
+# the pii row's string column (part `curation`); samples checks nothing
+# extra (the verdicts subsume the kept set).
+_Q_PII_PRE_CURATION = q_pii
+
+
+def q_pii(sf_dir: str):  # noqa: F811
+    """Text-hygiene transforms + the end-to-end curation verdicts in
+    one tagged union (parts ``pii``, ``lines`` and ``curation`` — the
+    curation part carries each doc's pipeline status in the text
+    column)."""
+    i64 = pa.int64()
+    cur = _tag_ds(FULL_QUERIES["curate_corpus"](sf_dir), "curation",
+                  [("doc_id", "doc_id", None),
+                   ("n_email", ("const", 0), i64),
+                   ("n_ipv4", ("const", 0), i64),
+                   ("n_phone", ("const", 0), i64),
+                   ("text", "status", None),
+                   ("n_redacted", ("const", 0), i64)])
+    return _union([_Q_PII_PRE_CURATION(sf_dir), cur])
+
+
+QUERIES["pii"] = q_pii
+
+_ORACLE_SNAPSHOT_CUR = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge curation part
+    out = _ORACLE_SNAPSHOT_CUR()
+    base = full_oracle_queries()
+    out["pii"] = (out["pii"] + "\nUNION ALL\n"
+                  "SELECT 'curation' AS part, doc_id, "
+                  "CAST(0 AS BIGINT) AS n_email, "
+                  "CAST(0 AS BIGINT) AS n_ipv4, "
+                  "CAST(0 AS BIGINT) AS n_phone, status AS text, "
+                  "CAST(0 AS BIGINT) AS n_redacted FROM ("
+                  + base["curate_corpus"] + ")")
+    return out

@@ -107,10 +107,14 @@ def _benchmark_grams_ref(ds, n: int):
 
     @ray.remote(num_cpus=1)
     def union(*blocks):
-        arrs = [
-            (b if isinstance(b, pa.Table) else pa.Table.from_pandas(b))
-            .column("g").to_numpy(zero_copy_only=False)
-            for b in blocks]
+        arrs = []
+        for b in blocks:
+            t = b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
+            # empty blocks inherited from upstream map_groups partitions
+            # can carry an EMPTY schema (Ray passes them through without
+            # applying the UDF) — they contribute nothing
+            if "g" in t.column_names:
+                arrs.append(t.column("g").to_numpy(zero_copy_only=False))
         arrs = [a for a in arrs if len(a)]
         if not arrs:
             return np.empty(0, dtype=np.uint64)
