@@ -126,10 +126,7 @@ def connected_components(nodes_ds, edges_ds, node_col: str = "node",
             "key": pa.array(key),
             "label": pa.array(np.full(2 * len(a), -1, dtype=np.int64)),
             "v": pa.array(np.concatenate([bb, a])),
-            "pk": pa.array(key % partitions),
         })
-
-    sym = edges_ds.map_batches(to_sym, batch_format="pyarrow").materialize()
 
     def init_labels(b: pa.Table) -> pa.Table:
         n = b.column(node_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -137,7 +134,6 @@ def connected_components(nodes_ds, edges_ds, node_col: str = "node",
             "key": pa.array(n),
             "label": pa.array(n),
             "v": pa.array(np.full(len(n), -1, dtype=np.int64)),
-            "pk": pa.array(n % partitions),
         })
 
     def to_arrow(d: pd.DataFrame) -> pa.Table:
@@ -150,8 +146,31 @@ def connected_components(nodes_ds, edges_ds, node_col: str = "node",
         m = b.column("v").to_numpy(zero_copy_only=False) == -2
         return pa.table({"s": pa.array([int(m.sum())], type=pa.int64())})
 
-    state = nodes_ds.map_batches(init_labels,
-                                 batch_format="pyarrow").materialize()
+    sym0 = edges_ds.map_batches(to_sym, batch_format="pyarrow").materialize()
+    state0 = nodes_ds.map_batches(init_labels,
+                                  batch_format="pyarrow").materialize()
+
+    # Adaptive coarseness: the per-round shuffle cost is in-blocks x
+    # out-partitions OBJECTS (round-4 lesson), so a tiny graph at the
+    # caller's full partition count pays thousands of near-empty-object
+    # fixed costs per round. The result is partition-count independent
+    # (pytest-pinned), so clamp P to the graph size — counts are free
+    # (both inputs just materialized); 100-TB graphs keep the caller's
+    # P. The pk routing key is attached only now (it depends on P), and
+    # both inputs are coalesced to P blocks so every later round moves
+    # ~2*P x P objects instead of in_blocks x P.
+    n_rows = sym0.count() + state0.count()
+    partitions = min(partitions, max(4, n_rows // 4096 + 1))
+
+    def add_pk(b: pa.Table) -> pa.Table:
+        k = b.column("key").to_numpy(zero_copy_only=False)
+        return b.append_column("pk", pa.array(k % partitions,
+                                              type=pa.int64()))
+
+    sym = sym0.repartition(partitions) \
+        .map_batches(add_pk, batch_format="pyarrow").materialize()
+    state = state0.repartition(partitions) \
+        .map_batches(add_pk, batch_format="pyarrow").materialize()
 
     out = state
     for rnd in range(max_rounds):

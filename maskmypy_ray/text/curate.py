@@ -133,16 +133,19 @@ def curate_corpus(ds, threshold: float = 0.8, partitions: int = 64,
 
     exact = s1.map_batches(with_hash, batch_format="pyarrow") \
         .groupby("p").map_groups(keeper_part, batch_format="pandas") \
-        .map_batches(keeper_arrow, batch_format="pandas")
+        .map_batches(keeper_arrow, batch_format="pandas").materialize()
+    # ^ dual-consumer checkpoint ABOVE the keeper split: the dropped
+    # branch and the survivor branch both read these blocks, so the
+    # quality+hash+groupby shuffle runs exactly once (materializing
+    # only the survivor side re-ran the whole chain for the dropped
+    # rows). Size = survivors + dups, same order as the s2 checkpoint
+    # this replaces.
     dropped_x = exact.filter(expr="is_keeper == 0").map_batches(
         lambda b: _status_table(
             b.column("doc_id").to_numpy(zero_copy_only=False),
             "exact_dup"), batch_format="pyarrow")
     s2 = exact.filter(expr="is_keeper == 1") \
         .select_columns(["doc_id", text_col]).materialize()
-    # ^ bounded dual-consumer checkpoint: s2 feeds BOTH the LSH pair
-    # join and the label attach below; without it the whole
-    # quality+exact chain re-executes per consumer.
 
     # ---- stage 3: near-dup cluster dedup among exact survivors ---------
     edges = minhash_lsh_pairs(s2, threshold=threshold)
@@ -151,13 +154,18 @@ def curate_corpus(ds, threshold: float = 0.8, partitions: int = 64,
         batch_format="pyarrow")
     cc = connected_components(nodes, edges)
 
+    # s2 is materialized, so its count is free — clamp the attach
+    # shuffle's coarseness to the survivor count (same in-blocks x
+    # out-partitions object-cost rule as connected_components).
+    attach_parts = min(partitions, max(4, s2.count() // 4096 + 1))
+
     def cc_route(b: pa.Table) -> pa.Table:
         n = b.column("node").to_numpy(zero_copy_only=False)
         return pa.table({
             "doc_id": pa.array(n, type=pa.int64()),
             text_col: pa.array([""] * len(n), type=pa.string()),
             "cluster": b.column("cluster_id"),
-            "p": pa.array(n % partitions, type=pa.int64()),
+            "p": pa.array(n % attach_parts, type=pa.int64()),
         })
 
     def s2_route(b: pa.Table) -> pa.Table:
@@ -165,7 +173,7 @@ def curate_corpus(ds, threshold: float = 0.8, partitions: int = 64,
         return pa.table({
             "doc_id": b.column("doc_id"), text_col: b.column(text_col),
             "cluster": pa.array(np.full(len(n), -1, dtype=np.int64)),
-            "p": pa.array(n % partitions, type=pa.int64()),
+            "p": pa.array(n % attach_parts, type=pa.int64()),
         })
 
     def attach(g: pd.DataFrame) -> pd.DataFrame:
@@ -191,15 +199,16 @@ def curate_corpus(ds, threshold: float = 0.8, partitions: int = 64,
     labeled = s2.map_batches(s2_route, batch_format="pyarrow") \
         .union(cc.map_batches(cc_route, batch_format="pyarrow")) \
         .groupby("p").map_groups(attach, batch_format="pandas") \
-        .map_batches(attach_arrow, batch_format="pandas")
+        .map_batches(attach_arrow, batch_format="pandas").materialize()
+    # ^ checkpoint above the is_min split for the same reason as
+    # `exact` above; also feeds the benchmark slice, the
+    # decontamination probe AND the broadcast gram compile below.
     dropped_n = labeled.filter(expr="is_min == 0").map_batches(
         lambda b: _status_table(
             b.column("doc_id").to_numpy(zero_copy_only=False),
             "near_dup"), batch_format="pyarrow")
     s3 = labeled.filter(expr="is_min == 1") \
-        .select_columns(["doc_id", text_col]).materialize()
-    # ^ same bounded checkpoint rule: s3 feeds the benchmark slice, the
-    # decontamination probe AND the broadcast gram compile.
+        .select_columns(["doc_id", text_col])
 
     # ---- stage 4: benchmark decontamination ----------------------------
     def bench_rows(b: pa.Table) -> pa.Table:
