@@ -338,6 +338,20 @@ def bench_once(q0_only: bool = False) -> dict:
 
     queries["q9_selection_analysis"] = timed(run_q9)
 
+    # q10: the end-to-end curation composite (quality gates -> exact
+    # dedup -> MinHash-LSH cluster dedup -> benchmark decontamination,
+    # one verdict per doc) — the text-side flagship as ONE pipeline.
+    # Additive query — earlier compositions unchanged.
+    from maskmypy_ray.text.curate import curate_corpus
+
+    def run_q10():
+        docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                               columns=["doc_id", "text"],
+                               override_num_blocks=SMALL_NB)
+        curate_corpus(docs).count()
+
+    queries["q10_curation_composite"] = timed(run_q10)
+
     headline = queries["q0_fused_mask_k"]
     result = {
         "metric": "flagship_mask_verify_sec",
