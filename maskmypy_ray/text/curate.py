@@ -148,16 +148,21 @@ def curate_corpus(ds, threshold: float = 0.8, partitions: int = 64,
         .select_columns(["doc_id", text_col]).materialize()
 
     # ---- stage 3: near-dup cluster dedup among exact survivors ---------
-    edges = minhash_lsh_pairs(s2, threshold=threshold)
+    # s2 is materialized, so its count is free — clamp every downstream
+    # shuffle's coarseness to the survivor count (in-blocks x
+    # out-partitions object-cost rule); all three kernels are
+    # partition-count independent.
+    n2 = s2.count()
+    edges = minhash_lsh_pairs(
+        s2, threshold=threshold,
+        partitions=min(64, max(8, n2 // 512 + 1)),
+        shuffle_blocks=min(32, max(4, n2 // 2048 + 1)))
     nodes = s2.map_batches(
         lambda b: pa.table({"node": b.column("doc_id")}),
         batch_format="pyarrow")
     cc = connected_components(nodes, edges)
 
-    # s2 is materialized, so its count is free — clamp the attach
-    # shuffle's coarseness to the survivor count (same in-blocks x
-    # out-partitions object-cost rule as connected_components).
-    attach_parts = min(partitions, max(4, s2.count() // 4096 + 1))
+    attach_parts = min(partitions, max(4, n2 // 4096 + 1))
 
     def cc_route(b: pa.Table) -> pa.Table:
         n = b.column("node").to_numpy(zero_copy_only=False)
