@@ -3672,3 +3672,67 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge curation part
                   "CAST(0 AS BIGINT) AS n_redacted FROM ("
                   + base["curate_corpus"] + ")")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Per-source stratified fixed-k sample (round 5): the fixed-size-per-
+# stratum eval cut beside the global `sample_fixed_k`. Merged into the
+# registered `samples` row as part `per_source`.
+# ---------------------------------------------------------------------------
+
+
+def q_sample_fixed_k_per_source(sf_dir: str):
+    """The k=5 counter-RNG-smallest docs of EVERY source (ties ->
+    smaller doc_id) — stratified eval sampling; per-batch segmented
+    partial top-k caps the shuffle at k rows per (source, batch)."""
+    import ray.data
+
+    from .text.corpus import sample_fixed_k_per_source
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "source"])
+    return sample_fixed_k_per_source(ds, k=5, seed=SEED)
+
+
+FULL_QUERIES["sample_fixed_k_per_source"] = q_sample_fixed_k_per_source
+
+_FULL_ORACLE_SNAPSHOT_SRCK = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    from .rng import sql_uniform01
+    from .text.corpus import SAMPLE_K_SRC_STREAM
+
+    out = _FULL_ORACLE_SNAPSHOT_SRCK()
+    u = sql_uniform01("doc_id", SEED, SAMPLE_K_SRC_STREAM)
+    out["sample_fixed_k_per_source"] = (
+        "SELECT source, doc_id, u FROM ("
+        "SELECT source, doc_id, u, row_number() OVER ("
+        "PARTITION BY source ORDER BY u, doc_id) AS rn FROM ("
+        f"SELECT source, doc_id, {u} AS u FROM documents)) WHERE rn <= 5")
+    return out
+
+
+_Q_SAMPLES_PRE_SRCK = q_samples
+
+
+def q_samples(sf_dir: str):  # noqa: F811
+    """Doc-level deterministic samplers + the per-source stratified
+    fixed-k part (`per_source`) in one tagged union of kept doc_ids."""
+    srck = _tag_ds(FULL_QUERIES["sample_fixed_k_per_source"](sf_dir),
+                   "per_source", [("doc_id", "doc_id", None)])
+    return _union([_Q_SAMPLES_PRE_SRCK(sf_dir), srck])
+
+
+QUERIES["samples"] = q_samples
+
+_ORACLE_SNAPSHOT_SRCK = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge per_source
+    out = _ORACLE_SNAPSHOT_SRCK()
+    base = full_oracle_queries()
+    out["samples"] = (out["samples"] + "\nUNION ALL\n"
+                      "SELECT 'per_source' AS part, doc_id FROM ("
+                      + base["sample_fixed_k_per_source"] + ")")
+    return out

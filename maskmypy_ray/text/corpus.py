@@ -398,6 +398,73 @@ def sample_fixed_k(ds, k: int = 100, seed: int = 42, key_col: str = "doc_id"):
     return part.sort(["u", key_col]).limit(k)
 
 
+SAMPLE_K_SRC_STREAM = 917  # rng stream registry: per-source fixed-k sampling
+
+
+def sample_fixed_k_per_source_partial(batch: pa.Table, k: int, seed: int,
+                                      key_col: str,
+                                      source_col: str) -> pa.Table:
+    """Per-batch partial: the k smallest (u, key) rows PER SOURCE in
+    this batch — at most k x (sources in batch) rows leave, one
+    vectorized lexsort + segmented head-k, no per-source loop."""
+    import pyarrow.compute as pc
+
+    from ..rng import uniform01
+
+    ids = batch.column(key_col).to_numpy(zero_copy_only=False)
+    enc = pc.dictionary_encode(
+        batch.column(source_col).combine_chunks())
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    u = uniform01(ids, seed, SAMPLE_K_SRC_STREAM)
+    order = np.lexsort((ids, u, codes))
+    if len(order):
+        new = np.ones(len(order), dtype=bool)
+        new[1:] = codes[order][1:] != codes[order][:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        keep_pos = (np.arange(len(order)) - starts[seg]) < k
+        order = order[keep_pos]
+    return pa.table({
+        source_col: batch.column(source_col).take(pa.array(order)),
+        key_col: pa.array(ids[order], type=pa.int64()),
+        "u": pa.array(u[order], type=pa.float64()),
+    })
+
+
+def sample_fixed_k_per_source(ds, k: int = 20, seed: int = 42,
+                              key_col: str = "doc_id",
+                              source_col: str = "source"):
+    """Stratified deterministic sample: the k counter-RNG-smallest rows
+    of EVERY source (ties -> smaller key) — the fixed-size-per-stratum
+    eval cut (`sample_fixed_k` is the global variant; `sample_mix` is
+    fractional). Order-, partition- and retry-independent; the RNG
+    mirrors into SQL so each stratum's kept set is bit-reproducible.
+
+    Scale shape: per-batch segmented partial top-k caps the shuffle at
+    k rows per (source, batch); sources are FEW and the survivors are
+    <= k x sources x blocks rows, so the final per-source head-k is a
+    legitimate few-big-groups ``groupby().map_groups`` (round-3 rule)."""
+    part = ds.map_batches(
+        lambda b: sample_fixed_k_per_source_partial(
+            b, k, seed, key_col, source_col),
+        batch_format="pyarrow")
+
+    def head_k(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["u", key_col], kind="mergesort").head(k)
+
+    def to_arrow(d: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            source_col: pa.array(d[source_col].to_numpy(dtype=object),
+                                 type=pa.string()),
+            key_col: pa.array(d[key_col].to_numpy(), type=pa.int64()),
+            "u": pa.array(d["u"].to_numpy(), type=pa.float64()),
+        })
+
+    return part.groupby(source_col) \
+        .map_groups(head_k, batch_format="pandas") \
+        .map_batches(to_arrow, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Round-4 curation additions: weighted sampling, per-host caps, host
 # blocklist filtering (bloom-prefiltered broadcast membership).

@@ -684,3 +684,28 @@ def test_bigram_lm_oracle_parity(ray_session, sf_dir):
     assert eng["doc_id"].tolist() == orc["doc_id"].tolist()
     assert eng["n_tokens"].tolist() == orc["n_tokens"].tolist()
     assert eng["nll"].tolist() == orc["nll"].tolist()
+
+
+def test_sample_fixed_k_per_source(ray_session, sf_dir):
+    from maskmypy_ray.rng import uniform01
+    from maskmypy_ray.text.corpus import (SAMPLE_K_SRC_STREAM,
+                                          sample_fixed_k_per_source)
+
+    ds = ray_session.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                       columns=["doc_id", "source"])
+    a = sample_fixed_k_per_source(ds, k=3, seed=42).to_pandas() \
+        .sort_values(["source", "u", "doc_id"]).reset_index(drop=True)
+    b = sample_fixed_k_per_source(ds.repartition(7), k=3, seed=42) \
+        .to_pandas().sort_values(["source", "u", "doc_id"]) \
+        .reset_index(drop=True)
+    # partition-independent
+    assert a.equals(b)
+    # brute-force oracle: k smallest (u, doc_id) per source
+    df = ds.to_pandas()
+    df["u"] = uniform01(df["doc_id"].to_numpy(), 42, SAMPLE_K_SRC_STREAM)
+    want = df.sort_values(["u", "doc_id"]).groupby("source").head(3)
+    assert len(a) == len(want)
+    assert set(map(tuple, a[["source", "doc_id"]].to_numpy())) == \
+        set(map(tuple, want[["source", "doc_id"]].to_numpy()))
+    # every source capped at k
+    assert a.groupby("source").size().max() <= 3
