@@ -3736,3 +3736,73 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge per_source
                       "SELECT 'per_source' AS part, doc_id FROM ("
                       + base["sample_fixed_k_per_source"] + ")")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled source mixing weights (round 5): the alpha = 1/2
+# exponent-smoothing rebalance rule, integer-exact. Merged into the
+# registered `corpus_stats` row as part `mix`.
+# ---------------------------------------------------------------------------
+
+
+def q_source_mix_weights(sf_dir: str):
+    """alpha=1/2 multinomial mixing weights per source: q_sqrt =
+    floor(1e9*sqrt(n_docs)) and the exact integer rational w_ppm =
+    q_sqrt*1e6 // sum(q_sqrt) — bit-reproducible in SQL (sqrt and one
+    multiply are each a single correctly-rounded IEEE op)."""
+    import ray.data
+
+    from .text.corpus import source_mix_weights
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source"])
+    return source_mix_weights(ds)
+
+
+FULL_QUERIES["source_mix_weights"] = q_source_mix_weights
+
+_FULL_ORACLE_SNAPSHOT_MIXW = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    out = _FULL_ORACLE_SNAPSHOT_MIXW()
+    out["source_mix_weights"] = (
+        "WITH mixc AS (SELECT source, count(*) AS n_docs FROM documents "
+        "GROUP BY source), "
+        "mixq AS (SELECT source, n_docs, CAST(floor(1000000000.0 * "
+        "sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS q_sqrt FROM mixc) "
+        "SELECT source, n_docs, q_sqrt, "
+        "CAST(CAST(q_sqrt AS HUGEINT) * 1000000 // "
+        "(SELECT sum(CAST(q_sqrt AS HUGEINT)) FROM mixq) AS BIGINT) "
+        "AS w_ppm FROM mixq")
+    return out
+
+
+_Q_CORPUS_STATS_PRE_MIXW = q_corpus_stats
+
+
+def q_corpus_stats(sf_dir: str):  # noqa: F811
+    """Per-source/per-host aggregates + similarity + zipf + the
+    alpha=1/2 mixing-weight part (`mix`: q_sqrt as n_tokens, w_ppm as
+    n_chars) in one tagged union."""
+    mix = _tag_ds(FULL_QUERIES["source_mix_weights"](sf_dir), "mix",
+                  [("key", "source", None), ("n_rows", "n_docs", None),
+                   ("n_tokens", "q_sqrt", None), ("n_chars", "w_ppm", None),
+                   ("avg_chars", ("const", 0.0), pa.float64())])
+    return _union([_Q_CORPUS_STATS_PRE_MIXW(sf_dir), mix])
+
+
+QUERIES["corpus_stats"] = q_corpus_stats
+
+_ORACLE_SNAPSHOT_MIXW = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge mix part
+    out = _ORACLE_SNAPSHOT_MIXW()
+    base = full_oracle_queries()
+    out["corpus_stats"] = (
+        out["corpus_stats"] + "\nUNION ALL\n"
+        "SELECT 'mix' AS part, source AS key, n_docs AS n_rows, "
+        "q_sqrt AS n_tokens, w_ppm AS n_chars, 0.0 AS avg_chars FROM ("
+        + base["source_mix_weights"] + ")")
+    return out

@@ -465,6 +465,60 @@ def sample_fixed_k_per_source(ds, k: int = 20, seed: int = 42,
         .map_batches(to_arrow, batch_format="pandas")
 
 
+MIX_Q_SCALE = 1_000_000_000  # sqrt quantizer: q_i = floor(1e9 * sqrt(n_i))
+MIX_W_SCALE = 1_000_000      # weights in parts-per-million
+
+
+def source_mix_weights(ds, source_col: str = "source") -> pa.Table:
+    """Temperature-scaled source mixing weights at alpha = 1/2: the
+    multinomial sampling rates w_i proportional to n_i^alpha that
+    rebalance a head-heavy corpus (the exponent-smoothing mixing rule
+    of multilingual / multi-source pretraining recipes). alpha = 1/2
+    is the IEEE-exact temperature: the engine and the SQL twin each
+    compute q_i = floor(1e9 * sqrt(n_i)) — sqrt and the multiply are
+    one correctly-rounded op apiece, so they agree bit-for-bit — and
+    the weight is then the EXACT integer rational
+    w_ppm_i = q_i * 1e6 // sum_j q_j (no float sum, no order
+    dependence).
+
+    Scale shape: per-batch bincount partials combine before the
+    ``groupby(source).sum`` (shuffle volume = sources x blocks); the
+    weights themselves are computed driver-side over n_sources rows —
+    bounded, the documented few-big-groups exception (a corpus has a
+    handful of sources at any scale)."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(batch.column(source_col))
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        return pa.table({
+            source_col: enc.dictionary.cast(pa.string()),
+            "n_docs": pa.array(np.bincount(idx, minlength=k),
+                               type=pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(source_col).aggregate(Sum("n_docs", alias_name="n_docs"))
+    rows = sorted(agg.take_all(), key=lambda r: r[source_col])
+    n = np.array([r["n_docs"] for r in rows], dtype=np.float64)
+    # one IEEE mul of one correctly-rounded sqrt -> bit-equal to SQL
+    q = [int(v) for v in np.floor(MIX_Q_SCALE * np.sqrt(n))]
+    den = sum(q)  # Python int: exact, order-independent
+    return pa.table({
+        source_col: pa.array([r[source_col] for r in rows],
+                             type=pa.string()),
+        "n_docs": pa.array([r["n_docs"] for r in rows], type=pa.int64()),
+        "q_sqrt": pa.array(q, type=pa.int64()),
+        "w_ppm": pa.array([qi * MIX_W_SCALE // den for qi in q],
+                          type=pa.int64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # Round-4 curation additions: weighted sampling, per-host caps, host
 # blocklist filtering (bloom-prefiltered broadcast membership).

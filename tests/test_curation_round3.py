@@ -709,3 +709,42 @@ def test_sample_fixed_k_per_source(ray_session, sf_dir):
         set(map(tuple, want[["source", "doc_id"]].to_numpy()))
     # every source capped at k
     assert a.groupby("source").size().max() <= 3
+
+
+def test_source_mix_weights(ray_session, sf_dir):
+    import duckdb
+    from maskmypy_ray import pipelines as p
+    from maskmypy_ray.text.corpus import source_mix_weights
+
+    # skewed synthetic corpus: one head source with 90% of the docs
+    import pyarrow as pa
+    n = 1000
+    srcs = ["head"] * 900 + ["mid"] * 90 + ["tail"] * 10
+    ds = ray_session.data.from_arrow(
+        pa.table({"source": pa.array(srcs, type=pa.string())})
+    ).repartition(7)
+    t = source_mix_weights(ds).to_pandas().set_index("source")
+    assert t["n_docs"].to_dict() == {"head": 900, "mid": 90, "tail": 10}
+    # alpha=1/2 smoothing: head share drops below its 90% mass,
+    # tail share rises above its 1% mass
+    assert t.loc["head", "w_ppm"] < 900_000
+    assert t.loc["tail", "w_ppm"] > 10_000
+    # exact integer rational against Python-int brute force
+    import math
+    q = {s: math.floor(1e9 * math.sqrt(c))
+         for s, c in t["n_docs"].items()}
+    den = sum(q.values())
+    for s in q:
+        assert t.loc[s, "w_ppm"] == q[s] * 1_000_000 // den
+    assert t["w_ppm"].sum() <= 1_000_000  # floor division never oversums
+
+    # oracle parity on the real fixture
+    eng = p.FULL_QUERIES["source_mix_weights"](sf_dir).to_pandas() \
+        .sort_values("source").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    orc = con.execute(p.full_oracle_queries()["source_mix_weights"]).df() \
+        .sort_values("source").reset_index(drop=True)
+    assert eng.astype("int64", errors="ignore").equals(
+        orc.astype(eng.dtypes.to_dict()))
