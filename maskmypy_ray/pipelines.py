@@ -3806,3 +3806,80 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge mix part
         "q_sqrt AS n_tokens, w_ppm AS n_chars, 0.0 AS avg_chars FROM ("
         + base["source_mix_weights"] + ")")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Water-filling source budget allocation (round 5): the UniMax-style
+# uniform-up-to-cap split of a total document budget. Merged into the
+# registered `corpus_stats` row as part `alloc`.
+# ---------------------------------------------------------------------------
+
+
+def q_source_budget_alloc(sf_dir: str):
+    """Water-filling allocation of a total_docs//2 budget across
+    sources: ascending-count pass, fully keep sources under the fair
+    share, floor threshold for the rest — all-integer, bit-exact in
+    SQL via window-function prefix sums."""
+    import ray.data
+
+    from .text.corpus import source_budget_alloc
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source"])
+    return source_budget_alloc(ds)
+
+
+FULL_QUERIES["source_budget_alloc"] = q_source_budget_alloc
+
+_FULL_ORACLE_SNAPSHOT_ALLOC = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    out = _FULL_ORACLE_SNAPSHOT_ALLOC()
+    out["source_budget_alloc"] = (
+        "WITH ac AS (SELECT source, count(*) AS n_docs FROM documents "
+        "GROUP BY source), "
+        "atot AS (SELECT CAST(sum(n_docs) // 2 AS BIGINT) AS b FROM ac), "
+        "aw AS (SELECT source, n_docs, "
+        "coalesce(sum(n_docs) OVER (ORDER BY n_docs, source "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pp, "
+        "row_number() OVER (ORDER BY n_docs, source) AS rn, "
+        "count(*) OVER () AS m, (SELECT b FROM atot) AS b FROM ac), "
+        "af AS (SELECT *, (n_docs * (m - rn + 1) + pp <= b) AS sat "
+        "FROM aw), "
+        "aagg AS (SELECT coalesce(sum(CASE WHEN sat THEN n_docs END), 0) "
+        "AS sk, count(*) FILTER (sat) AS k FROM af) "
+        "SELECT af.source, af.n_docs, "
+        "CAST(CASE WHEN af.sat THEN af.n_docs "
+        "ELSE (af.b - aagg.sk) // greatest(af.m - aagg.k, 1) END "
+        "AS BIGINT) AS alloc, af.b AS budget FROM af, aagg")
+    return out
+
+
+_Q_CORPUS_STATS_PRE_ALLOC = q_corpus_stats
+
+
+def q_corpus_stats(sf_dir: str):  # noqa: F811
+    """The corpus_stats tagged union plus the water-filling budget
+    part (`alloc`: allocation as n_tokens, budget as n_chars)."""
+    al = _tag_ds(FULL_QUERIES["source_budget_alloc"](sf_dir), "alloc",
+                 [("key", "source", None), ("n_rows", "n_docs", None),
+                  ("n_tokens", "alloc", None), ("n_chars", "budget", None),
+                  ("avg_chars", ("const", 0.0), pa.float64())])
+    return _union([_Q_CORPUS_STATS_PRE_ALLOC(sf_dir), al])
+
+
+QUERIES["corpus_stats"] = q_corpus_stats
+
+_ORACLE_SNAPSHOT_ALLOC = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge alloc part
+    out = _ORACLE_SNAPSHOT_ALLOC()
+    base = full_oracle_queries()
+    out["corpus_stats"] = (
+        out["corpus_stats"] + "\nUNION ALL\n"
+        "SELECT 'alloc' AS part, source AS key, n_docs AS n_rows, "
+        "alloc AS n_tokens, budget AS n_chars, 0.0 AS avg_chars FROM ("
+        + base["source_budget_alloc"] + ")")
+    return out

@@ -519,6 +519,65 @@ def source_mix_weights(ds, source_col: str = "source") -> pa.Table:
     })
 
 
+def source_budget_alloc(ds, budget: int | None = None,
+                        source_col: str = "source") -> pa.Table:
+    """Water-filling document-budget allocation across sources (the
+    UniMax-style rule: spread a total training budget as uniformly as
+    possible, capping each source at its own corpus size). Sources are
+    processed in ascending (n_docs, source) order; a source whose
+    count fits under the current fair share keeps all its docs, and
+    every remaining source gets the floor threshold
+    t = (budget - sum_satisfied) // n_remaining. All-integer math, so
+    the SQL twin (window-function prefix sums + the same integer
+    predicate n_i * remaining + prefix <= budget) is bit-exact.
+
+    ``budget=None`` uses total_docs // 2 (the registered fixture
+    rule). The allocation is computed driver-side over the bounded
+    n_sources rows after per-batch bincount partials and one
+    ``groupby(source).sum`` — the few-big-groups exception."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(batch.column(source_col))
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            source_col: enc.dictionary.cast(pa.string()),
+            "n_docs": pa.array(
+                np.bincount(idx, minlength=len(enc.dictionary)),
+                type=pa.int64()),
+        })
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(source_col).aggregate(Sum("n_docs", alias_name="n_docs"))
+    rows = sorted(((r["n_docs"], r[source_col]) for r in agg.take_all()))
+    m = len(rows)
+    b = sum(n for n, _ in rows) // 2 if budget is None else int(budget)
+    # ascending pass: the satisfied predicate is prefix-closed, so it
+    # can be evaluated independently per row (mirrors the SQL window)
+    prefix = 0
+    sat = []
+    for i, (n, _) in enumerate(rows):
+        sat.append(n * (m - i) + prefix <= b)
+        prefix += n
+    s_k = sum(n for (n, _), ok in zip(rows, sat) if ok)
+    k = sum(sat)
+    t = (b - s_k) // max(m - k, 1)
+    order = sorted(range(m), key=lambda i: rows[i][1])
+    return pa.table({
+        source_col: pa.array([rows[i][1] for i in order],
+                             type=pa.string()),
+        "n_docs": pa.array([rows[i][0] for i in order], type=pa.int64()),
+        "alloc": pa.array(
+            [rows[i][0] if sat[i] else t for i in order],
+            type=pa.int64()),
+        "budget": pa.array([b] * m, type=pa.int64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # Round-4 curation additions: weighted sampling, per-host caps, host
 # blocklist filtering (bloom-prefiltered broadcast membership).

@@ -748,3 +748,41 @@ def test_source_mix_weights(ray_session, sf_dir):
         .sort_values("source").reset_index(drop=True)
     assert eng.astype("int64", errors="ignore").equals(
         orc.astype(eng.dtypes.to_dict()))
+
+
+def test_source_budget_alloc(ray_session, sf_dir):
+    import duckdb
+    import pyarrow as pa
+    from maskmypy_ray import pipelines as p
+    from maskmypy_ray.text.corpus import source_budget_alloc
+
+    # skewed corpus: head would eat the whole budget proportionally
+    srcs = ["head"] * 900 + ["mid"] * 90 + ["tail"] * 10
+    ds = ray_session.data.from_arrow(
+        pa.table({"source": pa.array(srcs, type=pa.string())})
+    ).repartition(5)
+    t = source_budget_alloc(ds, budget=300).to_pandas() \
+        .set_index("source")
+    # tail (10) and mid (90) fit under the fair share; head gets the
+    # floor threshold of the remaining budget: (300 - 100) // 1 = 200
+    assert t.loc["tail", "alloc"] == 10
+    assert t.loc["mid", "alloc"] == 90
+    assert t.loc["head", "alloc"] == 200
+    assert t["alloc"].sum() <= 300
+    # budget >= corpus: everyone fully kept
+    t2 = source_budget_alloc(ds, budget=10_000).to_pandas() \
+        .set_index("source")
+    assert t2["alloc"].equals(t2["n_docs"])
+    # tiny budget: uniform floor split, nobody satisfied
+    t3 = source_budget_alloc(ds, budget=8).to_pandas()
+    assert set(t3["alloc"]) == {8 // 3}
+
+    # oracle parity on the real fixture (budget = total//2 rule)
+    eng = p.FULL_QUERIES["source_budget_alloc"](sf_dir).to_pandas() \
+        .sort_values("source").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    orc = con.execute(p.full_oracle_queries()["source_budget_alloc"]) \
+        .df().sort_values("source").reset_index(drop=True)
+    assert eng.equals(orc.astype(eng.dtypes.to_dict()))
