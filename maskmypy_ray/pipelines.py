@@ -3883,3 +3883,87 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge alloc part
         "alloc AS n_tokens, budget AS n_chars, 0.0 AS avg_chars FROM ("
         + base["source_budget_alloc"] + ")")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Per-source unigram KL divergence (round 5): the domain-shift
+# diagnostic over top-V vocab + OOV bucket. Merged into the registered
+# `corpus_stats` row as part `kl`.
+# ---------------------------------------------------------------------------
+
+
+def q_source_kl(sf_dir: str):
+    """KL(P_source || P_corpus) over the global top-4096 unigram vocab
+    plus one OOV bucket — int64-quantized log-ratio terms summed per
+    source, one exact float division (bit-reproducible in SQL)."""
+    import ray.data
+
+    from .text.lm import source_kl
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["source", "text"],
+                               override_num_blocks=16)
+    return source_kl(ds)
+
+
+FULL_QUERIES["source_kl"] = q_source_kl
+
+_FULL_ORACLE_SNAPSHOT_KL = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    out = _FULL_ORACLE_SNAPSHOT_KL()
+    out["source_kl"] = f"""WITH kdocs AS (SELECT source, text FROM documents),
+ktl AS (SELECT source, regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}') AS l FROM kdocs),
+ktok AS (SELECT source, unnest(l) AS tok FROM ktl),
+kcnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM ktok GROUP BY tok),
+ktot AS (SELECT greatest(sum(c), 1) AS N FROM kcnt),
+kvocab AS (SELECT tok, c FROM kcnt ORDER BY c DESC, tok LIMIT 4096),
+kvtok AS (SELECT t.source, COALESCE(v.tok, '<oov>') AS vt
+          FROM ktok t LEFT JOIN kvocab v ON t.tok = v.tok),
+kgv AS (SELECT tok AS vt, c FROM kvocab
+        UNION ALL
+        SELECT '<oov>', (SELECT N FROM ktot) - (SELECT sum(c) FROM kvocab)),
+ksc AS (SELECT source, vt, CAST(count(*) AS BIGINT) AS cs
+        FROM kvtok GROUP BY 1, 2),
+kns AS (SELECT source, CAST(sum(cs) AS BIGINT) AS n_s FROM ksc GROUP BY source),
+kterm AS (SELECT s.source,
+  s.cs * CAST(floor(1000000.0 * ln(
+      (CAST(s.cs AS DOUBLE) * CAST((SELECT N FROM ktot) AS DOUBLE))
+      / (CAST(n.n_s AS DOUBLE) * CAST(g.c AS DOUBLE)))) AS BIGINT) AS t
+  FROM ksc s JOIN kgv g USING (vt) JOIN kns n USING (source))
+SELECT n.source, n.n_s AS n_tokens, CAST(sum(t.t) AS BIGINT) AS s_q,
+  CAST(sum(t.t) AS DOUBLE) / (1000000.0 * n.n_s) AS kl
+FROM kterm t JOIN kns n USING (source) GROUP BY n.source, n.n_s"""
+    return out
+
+
+_Q_CORPUS_STATS_PRE_KL = q_corpus_stats
+
+
+def q_corpus_stats(sf_dir: str):  # noqa: F811
+    """The corpus_stats tagged union plus the per-source KL-divergence
+    part (`kl`: token count as n_rows, quantized int sum as n_tokens,
+    the divergence as avg_chars)."""
+    kl = _tag_ds(FULL_QUERIES["source_kl"](sf_dir), "kl",
+                 [("key", "source", None), ("n_rows", "n_tokens", None),
+                  ("n_tokens", "s_q", None),
+                  ("n_chars", ("const", 0), pa.int64()),
+                  ("avg_chars", "kl", None)])
+    return _union([_Q_CORPUS_STATS_PRE_KL(sf_dir), kl])
+
+
+QUERIES["corpus_stats"] = q_corpus_stats
+
+_ORACLE_SNAPSHOT_KL = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge kl part
+    out = _ORACLE_SNAPSHOT_KL()
+    base = full_oracle_queries()
+    out["corpus_stats"] = (
+        out["corpus_stats"] + "\nUNION ALL\n"
+        "SELECT 'kl' AS part, source AS key, n_tokens AS n_rows, "
+        "s_q AS n_tokens, CAST(0 AS BIGINT) AS n_chars, kl AS avg_chars "
+        "FROM (" + base["source_kl"] + ")")
+    return out

@@ -690,3 +690,99 @@ SELECT v AS n_tokens_fit,
                            / (v * sxx - sx * sx) ELSE 0.0 END)
                 * CAST(sx AS DOUBLE)) / v / 1000000, 6) AS intercept
 FROM s"""
+
+
+def source_kl(ds, top_v: int = TOP_V, text_col: str = "text",
+              source_col: str = "source"):
+    """Per-source unigram KL divergence from the corpus distribution —
+    the standard domain-shift / source-skew diagnostic (which sources
+    look least like the overall training mix). Distributions are over
+    the global top-``top_v`` vocabulary plus ONE out-of-vocabulary
+    bucket, so the support is bounded and shared by every source:
+
+        KL_s = sum_t (c_st / n_s) * ln( (c_st / n_s) / (C_t / N) )
+
+    Exactness trick (same as :func:`unigram_logprob`): each term's log
+    ratio is quantized to int64 as floor(1e6 * ln((c_st*N)/(n_s*C_t)))
+    with ONE IEEE mul per side of the division, the per-source sum
+    sum(c_st * l_st) is order-independent integer arithmetic (returned
+    as ``s_q``), and ``kl`` is one exact float division — the DuckDB
+    twin reproduces all three columns bit-for-bit.
+
+    Scale shape: vocab train = the existing token_counts groupby +
+    top-V sort/limit; the per-(source, bucket) counts pre-aggregate
+    inside map_batches (<= sources x (V+1) rows leave each batch), and
+    the finish is a few-big-groups ``groupby(source).map_groups`` over
+    <= (V+1) x blocks tiny partial rows per source."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    counts = token_counts(ds, text_col).materialize()
+    total = int(counts.aggregate(Sum("c"))["sum(c)"] or 0)
+    vocab_rows = counts.sort(["c", "tok"], descending=[True, False]) \
+        .limit(top_v).take_all()
+    v_idx = {r["tok"]: i for i, r in enumerate(vocab_rows)}
+    n_v = len(vocab_rows)
+    gl = np.zeros(n_v + 1, dtype=np.int64)
+    for i, r in enumerate(vocab_rows):
+        gl[i] = int(r["c"])
+    gl[n_v] = total - int(gl[:n_v].sum())  # the OOV bucket mass
+    idx_ref = ray.put(v_idx)
+    n_total = max(total, 1)
+
+    def partial(b: pa.Table) -> pa.Table:
+        vm: dict = ray.get(idx_ref)
+        flat: list[str] = []
+        srcs: list[str] = []
+        for s, t in zip(b.column(source_col).to_pylist(),
+                        b.column(text_col).to_pylist()):
+            toks = TOKEN_RE.findall(t.lower())
+            flat.extend(toks)
+            srcs.extend([s] * len(toks))
+        if not flat:
+            return pa.table({source_col: pa.array([], type=pa.string()),
+                             "idx": pa.array([], type=pa.int64()),
+                             "c": pa.array([], type=pa.int64())})
+        codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+        tok_idx = np.array([vm.get(u, n_v) for u in uniq],
+                           dtype=np.int64)[codes]
+        s_codes, s_uniq = pd.factorize(np.asarray(srcs, dtype=object))
+        key = s_codes * np.int64(n_v + 1) + tok_idx
+        cnt = np.bincount(key, minlength=len(s_uniq) * (n_v + 1))
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            source_col: pa.array(s_uniq[nz // (n_v + 1)],
+                                 type=pa.string()),
+            "idx": pa.array(nz % (n_v + 1), type=pa.int64()),
+            "c": pa.array(cnt[nz], type=pa.int64()),
+        })
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        c = np.bincount(g["idx"].to_numpy(), weights=g["c"].to_numpy(),
+                        minlength=n_v + 1).astype(np.int64)
+        n_s = int(c.sum())
+        nz = np.flatnonzero(c)
+        # one IEEE mul per side of the division, mirroring the SQL
+        ratio = (c[nz].astype(np.float64) * float(n_total)) / \
+            (float(n_s) * gl[nz].astype(np.float64))
+        l_q = np.floor(1_000_000.0 * np.log(ratio)).astype(np.int64)
+        s_q = int((c[nz] * l_q).sum())
+        return pd.DataFrame({
+            source_col: [g[source_col].iloc[0]],
+            "n_tokens": np.array([n_s], dtype=np.int64),
+            "s_q": np.array([s_q], dtype=np.int64),
+            "kl": [s_q / (1_000_000.0 * n_s)],
+        })
+
+    def to_arrow(d: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            source_col: pa.array(d[source_col].to_numpy(dtype=object),
+                                 type=pa.string()),
+            "n_tokens": pa.array(d["n_tokens"].to_numpy(), type=pa.int64()),
+            "s_q": pa.array(d["s_q"].to_numpy(), type=pa.int64()),
+            "kl": pa.array(d["kl"].to_numpy(), type=pa.float64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(source_col).map_groups(finish, batch_format="pandas") \
+        .map_batches(to_arrow, batch_format="pandas")

@@ -786,3 +786,38 @@ def test_source_budget_alloc(ray_session, sf_dir):
     orc = con.execute(p.full_oracle_queries()["source_budget_alloc"]) \
         .df().sort_values("source").reset_index(drop=True)
     assert eng.equals(orc.astype(eng.dtypes.to_dict()))
+
+
+def test_source_kl(ray_session, sf_dir):
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    from maskmypy_ray.text.lm import source_kl
+    from maskmypy_ray import pipelines as p
+
+    # a source whose vocabulary diverges from the mix scores higher
+    rows = (["alpha beta gamma delta"] * 50
+            + ["zeta eta theta iota"] * 50
+            + ["qqq www eee rrr"] * 4)
+    srcs = ["a"] * 50 + ["b"] * 50 + ["weird"] * 4
+    ds = ray_session.data.from_arrow(pa.table({
+        "source": pa.array(srcs, type=pa.string()),
+        "text": pa.array(rows, type=pa.string()),
+    })).repartition(5)
+    t = source_kl(ds).to_pandas().set_index("source")
+    assert t.loc["weird", "kl"] > t.loc["a", "kl"]
+    assert t.loc["weird", "kl"] > t.loc["b", "kl"]
+    assert (t["kl"] >= 0).all()
+    # partition independence (integer sums are order-independent)
+    t2 = source_kl(ds.repartition(11)).to_pandas().set_index("source")
+    pd.testing.assert_frame_equal(t.sort_index(), t2.sort_index())
+
+    # oracle parity on the real fixture
+    eng = p.FULL_QUERIES["source_kl"](sf_dir).to_pandas() \
+        .sort_values("source").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    orc = con.execute(p.full_oracle_queries()["source_kl"]).df() \
+        .sort_values("source").reset_index(drop=True)
+    pd.testing.assert_frame_equal(eng, orc.astype(eng.dtypes.to_dict()))
