@@ -136,3 +136,41 @@ def frame_sample_batch(batch: pa.Table, every: int = 2) -> pa.Table:
 def frame_sample(ds, every: int = 2, batch_size: int = 256):
     return ds.map_batches(lambda b: frame_sample_batch(b, every),
                           batch_format="pyarrow", batch_size=batch_size)
+
+
+def media_phash_batch(batch: pa.Table, media_col: str = "html") -> pa.Table:
+    """Blockhash-style perceptual hash over the decoded 8x8 image: one
+    bit per pixel, set iff the pixel's integer luma (299R + 587G +
+    114B) strictly exceeds the image mean (luma*64 > total — no
+    division, all-integer, so the SQL twin is bit-exact). Returned as
+    a 64-char '0'/'1' string (MSB-free encoding sidesteps int64 sign
+    wraparound). Uses the same deterministic md5-derived fake decode
+    as :class:`MediaDecoder` (the real codec is absent here); with a
+    real codec only ``_decode`` changes — the hash kernel is real."""
+    blobs = batch.column(media_col).to_pylist()
+    if not blobs:
+        return pa.table({"url": batch.column("url"),
+                         "phash": pa.array([], type=pa.string())})
+    dig = np.frombuffer(b"".join(md5(b).digest() for b in blobs),
+                        dtype=np.uint8).reshape(-1, 16)
+    raw = np.tile(dig, (1, 12))[:, :192]  # 8*8*3 fake-decode bytes
+    rgb = raw.reshape(-1, 64, 3).astype(np.int64)
+    luma = rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114
+    bits = luma * 64 > luma.sum(axis=1, keepdims=True)
+    buf = (bits.astype(np.uint8) + 48).tobytes()
+    return pa.table({
+        "url": batch.column("url"),
+        "phash": pa.array([buf[i * 64:(i + 1) * 64].decode()
+                           for i in range(len(blobs))], type=pa.string()),
+    })
+
+
+def media_phash(ds, media_col: str = "html"):
+    """Per-payload perceptual hash — the image-modality analogue of
+    text SimHash: near-duplicate images differ in few bits, so the
+    downstream dedup is the SAME banded-LSH machinery the text paths
+    use (hamming bands over the bit string). Stateless vectorized
+    map_batches; small batches upstream keep the binary payloads
+    within worker heaps."""
+    return ds.map_batches(lambda b: media_phash_batch(b, media_col),
+                          batch_format="pyarrow")

@@ -3967,3 +3967,86 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge kl part
         "s_q AS n_tokens, CAST(0 AS BIGINT) AS n_chars, kl AS avg_chars "
         "FROM (" + base["source_kl"] + ")")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Media perceptual hash (round 5): blockhash bits over the fake-decoded
+# 8x8 image — the image-modality SimHash. Merged into the registered
+# `media_metadata` row as part `phash`.
+# ---------------------------------------------------------------------------
+
+
+def q_media_phash(sf_dir: str):
+    """64-bit blockhash per media payload as a '0'/'1' string: integer
+    luma vs image mean (luma*64 > total), bit-exact in SQL over the
+    md5 hex digest of the payload (the deterministic fake decode)."""
+    from .multimodal.media import media_phash
+
+    return media_phash(read_webpages(sf_dir, seed=SEED, include_html=True))
+
+
+FULL_QUERIES["media_phash"] = q_media_phash
+
+_FULL_ORACLE_SNAPSHOT_PHASH = full_oracle_queries
+
+
+def _phash_luma_sql(c: int) -> str:
+    """Integer luma byte term: digest byte (3*i + c) % 16 from the md5
+    hex string h (two hex chars per byte, strpos-decoded)."""
+    j = f"((3 * i + {c}) % 16)"
+    hv1 = (f"(strpos('0123456789abcdef', "
+           f"substr(h, 2 * {j} + 1, 1)) - 1)")
+    hv2 = (f"(strpos('0123456789abcdef', "
+           f"substr(h, 2 * {j} + 2, 1)) - 1)")
+    return f"(16 * {hv1} + {hv2})"
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    out = _FULL_ORACLE_SNAPSHOT_PHASH()
+    luma = (f"(299 * {_phash_luma_sql(0)} + 587 * {_phash_luma_sql(1)} "
+            f"+ 114 * {_phash_luma_sql(2)})")
+    out["media_phash"] = f"""WITH {oracle.pages_cte(SEED)},
+phh AS (SELECT url, md5('<html><body>' || text || '</body></html>') AS h
+        FROM pages),
+phpx AS (SELECT url, i, {luma} AS luma
+         FROM phh, (SELECT unnest(range(64)) AS i) idx),
+phtot AS (SELECT url, sum(luma) AS t FROM phpx GROUP BY url),
+phbits AS (SELECT p.url, p.i,
+           CASE WHEN p.luma * 64 > t.t THEN '1' ELSE '0' END AS b
+           FROM phpx p JOIN phtot t USING (url))
+SELECT url, string_agg(b, '' ORDER BY i) AS phash
+FROM phbits GROUP BY url"""
+    return out
+
+
+_Q_MEDIA_METADATA_PRE_PHASH = q_media_metadata
+
+
+def q_media_metadata(sf_dir: str):  # noqa: F811
+    """Media metadata + the blockhash perceptual hash in one tagged
+    union (`meta` carries bytes+md5; `phash` carries the 64-bit hash
+    string in the media_md5 slot)."""
+    meta = _tag_ds(_Q_MEDIA_METADATA_PRE_PHASH(sf_dir), "meta",
+                   [("url", "url", None), ("media_bytes", "media_bytes", None),
+                    ("media_md5", "media_md5", None)])
+    ph = _tag_ds(FULL_QUERIES["media_phash"](sf_dir), "phash",
+                 [("url", "url", None),
+                  ("media_bytes", ("const", 0), pa.int64()),
+                  ("media_md5", "phash", None)])
+    return _union([meta, ph])
+
+
+QUERIES["media_metadata"] = q_media_metadata
+
+_ORACLE_SNAPSHOT_PHASH = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge phash part
+    out = _ORACLE_SNAPSHOT_PHASH()
+    base = full_oracle_queries()
+    out["media_metadata"] = (
+        "SELECT 'meta' AS part, url, media_bytes, media_md5 FROM ("
+        + out["media_metadata"] + ")\nUNION ALL\n"
+        "SELECT 'phash' AS part, url, CAST(0 AS BIGINT) AS media_bytes, "
+        "phash AS media_md5 FROM (" + base["media_phash"] + ")")
+    return out

@@ -821,3 +821,45 @@ def test_source_kl(ray_session, sf_dir):
     orc = con.execute(p.full_oracle_queries()["source_kl"]).df() \
         .sort_values("source").reset_index(drop=True)
     pd.testing.assert_frame_equal(eng, orc.astype(eng.dtypes.to_dict()))
+
+
+def test_media_phash(ray_session, sf_dir):
+    import duckdb
+    import pandas as pd
+    from maskmypy_ray import pipelines as p
+
+    eng = p.FULL_QUERIES["media_phash"](sf_dir).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert (eng["phash"].str.len() == 64).all()
+    assert eng["phash"].str.fullmatch("[01]{64}").all()
+    # identical payloads hash identically; the md5-derived fake decode
+    # makes phash groups match exact-payload groups on the fixture
+    meta = p.FULL_QUERIES["media_metadata"](sf_dir).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    j = eng.merge(meta, on="url")
+    g1 = j.groupby("media_md5")["phash"].nunique()
+    assert (g1 == 1).all()
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    orc = con.execute(p.full_oracle_queries()["media_phash"]).df() \
+        .sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(eng, orc)
+
+
+def test_media_phash_kernel():
+    import pyarrow as pa
+    from maskmypy_ray.multimodal.media import media_phash_batch
+
+    b1 = pa.table({"url": pa.array(["u1", "u2", "u3"], type=pa.string()),
+                   "html": pa.array([b"payload-a", b"payload-a",
+                                     b"payload-b"], type=pa.binary())})
+    t = media_phash_batch(b1)
+    ph = t.column("phash").to_pylist()
+    assert ph[0] == ph[1]          # identical payloads -> identical hash
+    assert ph[0] != ph[2]          # different payloads -> different hash
+    assert all(len(x) == 64 and set(x) <= {"0", "1"} for x in ph)
+    # empty batch keeps the schema
+    e = media_phash_batch(b1.slice(0, 0))
+    assert e.schema.field("phash").type == pa.string() and len(e) == 0
