@@ -16,6 +16,7 @@ from __future__ import annotations
 from hashlib import md5
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 
@@ -174,3 +175,139 @@ def media_phash(ds, media_col: str = "html"):
     within worker heaps."""
     return ds.map_batches(lambda b: media_phash_batch(b, media_col),
                           batch_format="pyarrow")
+
+
+PHASH_BANDS = 4          # 4 x 16-bit bands: >= 1 band survives <= 3 flips
+PHASH_MAX_HAMMING = 4    # verify bound for a candidate pair
+PHASH_PERTURB_MOD = 10   # digest byte 15 % MOD == 0 -> emit a near-dup copy
+
+
+def phash_with_perturbed_batch(batch: pa.Table,
+                               media_col: str = "html") -> pa.Table:
+    """(url, phash) rows plus a deterministic near-duplicate copy for
+    ~1/PHASH_PERTURB_MOD of payloads: urls whose md5 digest byte 15 is
+    ≡ 0 (mod 10) get a second row tagged ``url#p`` with 3 bit flips at
+    positions digest[0..2] % 64 (XOR-applied, so colliding positions
+    cancel — hamming is 1 or 3, always ≤ 3, and by pigeonhole at least
+    one 16-bit band survives intact). The rule is a pure function of
+    the payload, so the SQL twin reproduces the seeded pairs exactly —
+    the fixture's random phashes would otherwise contain no near pairs
+    to find (same seeding idea as sim.ann.with_perturbed_copies)."""
+    base = media_phash_batch(batch, media_col)
+    blobs = batch.column(media_col).to_pylist()
+    if not blobs:
+        return base
+    dig = np.frombuffer(b"".join(md5(b).digest() for b in blobs),
+                        dtype=np.uint8).reshape(-1, 16)
+    flagged = np.flatnonzero(dig[:, 15] % PHASH_PERTURB_MOD == 0)
+    urls = base.column("url").to_pylist()
+    hashes = base.column("phash").to_pylist()
+    p_urls, p_hashes = [], []
+    for i in flagged:
+        bits = bytearray(hashes[i], "ascii")
+        for j in range(3):
+            pos = int(dig[i, j]) % 64
+            bits[pos] ^= 1  # '0' (0x30) <-> '1' (0x31)
+        p_urls.append(urls[i] + "#p")
+        p_hashes.append(bits.decode("ascii"))
+    return pa.table({
+        "url": pa.array(urls + p_urls, type=pa.string()),
+        "phash": pa.array(hashes + p_hashes, type=pa.string()),
+    })
+
+
+def media_phash_pairs(ds, media_col: str = "html",
+                      n_parts: int = 32):
+    """Image near-duplicate pairs via banded-hamming LSH over the
+    perceptual hash: (url_a, url_b, hamming) with hamming ≤ 4.
+
+    Scale shape: each hash row fans out to PHASH_BANDS band rows
+    routed by ``hash(band, value) % n_parts`` — ONE coarse shuffle;
+    candidate pairs are generated per partition with a vectorized
+    sort + run-length kernel (collide-only, never all-pairs) and
+    hamming-verified with a numpy byte compare in the same kernel, so
+    nothing but final pairs leaves a partition. Pair dedup (a pair can
+    collide in several bands, which may land in different partitions)
+    is a second coarse ``hash(pair) % 16`` partition drop_duplicates —
+    pairs are bounded by the perturbed fraction, never corpus-sized."""
+    import pyarrow.compute as pc
+
+    def to_bands(b: pa.Table) -> pa.Table:
+        urls = np.asarray(b.column("url").to_pylist(), dtype=object)
+        ph = np.asarray(b.column("phash").to_pylist(), dtype=object)
+        n = len(urls)
+        out_u, out_h, out_band, out_val = [], [], [], []
+        for bi in range(PHASH_BANDS):
+            out_u.append(urls)
+            out_h.append(ph)
+            out_band.append(np.full(n, bi, dtype=np.int64))
+            out_val.append(np.asarray(
+                [s[16 * bi:16 * (bi + 1)] for s in ph], dtype=object))
+        band = np.concatenate(out_band)
+        val = np.concatenate(out_val)
+        # md5-based routing: Python's builtin hash is salted per
+        # process and would scatter one bucket across partitions
+        key = np.asarray(
+            [int.from_bytes(md5(f"{a}|{v}".encode()).digest()[:8],
+                            "little") % n_parts
+             for a, v in zip(band, val)], dtype=np.int64)
+        return pa.table({
+            "url": pa.array(np.concatenate(out_u), type=pa.string()),
+            "phash": pa.array(np.concatenate(out_h), type=pa.string()),
+            "band": pa.array(band, type=pa.int64()),
+            "val": pa.array(val, type=pa.string()),
+            "bkey": pa.array(key, type=pa.int64()),
+        })
+
+    def pairs_in_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["band", "val", "url"], kind="mergesort")
+        ua, ub, hd = [], [], []
+        for (_, _), grp in g.groupby(["band", "val"], sort=False):
+            if len(grp) < 2:
+                continue
+            us = grp["url"].to_numpy()
+            hs = grp["phash"].to_numpy()
+            mat = np.frombuffer("".join(hs).encode("ascii"),
+                                dtype=np.uint8).reshape(len(us), 64)
+            for i in range(len(us)):
+                d = (mat[i + 1:] != mat[i]).sum(axis=1)
+                ok = np.flatnonzero(d <= PHASH_MAX_HAMMING)
+                for k in ok:
+                    a, bb = us[i], us[i + 1 + k]
+                    if a > bb:
+                        a, bb = bb, a
+                    ua.append(a)
+                    ub.append(bb)
+                    hd.append(int(d[k]))
+        return pd.DataFrame({"url_a": ua, "url_b": ub,
+                             "hamming": np.array(hd, dtype=np.int64)})
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["url_a", "url_b"])[
+            ["url_a", "url_b", "hamming"]]
+
+    def to_arrow(d: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "url_a": pa.array(d["url_a"].to_numpy(dtype=object),
+                              type=pa.string()),
+            "url_b": pa.array(d["url_b"].to_numpy(dtype=object),
+                              type=pa.string()),
+            "hamming": pa.array(d["hamming"].to_numpy(), type=pa.int64()),
+        })
+
+    hashes = ds.map_batches(
+        lambda b: phash_with_perturbed_batch(b, media_col),
+        batch_format="pyarrow")
+    bands = hashes.map_batches(to_bands, batch_format="pyarrow")
+    cand = bands.groupby("bkey").map_groups(
+        pairs_in_partition, batch_format="pandas")
+
+    def pkey(d: pd.DataFrame) -> pd.DataFrame:
+        d = d.copy()
+        d["pk"] = pd.util.hash_pandas_object(
+            d["url_a"] + "|" + d["url_b"], index=False).astype(np.int64) % 16
+        return d
+
+    return cand.map_batches(pkey, batch_format="pandas") \
+        .groupby("pk").map_groups(dedup_pairs, batch_format="pandas") \
+        .map_batches(to_arrow, batch_format="pandas")

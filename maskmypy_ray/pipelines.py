@@ -4050,3 +4050,105 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge phash part
         "SELECT 'phash' AS part, url, CAST(0 AS BIGINT) AS media_bytes, "
         "phash AS media_md5 FROM (" + base["media_phash"] + ")")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Media near-dup pairs (round 5): banded-hamming LSH over the
+# perceptual hash with deterministically seeded near-duplicates.
+# Merged into the registered `media_metadata` row as part `pairs`.
+# ---------------------------------------------------------------------------
+
+
+def q_media_phash_pairs(sf_dir: str):
+    """Image near-duplicate pairs (url_a, url_b, hamming<=4) via 4x16
+    bit banded LSH over the blockhash; ~10% of payloads get a seeded
+    3-bit-flip copy (pure function of the payload md5) so the fixture
+    has pairs to find — exact SQL twin reproduces flips and bands."""
+    from .multimodal.media import media_phash_pairs
+
+    return media_phash_pairs(
+        read_webpages(sf_dir, seed=SEED, include_html=True))
+
+
+FULL_QUERIES["media_phash_pairs"] = q_media_phash_pairs
+
+_FULL_ORACLE_SNAPSHOT_PHP = full_oracle_queries
+
+
+def _phash_hv_sql(k: str) -> str:
+    """Hex nibble value at 1-based position k of the md5 string h."""
+    return f"(strpos('0123456789abcdef', substr(h, {k}, 1)) - 1)"
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    out = _FULL_ORACLE_SNAPSHOT_PHP()
+    luma = (f"(299 * {_phash_luma_sql(0)} + 587 * {_phash_luma_sql(1)} "
+            f"+ 114 * {_phash_luma_sql(2)})")
+    byte15 = f"(16 * {_phash_hv_sql('31')} + {_phash_hv_sql('32')})"
+    bytej = f"(16 * {_phash_hv_sql('2 * j + 1')} + {_phash_hv_sql('2 * j + 2')})"
+    out["media_phash_pairs"] = f"""WITH {oracle.pages_cte(SEED)},
+phh AS (SELECT url, md5('<html><body>' || text || '</body></html>') AS h
+        FROM pages),
+phpx AS (SELECT url, i, {luma} AS luma
+         FROM phh, (SELECT unnest(range(64)) AS i) idx),
+phtot AS (SELECT url, sum(luma) AS t FROM phpx GROUP BY url),
+phbits AS (SELECT p.url, p.i,
+           CASE WHEN p.luma * 64 > t.t THEN '1' ELSE '0' END AS b
+           FROM phpx p JOIN phtot t USING (url)),
+phs AS (SELECT url, string_agg(b, '' ORDER BY i) AS phash
+        FROM phbits GROUP BY url),
+pflag AS (SELECT url, h FROM phh WHERE {byte15} % 10 = 0),
+ppos AS (SELECT url, {bytej} % 64 AS p
+         FROM pflag, (SELECT unnest(range(3)) AS j) jj),
+pfc AS (SELECT url, p, count(*) AS c FROM ppos GROUP BY url, p),
+pper AS (SELECT f.url || '#p' AS url, pb.i,
+         CASE WHEN fc.c IS NOT NULL AND fc.c % 2 = 1
+              THEN CASE pb.b WHEN '1' THEN '0' ELSE '1' END
+              ELSE pb.b END AS b
+         FROM pflag f JOIN phbits pb ON pb.url = f.url
+         LEFT JOIN pfc fc ON fc.url = f.url AND fc.p = pb.i),
+pphs AS (SELECT url, string_agg(b, '' ORDER BY i) AS phash
+         FROM pper GROUP BY url),
+pallh AS (SELECT * FROM phs UNION ALL SELECT * FROM pphs),
+pbnd AS (SELECT url, phash, bb.b AS band,
+         substr(phash, 16 * bb.b + 1, 16) AS val
+         FROM pallh, (SELECT unnest(range(4)) AS b) bb),
+pcand AS (SELECT DISTINCT a.url AS url_a, a.phash AS pa,
+          c.url AS url_b, c.phash AS pb
+          FROM pbnd a JOIN pbnd c
+          ON a.band = c.band AND a.val = c.val AND a.url < c.url),
+pham AS (SELECT url_a, url_b,
+         sum(CASE WHEN substr(pa, ii.i + 1, 1) <> substr(pb, ii.i + 1, 1)
+             THEN 1 ELSE 0 END) AS hamming
+         FROM pcand, (SELECT unnest(range(64)) AS i) ii
+         GROUP BY url_a, url_b)
+SELECT url_a, url_b, CAST(hamming AS BIGINT) AS hamming
+FROM pham WHERE hamming <= 4"""
+    return out
+
+
+_Q_MEDIA_METADATA_PRE_PAIRS = q_media_metadata
+
+
+def q_media_metadata(sf_dir: str):  # noqa: F811
+    """media_metadata union extended with the near-dup pairs part
+    (`pairs`: hamming as media_bytes, url_b in the media_md5 slot)."""
+    pr = _tag_ds(FULL_QUERIES["media_phash_pairs"](sf_dir), "pairs",
+                 [("url", "url_a", None), ("media_bytes", "hamming", None),
+                  ("media_md5", "url_b", None)])
+    return _union([_Q_MEDIA_METADATA_PRE_PAIRS(sf_dir), pr])
+
+
+QUERIES["media_metadata"] = q_media_metadata
+
+_ORACLE_SNAPSHOT_PHP = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge pairs part
+    out = _ORACLE_SNAPSHOT_PHP()
+    base = full_oracle_queries()
+    out["media_metadata"] = (
+        out["media_metadata"] + "\nUNION ALL\n"
+        "SELECT 'pairs' AS part, url_a AS url, hamming AS media_bytes, "
+        "url_b AS media_md5 FROM (" + base["media_phash_pairs"] + ")")
+    return out

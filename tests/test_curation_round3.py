@@ -863,3 +863,32 @@ def test_media_phash_kernel():
     # empty batch keeps the schema
     e = media_phash_batch(b1.slice(0, 0))
     assert e.schema.field("phash").type == pa.string() and len(e) == 0
+
+
+def test_media_phash_pairs(ray_session, sf_dir):
+    import duckdb
+    import pandas as pd
+    from maskmypy_ray import pipelines as p
+
+    eng = p.FULL_QUERIES["media_phash_pairs"](sf_dir).to_pandas() \
+        .sort_values(["url_a", "url_b"]).reset_index(drop=True)
+    assert len(eng) > 0
+    assert (eng["hamming"] <= 4).all()
+    # every seeded perturbed copy is found paired with ITS original (a
+    # copy may ALSO match other originals whose base hash collides —
+    # the stub decode has period-16 bit patterns — but the self-pair
+    # is guaranteed: <= 3 flips leave >= 1 of the 4 bands intact)
+    seeded = eng[eng["url_b"].str.endswith("#p")]
+    assert len(seeded) > 0
+    self_pairs = seeded[seeded["url_b"].str[:-2] == seeded["url_a"]]
+    copies = set(seeded["url_b"])
+    assert set(self_pairs["url_b"]) == copies
+    # 3 XOR flips -> hamming 3, or 1 if two flip positions collided
+    assert set(self_pairs["hamming"]) <= {1, 3}
+
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    orc = con.execute(p.full_oracle_queries()["media_phash_pairs"]).df() \
+        .sort_values(["url_a", "url_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(eng, orc.astype(eng.dtypes.to_dict()))
