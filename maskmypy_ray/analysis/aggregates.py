@@ -488,3 +488,114 @@ def exact_quantiles_distributed(ds, col: str, qs: list[float],
         vals = np.sort(got.loc[got["tag"] == si, col].to_numpy())
         out.append(float(vals[off]))
     return out
+
+
+def weighted_crossing_distributed(ds, val_col: str, w_col: str, target: int,
+                                  eq: tuple[str, object] | None = None,
+                                  max_collect: int = 65_536):
+    """First value (ascending ``val_col`` order) whose INCLUSIVE
+    cumulative integer weight exceeds ``target`` — the weighted
+    generalization of the rank descent in
+    :func:`exact_quantiles_distributed` (there every row has weight 1).
+
+    This is the primitive behind "window SUM OVER (ORDER BY ...) <= B"
+    selections (token-budget corpus cuts, weighted quantiles) computed
+    WITHOUT a global sort: each refinement pass is one ``map_batches``
+    emitting a 1024-bin (weight-sum, row-count) histogram of the active
+    window plus one tiny groupby, and the terminal pass aggregates
+    per-DISTINCT-value weight sums inside the final bin (pre-combined
+    per batch, so the shuffle carries <= distinct-values rows no matter
+    how many rows the bin holds; a tie run is one row).
+
+    ``eq`` optionally restricts every pass to rows where column
+    ``eq[0] == eq[1]`` (exact compare — used for tie-breaking a prior
+    crossing by a second key). Weights must be non-negative int64; a
+    batch's per-bin float64 accumulation is exact because batch weight
+    sums stay far below 2^53, and the cross-batch combine is int64.
+
+    Returns ``(cross_val, w_before)`` with ``w_before`` = exact sum of
+    weights over ``val < cross_val``, or ``(None, W_total)`` when the
+    total weight never exceeds ``target``.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Max, Min, Sum
+
+    eq_col, eq_val = eq if eq is not None else (None, None)
+
+    def _sel(b: pa.Table):
+        v = b.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        w = b.column(w_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ~np.isnan(v)
+        if eq_col is not None:
+            keep &= (b.column(eq_col).to_numpy(zero_copy_only=False) == eq_val)
+        return v[keep], w[keep]
+
+    def stats_part(b: pa.Table) -> pa.Table:
+        v, w = _sel(b)
+        return pa.table({
+            "vmin": pa.array([float(v.min()) if len(v) else np.inf]),
+            "vmax": pa.array([float(v.max()) if len(v) else -np.inf]),
+            "wsum": pa.array([int(w.sum()) if len(v) else 0], type=pa.int64()),
+        })
+
+    agg = ds.map_batches(stats_part, batch_format="pyarrow").aggregate(
+        Min("vmin"), Max("vmax"), Sum("wsum"))
+    vmin, vmax = float(agg["min(vmin)"]), float(agg["max(vmax)"])
+    total = int(agg["sum(wsum)"] or 0)
+    if total <= target:
+        return None, total
+
+    # window invariant: the crossing value lies in [lo, hi] ("last" =>
+    # hi inclusive, mirroring np.histogram's closed final bin); before =
+    # exact weight sum strictly below lo at the levels already resolved.
+    lo, hi, before, last = vmin, vmax, 0, True
+    while _refinable(lo, hi):
+        edges = np.linspace(lo, hi, 1025)
+
+        def hist(b: pa.Table, edges=edges, lo=lo, hi=hi,
+                 last=last) -> pa.Table:
+            v, w = _sel(b)
+            m = (v >= lo) & ((v <= hi) if last else (v < hi))
+            vv, ww = v[m], w[m]
+            ws, _ = np.histogram(vv, bins=edges, weights=ww.astype(np.float64))
+            cs, _ = np.histogram(vv, bins=edges)
+            return pa.table({
+                "bin": pa.array(np.arange(1024, dtype=np.int64)),
+                "wsum": pa.array(ws.astype(np.int64)),
+                "c": pa.array(cs.astype(np.int64)),
+            })
+
+        cdf = ds.map_batches(hist, batch_format="pyarrow") \
+            .groupby("bin").aggregate(Sum("wsum", alias_name="w"),
+                                      Sum("c", alias_name="n")).to_pandas()
+        wbins = cdf.set_index("bin")["w"].reindex(
+            range(1024), fill_value=0).to_numpy().astype(np.int64)
+        nbins = cdf.set_index("bin")["n"].reindex(
+            range(1024), fill_value=0).to_numpy().astype(np.int64)
+        cum = np.cumsum(wbins)
+        b = int(np.searchsorted(cum, target - before, side="right"))
+        if b:
+            before += int(cum[b - 1])
+        lo, hi = float(edges[b]), float(edges[b + 1])
+        last = last and b == 1023
+        if int(nbins[b]) <= max_collect:
+            break
+
+    def term(b: pa.Table, lo=lo, hi=hi, last=last) -> pa.Table:
+        v, w = _sel(b)
+        m = (v >= lo) & ((v <= hi) if last else (v < hi))
+        vv, ww = v[m], w[m]
+        uv, inv = np.unique(vv, return_inverse=True)
+        ws = np.zeros(len(uv), dtype=np.int64)
+        np.add.at(ws, inv, ww)
+        return pa.table({"val": pa.array(uv, type=pa.float64()),
+                         "wsum": pa.array(ws)})
+
+    got = ds.map_batches(term, batch_format="pyarrow") \
+        .groupby("val").aggregate(Sum("wsum", alias_name="w")) \
+        .to_pandas().sort_values("val")
+    cum = before + got["w"].cumsum().to_numpy().astype(np.int64)
+    j = int(np.searchsorted(cum, target, side="right"))
+    if j >= len(got):  # pragma: no cover — window invariant violated
+        raise AssertionError("weighted crossing escaped its window")
+    return float(got["val"].iloc[j]), (int(cum[j - 1]) if j else before)

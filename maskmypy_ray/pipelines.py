@@ -4152,3 +4152,78 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge pairs part
         "SELECT 'pairs' AS part, url_a AS url, hamming AS media_bytes, "
         "url_b AS media_md5 FROM (" + base["media_phash_pairs"] + ")")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Token-budget corpus cut (round 5): quality-ranked selection under a
+# global token budget — the distributed "window SUM OVER a global sort
+# order" primitive (weighted histogram-refinement descent, no sort).
+# Merged into the registered `samples` row as part `budget`.
+# ---------------------------------------------------------------------------
+
+
+def q_token_budget_cut(sf_dir: str):
+    """Keep docs while the cumulative token count over (quality_score
+    DESC, doc_id) stays within half the corpus's total tokens — keep
+    flags for every doc, boundary found without any global sort."""
+    import ray.data
+
+    from .text.corpus import token_budget_cut
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"],
+                               override_num_blocks=16)
+    return token_budget_cut(ds)
+
+
+FULL_QUERIES["token_budget_cut"] = q_token_budget_cut
+
+_FULL_ORACLE_SNAPSHOT_BUDGET = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    out = _FULL_ORACLE_SNAPSHOT_BUDGET()
+    tok = f"regexp_extract_all(lower(text), '{_TOKEN_RE_SQL}')"
+    stop = f"regexp_extract_all(lower(text), '{_STOP_RE_SQL}')"
+    ratio = ("CASE WHEN len(" + tok + ") > 0 THEN len(" + stop
+             + ") / CAST(greatest(len(" + tok + "), 1) AS DOUBLE) "
+             "ELSE 0.0 END")
+    out["token_budget_cut"] = (
+        f"WITH tb AS (SELECT doc_id, least(len({tok}) / 50.0, 1.0) * 0.5 "
+        f"+ least(({ratio}) * 5.0, 1.0) * 0.5 AS quality_score, "
+        f"CAST(len({tok}) AS BIGINT) AS n_tokens FROM documents), "
+        "tc AS (SELECT doc_id, quality_score, n_tokens, "
+        "sum(n_tokens) OVER (ORDER BY quality_score DESC, doc_id) AS cum, "
+        "(SELECT sum(n_tokens) // 2 FROM tb) AS b FROM tb) "
+        "SELECT doc_id, quality_score, n_tokens, "
+        "CAST(cum <= b AS BIGINT) AS keep FROM tc")
+    return out
+
+
+_Q_SAMPLES_PRE_BUDGET = q_samples
+
+
+def q_samples(sf_dir: str):  # noqa: F811
+    """Doc-level deterministic samplers + the token-budget cut part
+    (`budget`: the kept doc_ids of the quality-ranked half-token cut)."""
+    import pyarrow.compute as pc
+
+    kept = _as_ds(FULL_QUERIES["token_budget_cut"](sf_dir)).map_batches(
+        lambda b: b.filter(pc.equal(b.column("keep"), 1)),
+        batch_format="pyarrow")
+    bu = _tag_ds(kept, "budget", [("doc_id", "doc_id", None)])
+    return _union([_Q_SAMPLES_PRE_BUDGET(sf_dir), bu])
+
+
+QUERIES["samples"] = q_samples
+
+_ORACLE_SNAPSHOT_BUDGET = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge budget part
+    out = _ORACLE_SNAPSHOT_BUDGET()
+    base = full_oracle_queries()
+    out["samples"] = (out["samples"] + "\nUNION ALL\n"
+                      "SELECT 'budget' AS part, doc_id FROM ("
+                      + base["token_budget_cut"] + ") WHERE keep = 1")
+    return out

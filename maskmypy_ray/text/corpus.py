@@ -1078,3 +1078,83 @@ def shuffle_shards(ds, n_shards: int = 8, seed: int = 0, buckets: int = 256,
 
     return rows.map_batches(with_pq, batch_format="pyarrow") \
         .groupby("pq").map_groups(rank_part, batch_format="pandas")
+
+
+def token_budget_cut(ds, budget_num: int = 1, budget_den: int = 2):
+    """Quality-ranked corpus selection under a global token budget —
+    the "take the best docs until the token budget is spent" cut that
+    closes a curation pipeline (keep rule: cumulative ``n_tokens`` over
+    ``ORDER BY quality_score DESC, doc_id`` stays <= budget, budget =
+    ``total_tokens * budget_num // budget_den``).
+
+    100-TB shape: the defining global sort is NEVER performed. The
+    boundary is found by two weighted histogram-refinement descents
+    (:func:`maskmypy_ray.analysis.aggregates.weighted_crossing_distributed`
+    — the weighted twin of the exact-quantile kernel): one over the
+    negated score finds the boundary score ``t`` and the exact token
+    mass above it, one over ``doc_id`` restricted to ``score == t``
+    breaks the tie. The keep flags are then one stateless broadcast-
+    scalar pass; driver state is a handful of scalars. Per-doc signals
+    are computed once into a narrow materialized (doc_id, score,
+    n_tokens) projection that the descents re-scan.
+
+    Returns (doc_id, quality_score, n_tokens, keep) for every doc.
+    Reference analog: none (graft addition; the quality score is
+    `text/quality.py:quality_score_batch`, hash-green on its own).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from ..analysis.aggregates import weighted_crossing_distributed
+    from .quality import TOKEN_RE, token_stats_batch
+
+    def signals(b: pa.Table) -> pa.Table:
+        st = token_stats_batch(b)
+        tok = st.column("n_tokens").to_numpy(zero_copy_only=False)
+        ratio = st.column("stop_ratio").to_numpy(zero_copy_only=False)
+        score = (np.minimum(tok / 50.0, 1.0) * 0.5
+                 + np.minimum(ratio * 5.0, 1.0) * 0.5)
+        return pa.table({
+            "doc_id": st.column("doc_id"),
+            "quality_score": pa.array(score, type=pa.float64()),
+            # descents run ascending; negation of IEEE doubles is exact
+            "neg_score": pa.array(-score, type=pa.float64()),
+            "n_tokens": st.column("n_tokens"),
+        })
+
+    nds = ds.map_batches(signals, batch_format="pyarrow").materialize()
+    total = int(nds.aggregate(Sum("n_tokens"))["sum(n_tokens)"] or 0)
+    budget = total * budget_num // budget_den
+
+    t_neg, w_above = weighted_crossing_distributed(
+        nds, "neg_score", "n_tokens", budget)
+    if t_neg is None:
+        cross_id = None  # budget covers the whole corpus
+    else:
+        # docs tied at the boundary score keep in doc_id order until the
+        # remaining budget is spent; c = first doc_id pushing past it
+        cross_id, _ = weighted_crossing_distributed(
+            nds, "doc_id", "n_tokens", budget - w_above,
+            eq=("neg_score", t_neg))
+
+    def flag(b: pa.Table, t_neg=t_neg, cross_id=cross_id) -> pa.Table:
+        neg = b.column("neg_score").to_numpy(zero_copy_only=False)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        if t_neg is None:
+            keep = np.ones(len(neg), dtype=np.int64)
+        else:
+            keep = (neg < t_neg)
+            ties = neg == t_neg
+            if cross_id is None:
+                keep |= ties
+            else:
+                keep |= ties & (ids < cross_id)
+            keep = keep.astype(np.int64)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "quality_score": b.column("quality_score"),
+            "n_tokens": b.column("n_tokens"),
+            "keep": pa.array(keep),
+        })
+
+    return nds.map_batches(flag, batch_format="pyarrow")

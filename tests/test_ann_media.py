@@ -171,10 +171,13 @@ def test_media_fake_decode_deterministic_and_shaped():
 def test_media_metadata_matches_blob(ray_session, sf_dir):
     from hashlib import md5
 
-    from maskmypy_ray.pipelines import q_media_metadata
+    from maskmypy_ray.pipelines import FULL_QUERIES
     from maskmypy_ray.sources.webpages import read_webpages
 
-    meta = q_media_metadata(sf_dir).to_pandas().set_index("url")
+    # the registered q_media_metadata is now a tagged union (meta +
+    # phash + pairs parts) with non-unique urls; the per-operator base
+    # query is the one whose rows mirror the blob 1:1
+    meta = FULL_QUERIES["media_metadata"](sf_dir).to_pandas().set_index("url")
     pages = read_webpages(sf_dir, include_html=True).limit(20).to_pandas()
     for _, r in pages.iterrows():
         assert meta.loc[r["url"], "media_bytes"] == len(r["html"])
