@@ -599,3 +599,150 @@ def weighted_crossing_distributed(ds, val_col: str, w_col: str, target: int,
     if j >= len(got):  # pragma: no cover — window invariant violated
         raise AssertionError("weighted crossing escaped its window")
     return float(got["val"].iloc[j]), (int(cum[j - 1]) if j else before)
+
+
+def weighted_quantiles_distributed(ds, val_col: str, w_col: str,
+                                   qs_rational: list[tuple[int, int]],
+                                   max_collect: int = 65_536) -> list[float]:
+    """Exact weighted lower-order-statistic quantiles, distributed —
+    for each rational ``(num, den)`` quantile returns the element at
+    0-based rank ``(W - 1) * num // den`` of the weight-expanded sorted
+    multiset (each row repeated ``w_col`` times; all-integer rank
+    derivation so engine and SQL agree exactly). Equivalently: the
+    smallest value whose inclusive cumulative weight exceeds the rank,
+    the SQL ``min(val) WHERE sum(w) OVER (ORDER BY val) > rank`` twin.
+
+    All ranks descend TOGETHER (the multi-target form of
+    :func:`weighted_crossing_distributed`, mirroring
+    :func:`exact_quantiles_distributed`): each refinement pass is ONE
+    ``map_batches`` emitting 1024-bin (weight-sum, row-count) histogram
+    rows per still-active deduped window plus one tiny groupby, and the
+    terminal pass is ONE collect of per-batch per-DISTINCT-value weight
+    partials over the union of resolved bins (each bounded by
+    ``max_collect`` rows or a tie run), combined on the driver — no
+    value column ever leaves the cluster unaggregated. Weights must be
+    non-negative int64; zero-weight rows can never be selected by the
+    crossing rule (their cumulative equals their predecessor's).
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Max, Min, Sum
+
+    def _sel(b: pa.Table):
+        v = b.column(val_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        w = b.column(w_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ~np.isnan(v) & (w > 0)
+        return v[keep], w[keep]
+
+    def stats_part(b: pa.Table) -> pa.Table:
+        v, w = _sel(b)
+        return pa.table({
+            "vmin": pa.array([float(v.min()) if len(v) else np.inf]),
+            "vmax": pa.array([float(v.max()) if len(v) else -np.inf]),
+            "wsum": pa.array([int(w.sum()) if len(v) else 0], type=pa.int64()),
+        })
+
+    agg = ds.map_batches(stats_part, batch_format="pyarrow").aggregate(
+        Min("vmin"), Max("vmax"), Sum("wsum"))
+    vmin, vmax = float(agg["min(vmin)"]), float(agg["max(vmax)"])
+    total = int(agg["sum(wsum)"] or 0)
+    if total == 0:
+        return [float("nan")] * len(qs_rational)
+    ranks = [(total - 1) * num // den for num, den in qs_rational]
+    if any(r < 0 or r >= total for r in ranks):
+        raise ValueError(f"rank out of range [0, {total})")
+
+    # per-rank state: (lo, hi, below) — window + exact weight strictly
+    # below it; resolved -> (blo, bhi, is_last, in_window_target)
+    resolved: dict[int, tuple] = {}
+    if _refinable(vmin, vmax):
+        state = {i: (vmin, vmax, 0) for i in range(len(ranks))}
+    else:  # whole column is one tie run of values
+        state = {}
+        for i, r in enumerate(ranks):
+            resolved[i] = (vmin, vmax, True, r)
+
+    while state:
+        windows = sorted({(lo, hi) for lo, hi, _ in state.values()})
+        w_edges = {w: np.linspace(w[0], w[1], 1025) for w in windows}
+
+        def hist(b: pa.Table, windows=windows, w_edges=w_edges) -> pa.Table:
+            v, w = _sel(b)
+            wis, bins, wss, cs = [], [], [], []
+            for wi, (lo, hi) in enumerate(windows):
+                m = (v >= lo) & (v <= hi)
+                vv, ww = v[m], w[m]
+                ws_, _ = np.histogram(vv, bins=w_edges[(lo, hi)],
+                                      weights=ww.astype(np.float64))
+                c_, _ = np.histogram(vv, bins=w_edges[(lo, hi)])
+                wis.append(np.full(1024, wi, dtype=np.int64))
+                bins.append(np.arange(1024, dtype=np.int64))
+                wss.append(ws_.astype(np.int64))
+                cs.append(c_.astype(np.int64))
+            return pa.table({"w": pa.array(np.concatenate(wis)),
+                             "bin": pa.array(np.concatenate(bins)),
+                             "wsum": pa.array(np.concatenate(wss)),
+                             "c": pa.array(np.concatenate(cs))})
+
+        cdf = ds.map_batches(hist, batch_format="pyarrow") \
+            .groupby(["w", "bin"]).aggregate(
+                Sum("wsum", alias_name="ws"),
+                Sum("c", alias_name="n")).to_pandas()
+        by_w = {}
+        for wi in range(len(windows)):
+            sub = cdf[cdf["w"] == wi].set_index("bin")
+            by_w[wi] = (
+                sub["ws"].reindex(range(1024), fill_value=0).to_numpy()
+                .astype(np.int64),
+                sub["n"].reindex(range(1024), fill_value=0).to_numpy()
+                .astype(np.int64))
+
+        nxt = {}
+        for i, (lo, hi, below) in state.items():
+            wi = windows.index((lo, hi))
+            wbins, nbins = by_w[wi]
+            edges = w_edges[(lo, hi)]
+            cum = np.cumsum(wbins)
+            target = ranks[i] - below
+            b = int(np.searchsorted(cum, target, side="right"))
+            w_before_bin = int(cum[b - 1]) if b else 0
+            if (int(nbins[b]) <= max_collect
+                    or not _refinable(edges[b], edges[b + 1])):
+                resolved[i] = (float(edges[b]), float(edges[b + 1]),
+                               b == 1023, target - w_before_bin)
+            else:
+                nxt[i] = (float(edges[b]), float(edges[b + 1]),
+                          below + w_before_bin)
+        state = nxt
+
+    # one collect of per-batch per-distinct-value weight partials over
+    # the union of resolved spans; rows <= spans x blocks x max_collect
+    spans = sorted({(blo, bhi, last) for blo, bhi, last, _ in
+                    resolved.values()})
+
+    def term(b: pa.Table, spans=spans) -> pa.Table:
+        v, w = _sel(b)
+        tags, vals, wss = [], [], []
+        for si, (blo, bhi, last) in enumerate(spans):
+            m = (v >= blo) & ((v <= bhi) if last else (v < bhi))
+            uv, inv = np.unique(v[m], return_inverse=True)
+            ws_ = np.zeros(len(uv), dtype=np.int64)
+            np.add.at(ws_, inv, w[m])
+            tags.append(np.full(len(uv), si, dtype=np.int64))
+            vals.append(uv)
+            wss.append(ws_)
+        return pa.table({"tag": pa.array(np.concatenate(tags)),
+                         "val": pa.array(np.concatenate(vals),
+                                         type=pa.float64()),
+                         "wsum": pa.array(np.concatenate(wss))})
+
+    got = ds.map_batches(term, batch_format="pyarrow").to_pandas() \
+        .groupby(["tag", "val"], as_index=False)["wsum"].sum()
+    out: list[float] = []
+    for i in range(len(ranks)):
+        blo, bhi, last, target = resolved[i]
+        si = spans.index((blo, bhi, last))
+        sub = got[got["tag"] == si].sort_values("val")
+        cum = sub["wsum"].cumsum().to_numpy().astype(np.int64)
+        j = int(np.searchsorted(cum, target, side="right"))
+        out.append(float(sub["val"].iloc[j]))
+    return out

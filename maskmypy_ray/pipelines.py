@@ -4227,3 +4227,150 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge budget part
                       "SELECT 'budget' AS part, doc_id FROM ("
                       + base["token_budget_cut"] + ") WHERE keep = 1")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Token-weighted quality quantiles (round 5): the quality score at which
+# the p-th percentile TOKEN sits — exact weighted order statistics via
+# the multi-target weighted histogram descent (no sort). Merged into the
+# registered `quantile_report` row as part `token_weighted`.
+# ---------------------------------------------------------------------------
+
+
+def q_weighted_quantiles(sf_dir: str):
+    """Token-mass-weighted quality-score percentiles over documents —
+    all targets descend together through shared weighted histogram
+    passes (`analysis/aggregates.py:weighted_quantiles_distributed`)."""
+    import ray.data
+
+    from .text.corpus import token_weighted_quality_quantiles
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"],
+                               override_num_blocks=16)
+    return token_weighted_quality_quantiles(ds)
+
+
+FULL_QUERIES["weighted_quantiles"] = q_weighted_quantiles
+
+_FULL_ORACLE_SNAPSHOT_WQ = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    out = _FULL_ORACLE_SNAPSHOT_WQ()
+    out["weighted_quantiles"] = (
+        "WITH tb AS (SELECT quality_score AS v, n_tokens AS w FROM ("
+        + out["token_budget_cut"] + ")), "
+        "tot AS (SELECT sum(w) AS W FROM tb WHERE w > 0), "
+        "c AS (SELECT v, sum(w) OVER (ORDER BY v) AS cum FROM tb "
+        "WHERE w > 0), "
+        "r AS (SELECT CAST(num AS DOUBLE) / den AS q, "
+        "((SELECT W FROM tot) - 1) * num // den AS rk FROM (VALUES "
+        "(1, 10), (1, 4), (1, 2), (3, 4), (9, 10)) AS t(num, den)) "
+        "SELECT r.q, min(c.v) AS value FROM r JOIN c ON c.cum > r.rk "
+        "GROUP BY r.q")
+    return out
+
+
+_Q_QUANTILE_REPORT_PRE_WQ = q_quantile_report
+
+
+def q_quantile_report(sf_dir: str):  # noqa: F811
+    """Global quantile descents in one tagged union: lineitem_price +
+    media_bytes (unweighted kernel) + token_weighted (weighted kernel)."""
+    base = _Q_QUANTILE_REPORT_PRE_WQ(sf_dir)
+    wq = FULL_QUERIES["weighted_quantiles"](sf_dir)
+    return pa.table({
+        "part": pa.concat_arrays([
+            base.column("part").combine_chunks(),
+            pa.array(["token_weighted"] * len(wq), type=pa.string())]),
+        "q": pa.concat_arrays([base.column("q").combine_chunks(),
+                               wq.column("q").combine_chunks()]),
+        "value": pa.concat_arrays([base.column("value").combine_chunks(),
+                                   wq.column("value").combine_chunks()]),
+    })
+
+
+QUERIES["quantile_report"] = q_quantile_report
+
+_ORACLE_SNAPSHOT_WQ = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge wq part
+    out = _ORACLE_SNAPSHOT_WQ()
+    base = full_oracle_queries()
+    out["quantile_report"] = (
+        out["quantile_report"] + "\nUNION ALL\n"
+        "SELECT 'token_weighted' AS part, * FROM ("
+        + base["weighted_quantiles"] + ")")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets (round 5): head/middle/tail tercile of
+# the corpus unigram-NLL distribution per doc — thresholds from the
+# shared-pass exact quantile descent. Merged into the registered
+# `lm_scores` row as part `bucket` (bucket id carried in the nll slot).
+# ---------------------------------------------------------------------------
+
+
+def q_perplexity_buckets(sf_dir: str):
+    """Label every doc with its NLL tercile (0 head / 1 middle / 2
+    tail) — all docs kept, exact thresholds, one labeling pass."""
+    from .text.lm import perplexity_buckets
+
+    return perplexity_buckets(_docs_ds(sf_dir))
+
+
+FULL_QUERIES["perplexity_buckets"] = q_perplexity_buckets
+
+_FULL_ORACLE_SNAPSHOT_PPL = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    out = _FULL_ORACLE_SNAPSHOT_PPL()
+    out["perplexity_buckets"] = (
+        "WITH u AS (" + out["unigram_logprob"] + "), "
+        "s AS (SELECT nll, row_number() OVER (ORDER BY nll) - 1 AS r, "
+        "count(*) OVER () AS n FROM u), "
+        "t AS (SELECT "
+        "max(CASE WHEN r = CAST(floor((CAST(1 AS DOUBLE) / 3) * (n - 1)) "
+        "AS BIGINT) THEN nll END) AS t1, "
+        "max(CASE WHEN r = CAST(floor((CAST(2 AS DOUBLE) / 3) * (n - 1)) "
+        "AS BIGINT) THEN nll END) AS t2 FROM s) "
+        "SELECT u.doc_id, u.n_tokens, u.nll, "
+        "CAST(CASE WHEN u.nll <= (SELECT t1 FROM t) THEN 0 "
+        "WHEN u.nll <= (SELECT t2 FROM t) THEN 1 ELSE 2 END AS BIGINT) "
+        "AS bucket FROM u")
+    return out
+
+
+_Q_LM_SCORES_PRE_PPL = q_lm_scores
+
+
+def q_lm_scores(sf_dir: str):  # noqa: F811
+    """LM scoring family + the perplexity-tercile labels (part
+    `bucket`: the tercile id rides in the nll slot, n_tokens checks
+    the scored join)."""
+    bucket_spec = [("doc_id", "doc_id", None),
+                   ("n_tokens", "n_tokens", None),
+                   ("nll", "bucket", pa.float64())]
+    bu = _tag_ds(FULL_QUERIES["perplexity_buckets"](sf_dir), "bucket",
+                 bucket_spec)
+    return _union([_Q_LM_SCORES_PRE_PPL(sf_dir), bu])
+
+
+QUERIES["lm_scores"] = q_lm_scores
+
+_ORACLE_SNAPSHOT_PPL = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge bucket part
+    out = _ORACLE_SNAPSHOT_PPL()
+    base = full_oracle_queries()
+    out["lm_scores"] = (
+        out["lm_scores"] + "\nUNION ALL\n"
+        "SELECT 'bucket' AS part, doc_id, n_tokens, "
+        "CAST(bucket AS DOUBLE) AS nll FROM ("
+        + base["perplexity_buckets"] + ")")
+    return out

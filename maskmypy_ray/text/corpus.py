@@ -1080,6 +1080,61 @@ def shuffle_shards(ds, n_shards: int = 8, seed: int = 0, buckets: int = 256,
         .groupby("pq").map_groups(rank_part, batch_format="pandas")
 
 
+def quality_signals_batch(b):
+    """Per-doc (doc_id, quality_score, neg_score, n_tokens) derive
+    shared by :func:`token_budget_cut` and
+    :func:`token_weighted_quality_quantiles` — the composite quality
+    score of `text/quality.py:quality_score_batch` restricted to its
+    two token-stat terms (both sides IEEE-exact in SQL)."""
+    from .quality import token_stats_batch
+
+    st = token_stats_batch(b)
+    tok = st.column("n_tokens").to_numpy(zero_copy_only=False)
+    ratio = st.column("stop_ratio").to_numpy(zero_copy_only=False)
+    score = (np.minimum(tok / 50.0, 1.0) * 0.5
+             + np.minimum(ratio * 5.0, 1.0) * 0.5)
+    return pa.table({
+        "doc_id": st.column("doc_id"),
+        "quality_score": pa.array(score, type=pa.float64()),
+        # descents run ascending; negation of IEEE doubles is exact
+        "neg_score": pa.array(-score, type=pa.float64()),
+        "n_tokens": st.column("n_tokens"),
+    })
+
+
+# rational quantiles shared by the token-weighted distribution op and
+# its SQL twin (integer rank derivation: rank = (W - 1) * num // den)
+WEIGHTED_QS: list[tuple[int, int]] = [(1, 10), (1, 4), (1, 2), (3, 4),
+                                      (9, 10)]
+
+
+def token_weighted_quality_quantiles(ds, qs_rational=None):
+    """Token-mass-weighted quality-score distribution: the quality
+    score at which the p-th percentile TOKEN sits (each doc weighted by
+    its token count) — the curation diagnostic for "how much of my
+    training-token mass is low quality", distinct from the doc-count
+    quantiles of `source_quantiles`.
+
+    100-TB shape: one narrow materialized (score, n_tokens) projection,
+    then :func:`maskmypy_ray.analysis.aggregates.weighted_quantiles_distributed`
+    — all percentiles descend together through shared 1024-bin weighted
+    histogram passes; no sort, no value column on the driver.
+
+    Returns (q, value) rows. Reference analog: none (graft addition).
+    """
+    qs = qs_rational or WEIGHTED_QS
+    from ..analysis.aggregates import weighted_quantiles_distributed
+
+    nds = ds.map_batches(quality_signals_batch,
+                         batch_format="pyarrow").materialize()
+    vals = weighted_quantiles_distributed(nds, "quality_score", "n_tokens",
+                                          qs)
+    return pa.table({
+        "q": pa.array([num / den for num, den in qs], type=pa.float64()),
+        "value": pa.array(vals, type=pa.float64()),
+    })
+
+
 def token_budget_cut(ds, budget_num: int = 1, budget_den: int = 2):
     """Quality-ranked corpus selection under a global token budget —
     the "take the best docs until the token budget is spent" cut that
@@ -1102,27 +1157,12 @@ def token_budget_cut(ds, budget_num: int = 1, budget_den: int = 2):
     Reference analog: none (graft addition; the quality score is
     `text/quality.py:quality_score_batch`, hash-green on its own).
     """
-    import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
     from ..analysis.aggregates import weighted_crossing_distributed
-    from .quality import TOKEN_RE, token_stats_batch
 
-    def signals(b: pa.Table) -> pa.Table:
-        st = token_stats_batch(b)
-        tok = st.column("n_tokens").to_numpy(zero_copy_only=False)
-        ratio = st.column("stop_ratio").to_numpy(zero_copy_only=False)
-        score = (np.minimum(tok / 50.0, 1.0) * 0.5
-                 + np.minimum(ratio * 5.0, 1.0) * 0.5)
-        return pa.table({
-            "doc_id": st.column("doc_id"),
-            "quality_score": pa.array(score, type=pa.float64()),
-            # descents run ascending; negation of IEEE doubles is exact
-            "neg_score": pa.array(-score, type=pa.float64()),
-            "n_tokens": st.column("n_tokens"),
-        })
-
-    nds = ds.map_batches(signals, batch_format="pyarrow").materialize()
+    nds = ds.map_batches(quality_signals_batch,
+                         batch_format="pyarrow").materialize()
     total = int(nds.aggregate(Sum("n_tokens"))["sum(n_tokens)"] or 0)
     budget = total * budget_num // budget_den
 

@@ -116,6 +116,36 @@ def filter_by_nll(ds, q: float = 0.9, top_v: int = TOP_V,
     return scored.filter(expr=f"nll <= {thr!r}")
 
 
+def perplexity_buckets(ds, top_v: int = TOP_V, text_col: str = "text"):
+    """CCNet-style perplexity bucketing: assign every doc to the
+    head (0) / middle (1) / tail (2) tercile of the corpus unigram-NLL
+    distribution (the standard "keep head, maybe middle, drop tail"
+    LM-quality partition — unlike :func:`filter_by_nll` all docs are
+    kept and labeled, so downstream mixes can weight buckets).
+
+    Thresholds are the exact lower order statistics at 1/3 and 2/3
+    from the distributed quantile kernel (both descend together in
+    shared histogram passes); the labeling itself is one stateless
+    broadcast-scalar pass. Returns (doc_id, n_tokens, nll, bucket).
+    """
+    import pyarrow as pa
+
+    from ..analysis.aggregates import exact_quantiles_distributed
+
+    scored = unigram_logprob(ds, top_v=top_v, text_col=text_col) \
+        .materialize()
+    t1, t2 = exact_quantiles_distributed(scored, "nll", [1 / 3, 2 / 3],
+                                         max_collect=1_000_000)
+
+    def label(b: pa.Table, t1=t1, t2=t2) -> pa.Table:
+        nll = b.column("nll").to_numpy(zero_copy_only=False)
+        bucket = np.where(nll <= t1, 0, np.where(nll <= t2, 1, 2))
+        return b.append_column("bucket",
+                               pa.array(bucket.astype(np.int64)))
+
+    return scored.map_batches(label, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF keyword extraction (feature-extraction twin of the unigram LM)
 # ---------------------------------------------------------------------------

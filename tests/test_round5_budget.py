@@ -115,3 +115,49 @@ def test_token_budget_cut_tie_boundary(ray_session):
     # the tie run is genuinely split (some same-score docs kept, some not)
     tied = out[out["n_tokens"] == 4]
     assert 0 < tied["keep"].sum() < len(tied)
+
+
+@pytest.mark.parametrize("case", ["uniform", "ties", "zeros"])
+def test_weighted_quantiles_match_brute(ray_session, case):
+    import ray.data
+
+    from maskmypy_ray.analysis.aggregates import (
+        weighted_quantiles_distributed,
+    )
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    if case == "uniform":
+        v = rng.normal(size=n)
+        w = rng.integers(1, 40, size=n)
+    elif case == "ties":
+        v = rng.integers(0, 5, size=n).astype(np.float64)
+        w = rng.integers(1, 9, size=n)
+    else:
+        v = rng.normal(size=n)
+        w = np.where(rng.random(n) < 0.4, 0, rng.integers(1, 6, size=n))
+    w = w.astype(np.int64)
+    qs = [(0, 1), (1, 10), (1, 2), (3, 4), (99, 100), (1, 1)]
+    ds = ray.data.from_arrow(pa.table({"val": v, "w": w})).repartition(7)
+    got = weighted_quantiles_distributed(ds, "val", "w", qs, max_collect=48)
+    expanded = np.sort(np.repeat(v, w))
+    W = int(w.sum())
+    want = [float(expanded[(W - 1) * num // den]) for num, den in qs]
+    assert got == want, case
+
+
+def test_perplexity_buckets_terciles(ray_session, sf_dir):
+    import ray.data
+
+    from maskmypy_ray.text.lm import perplexity_buckets
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    df = perplexity_buckets(docs).to_pandas().sort_values("nll")
+    assert set(df["bucket"].unique()) <= {0, 1, 2}
+    # bucket is monotone in nll and each tercile holds >= floor(n/3)
+    assert (np.diff(df["bucket"].to_numpy()) >= 0).all()
+    n = len(df)
+    counts = df["bucket"].value_counts()
+    assert int(counts.get(0, 0)) >= n // 3
+    assert int(counts.get(0, 0)) + int(counts.get(1, 0)) >= 2 * n // 3
