@@ -200,11 +200,18 @@ def bench_once(q0_only: bool = False) -> dict:
     # q4: embedding similarity join
     from maskmypy_ray.sim.ann import cosine_pairs
 
+    from maskmypy_ray.sim.pca import embedding_pca, label_centroid_sim
+
     def run_q4():
         emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
                               columns=["vec_id", "embedding"],
                               override_num_blocks=SMALL_NB)
         cosine_pairs(emb, threshold=0.4).count()
+        embedding_pca(emb, k=2).count()
+        embl = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                               columns=["embedding", "label"],
+                               override_num_blocks=SMALL_NB)
+        label_centroid_sim(embl).num_rows
 
     queries["q4_embedding_pairs"] = timed(run_q4)
 

@@ -4374,3 +4374,171 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge bucket part
         "CAST(bucket AS DOUBLE) AS nll FROM ("
         + base["perplexity_buckets"] + ")")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA over the embedding column (round 5): exact integer
+# Gram matrix (oracle-gated, merged into `embedding_pairs` as part
+# `gram`) + top-k principal-component projection (rows-only, merged
+# into `ann_approx` as part `pca`; pinned vs numpy PCA by pytest).
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_gram(sf_dir: str):
+    """Exact upper-triangle Gram matrix of the 1e-6-quantized embedding
+    column — d(d+1)/2 int64 rows; the one-pass input to distributed
+    PCA (`sim/pca.py`)."""
+    from .sim.pca import embedding_gram
+
+    return embedding_gram(_emb_ds(sf_dir))
+
+
+def q_embedding_pca(sf_dir: str):
+    """Top-2 principal-component projection of every embedding
+    (mean-centered, deterministic component signs)."""
+    from .sim.pca import embedding_pca
+
+    return embedding_pca(_emb_ds(sf_dir), k=2)
+
+
+FULL_QUERIES["embedding_gram"] = q_embedding_gram
+FULL_QUERIES["embedding_pca"] = q_embedding_pca
+
+_FULL_ORACLE_SNAPSHOT_PCA = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    out = _FULL_ORACLE_SNAPSHOT_PCA()
+    out["embedding_gram"] = (
+        "WITH u AS (SELECT vec_id, "
+        "CAST(floor(1000000 * CAST(unnest(embedding) AS DOUBLE)) "
+        "AS BIGINT) AS q, "
+        "generate_subscripts(embedding, 1) - 1 AS idx FROM embeddings) "
+        "SELECT CAST(a.idx AS BIGINT) AS i, CAST(b.idx AS BIGINT) AS j, "
+        "CAST(sum(a.q * b.q) AS BIGINT) AS v "
+        "FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.idx <= b.idx "
+        "GROUP BY 1, 2")
+    return out
+
+
+_Q_EMBEDDING_PAIRS_PRE_GRAM = q_embedding_pairs
+
+
+def q_embedding_pairs(sf_dir: str):  # noqa: F811
+    """Exact cosine pairs (part `pairs`, v rides 0) + the exact integer
+    Gram matrix of the quantized embeddings (part `gram`) — one
+    value-hashed row covering both the pairwise and the second-moment
+    views of the embedding table."""
+    i64 = pa.int64()
+    pairs = _tag_ds(_Q_EMBEDDING_PAIRS_PRE_GRAM(sf_dir), "pairs",
+                    [("vec_a", "vec_a", None), ("vec_b", "vec_b", None),
+                     ("v", ("const", 0), i64)])
+    gram = _tag_ds(FULL_QUERIES["embedding_gram"](sf_dir), "gram",
+                   [("vec_a", "i", None), ("vec_b", "j", None),
+                    ("v", "v", None)])
+    return _union([pairs, gram])
+
+
+QUERIES["embedding_pairs"] = q_embedding_pairs
+
+_Q_ANN_APPROX_PRE_PCA = q_ann_approx
+
+
+def q_ann_approx(sf_dir: str):  # noqa: F811
+    """The approximate top-k paths + the PCA projection layout (part
+    `pca`: one row per vector, rank slot carries the component count;
+    projection VALUES are pinned vs numpy PCA by pytest — rows-only
+    here like the other approximate paths)."""
+    i64 = pa.int64()
+    pca = _tag_ds(FULL_QUERIES["embedding_pca"](sf_dir), "pca",
+                  [("query_id", "vec_id", None), ("rank", ("const", 2), i64),
+                   ("vec_id", "vec_id", None)])
+    return _union([_Q_ANN_APPROX_PRE_PCA(sf_dir), pca])
+
+
+QUERIES["ann_approx"] = q_ann_approx
+
+_ORACLE_SNAPSHOT_PCA = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge gram part
+    out = _ORACLE_SNAPSHOT_PCA()
+    base = full_oracle_queries()
+    out["embedding_pairs"] = _sql_union([
+        ("pairs", "SELECT vec_a, vec_b, CAST(0 AS BIGINT) AS v FROM ("
+                  + _ORACLE_SNAPSHOT_PCA()["embedding_pairs"] + ")"),
+        ("gram", "SELECT i AS vec_a, j AS vec_b, v FROM ("
+                 + base["embedding_gram"] + ")")])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding-centroid cosine matrix (round 5): the embedding-
+# space drift diagnostic between groups. Merged into the registered
+# `embedding_pairs` row as part `centroid`.
+# ---------------------------------------------------------------------------
+
+
+def q_label_centroid_sim(sf_dir: str):
+    """Pairwise centroid cosine between embedding labels — one pass of
+    per-label quantized coordinate sums, exact-int driver matrix."""
+    import ray.data
+
+    from .sim.pca import label_centroid_sim
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding", "label"],
+                               override_num_blocks=16)
+    return label_centroid_sim(ds)
+
+
+FULL_QUERIES["label_centroid_sim"] = q_label_centroid_sim
+
+_FULL_ORACLE_SNAPSHOT_CEN = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    out = _FULL_ORACLE_SNAPSHOT_CEN()
+    out["label_centroid_sim"] = (
+        "WITH u AS (SELECT CAST(label AS BIGINT) AS label, "
+        "generate_subscripts(embedding, 1) - 1 AS idx, "
+        "CAST(floor(1000000 * CAST(unnest(embedding) AS DOUBLE)) "
+        "AS BIGINT) AS q FROM embeddings), "
+        "s AS (SELECT label, idx, sum(q) AS sq FROM u GROUP BY 1, 2), "
+        "d AS (SELECT a.label AS la, b.label AS lb, sum(a.sq * b.sq) "
+        "AS dot FROM s a JOIN s b ON a.idx = b.idx AND a.label <= b.label "
+        "GROUP BY 1, 2), "
+        "n AS (SELECT la AS l, dot AS nn FROM d WHERE la = lb) "
+        "SELECT d.la AS label_a, d.lb AS label_b, "
+        "CAST(floor(1000000 * (CAST(d.dot AS DOUBLE) "
+        "/ sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)))) "
+        "AS BIGINT) AS cos_micro "
+        "FROM d JOIN n na ON na.l = d.la JOIN n nb ON nb.l = d.lb")
+    return out
+
+
+_Q_EMBEDDING_PAIRS_PRE_CEN = q_embedding_pairs
+
+
+def q_embedding_pairs(sf_dir: str):  # noqa: F811
+    """pairs + gram + the per-label centroid cosine matrix (part
+    `centroid`: labels ride the vec slots, cos_micro in v)."""
+    cen = _tag_ds(FULL_QUERIES["label_centroid_sim"](sf_dir), "centroid",
+                  [("vec_a", "label_a", None), ("vec_b", "label_b", None),
+                   ("v", "cos_micro", None)])
+    return _union([_Q_EMBEDDING_PAIRS_PRE_CEN(sf_dir), cen])
+
+
+QUERIES["embedding_pairs"] = q_embedding_pairs
+
+_ORACLE_SNAPSHOT_CEN = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge centroid part
+    out = _ORACLE_SNAPSHOT_CEN()
+    base = full_oracle_queries()
+    out["embedding_pairs"] = (
+        out["embedding_pairs"] + "\nUNION ALL\n"
+        "SELECT 'centroid' AS part, label_a AS vec_a, label_b AS vec_b, "
+        "cos_micro AS v FROM (" + base["label_centroid_sim"] + ")")
+    return out
