@@ -4542,3 +4542,216 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge centroid part
         "SELECT 'centroid' AS part, label_a AS vec_a, label_b AS vec_b, "
         "cos_micro AS v FROM (" + base["label_centroid_sim"] + ")")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroid-distance outliers (round 5): all-integer squared
+# distance to the truncated-integer corpus centroid, flagged above the
+# exact p95 order statistic. Merged into the registered `outlier_flags`
+# row as part `embedding` (dist2 rides the n_chars slot).
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_outliers(sf_dir: str):
+    """Flag vectors whose exact int64 centroid distance exceeds the
+    corpus p95 (`sim/pca.py:embedding_outliers`)."""
+    from .sim.pca import embedding_outliers
+
+    return embedding_outliers(_emb_ds(sf_dir))
+
+
+FULL_QUERIES["embedding_outliers"] = q_embedding_outliers
+
+_FULL_ORACLE_SNAPSHOT_EO = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    out = _FULL_ORACLE_SNAPSHOT_EO()
+    out["embedding_outliers"] = (
+        "WITH u AS (SELECT vec_id, "
+        "generate_subscripts(embedding, 1) - 1 AS idx, "
+        "CAST(floor(1000000 * CAST(unnest(embedding) AS DOUBLE)) "
+        "AS BIGINT) AS q FROM embeddings), "
+        "m AS (SELECT idx, CAST(sum(q) AS BIGINT) // count(*) AS mi "
+        "FROM u GROUP BY idx), "
+        "d AS (SELECT vec_id, "
+        "CAST(sum((u.q - m.mi) * (u.q - m.mi)) AS BIGINT) AS dist2 "
+        "FROM u JOIN m USING (idx) GROUP BY vec_id), "
+        "s AS (SELECT dist2, row_number() OVER (ORDER BY dist2) - 1 AS r, "
+        "count(*) OVER () AS n FROM d), "
+        "t AS (SELECT dist2 AS thr FROM s WHERE r = "
+        "CAST(floor((CAST(95 AS DOUBLE) / 100) * (n - 1)) AS BIGINT)) "
+        "SELECT vec_id, dist2, "
+        "CAST(dist2 > (SELECT thr FROM t) AS BIGINT) AS outlier FROM d")
+    return out
+
+
+_Q_OUTLIER_FLAGS_PRE_EO = q_outlier_flags
+
+
+def q_outlier_flags(sf_dir: str):  # noqa: F811
+    """Per-source Tukey length fences (part `chars`) + embedding
+    centroid-distance flags (part `embedding`: dist2 in the n_chars
+    slot) — both exact-integer outlier rules on one checked row."""
+    chars = _tag_ds(_Q_OUTLIER_FLAGS_PRE_EO(sf_dir), "chars",
+                    [("doc_id", "doc_id", None), ("source", "source", None),
+                     ("n_chars", "n_chars", None), ("flag", "flag", None)])
+    emb = _tag_ds(FULL_QUERIES["embedding_outliers"](sf_dir), "embedding",
+                  [("doc_id", "vec_id", None),
+                   ("source", ("const", "embedding"), pa.string()),
+                   ("n_chars", "dist2", None), ("flag", "outlier", None)])
+    return _union([chars, emb])
+
+
+QUERIES["outlier_flags"] = q_outlier_flags
+
+_ORACLE_SNAPSHOT_EO = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge embedding part
+    out = _ORACLE_SNAPSHOT_EO()
+    base = full_oracle_queries()
+    out["outlier_flags"] = _sql_union([
+        ("chars", _ORACLE_SNAPSHOT_EO()["outlier_flags"]),
+        ("embedding", "SELECT vec_id AS doc_id, 'embedding' AS source, "
+                      "dist2 AS n_chars, outlier AS flag FROM ("
+                      + base["embedding_outliers"] + ")")])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test hash split (round 5): stable-under-growth bucket
+# assignment on the counter RNG (stream 918), all-integer. Test and
+# val memberships merge into the registered `samples` row (the train
+# set is their exact complement, so the whole assignment is pinned).
+# ---------------------------------------------------------------------------
+
+
+def q_train_split(sf_dir: str):
+    """Per-doc (bucket, split) assignment — one stateless hash pass."""
+    import ray.data
+
+    from .text.corpus import train_split
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"],
+                               override_num_blocks=16)
+    return train_split(ds, seed=SEED)
+
+
+FULL_QUERIES["train_split"] = q_train_split
+
+_FULL_ORACLE_SNAPSHOT_TS = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    out = _FULL_ORACLE_SNAPSHOT_TS()
+    from .rng import sql_substream
+
+    sub = sql_substream("doc_id", SEED, 918)
+    out["train_split"] = (
+        f"SELECT doc_id, ({sub}) % 1000 AS bucket, "
+        "CASE WHEN bucket < 10 THEN 'test' "
+        "WHEN bucket < 20 THEN 'val' ELSE 'train' END AS split "
+        "FROM documents")
+    return out
+
+
+_Q_SAMPLES_PRE_SPLIT = q_samples
+
+
+def q_samples(sf_dir: str):  # noqa: F811
+    """Samplers + the token-budget cut + the hash-split memberships
+    (parts split_test / split_val; train is their exact complement)."""
+    import pyarrow.compute as pc
+
+    ts = _as_ds(FULL_QUERIES["train_split"](sf_dir)).materialize()
+    parts = []
+    for name in ("test", "val"):
+        kept = ts.map_batches(
+            lambda b, name=name: b.filter(
+                pc.equal(b.column("split"), name)),
+            batch_format="pyarrow")
+        parts.append(_tag_ds(kept, f"split_{name}",
+                             [("doc_id", "doc_id", None)]))
+    return _union([_Q_SAMPLES_PRE_SPLIT(sf_dir)] + parts)
+
+
+QUERIES["samples"] = q_samples
+
+_ORACLE_SNAPSHOT_TS = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge split parts
+    out = _ORACLE_SNAPSHOT_TS()
+    base = full_oracle_queries()
+    out["samples"] = (
+        out["samples"]
+        + "\nUNION ALL\nSELECT 'split_test' AS part, doc_id FROM ("
+        + base["train_split"] + ") WHERE split = 'test'"
+        + "\nUNION ALL\nSELECT 'split_val' AS part, doc_id FROM ("
+        + base["train_split"] + ") WHERE split = 'val'")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Integer column histogram (round 5): the mergeable distribution sketch
+# completing the sketch family (HLL distincts, CMS counts, histogram) —
+# all-integer bucket rule, exact at any parallelism. Merged into the
+# registered `sketch_counts` row as part `hist`.
+# ---------------------------------------------------------------------------
+
+
+def q_column_histogram(sf_dir: str):
+    """64-bin exact integer histogram of documents.n_chars
+    (`sketches.py:int_histogram`)."""
+    import ray.data
+
+    from .sketches import int_histogram
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["n_chars"],
+                               override_num_blocks=16)
+    return int_histogram(ds, "n_chars")
+
+
+FULL_QUERIES["column_histogram"] = q_column_histogram
+
+_FULL_ORACLE_SNAPSHOT_CH = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    out = _FULL_ORACLE_SNAPSHOT_CH()
+    from .sketches import int_histogram_sql
+
+    out["column_histogram"] = int_histogram_sql("documents", "n_chars")
+    return out
+
+
+_Q_SKETCH_COUNTS_PRE_CH = q_sketch_counts
+
+
+def q_sketch_counts(sf_dir: str):  # noqa: F811
+    """HLL + CMS + the exact integer histogram sketch (part `hist`:
+    bin rides key as a string, lo_edge in n1, count in n2)."""
+    i64, f64 = pa.int64(), pa.float64()
+    hist = _tag_ds(FULL_QUERIES["column_histogram"](sf_dir), "hist",
+                   [("key", "bin", pa.string()), ("n1", "lo_edge", i64),
+                    ("n2", "count", i64), ("est", ("const", 0.0), f64)])
+    return _union([_Q_SKETCH_COUNTS_PRE_CH(sf_dir), hist])
+
+
+QUERIES["sketch_counts"] = q_sketch_counts
+
+_ORACLE_SNAPSHOT_CH = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge hist part
+    out = _ORACLE_SNAPSHOT_CH()
+    base = full_oracle_queries()
+    out["sketch_counts"] = (
+        out["sketch_counts"] + "\nUNION ALL\n"
+        "SELECT 'hist' AS part, CAST(bin AS VARCHAR) AS key, "
+        "lo_edge AS n1, count AS n2, 0.0 AS est FROM ("
+        + base["column_histogram"] + ")")
+    return out

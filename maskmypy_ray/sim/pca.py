@@ -188,3 +188,68 @@ def label_centroid_sim(ds, col: str = "embedding",
         "label_b": pa.array(lb, type=pa.int64()),
         "cos_micro": pa.array(cm, type=pa.int64()),
     })
+
+
+def embedding_outliers(ds, col: str = "embedding",
+                       id_col: str = "vec_id",
+                       q_num: int = 95, q_den: int = 100):
+    """Centroid-distance outlier flags: flag vectors whose exact
+    integer squared distance to the (floored) corpus centroid exceeds
+    the corpus p95 order statistic — the embedding-space analog of the
+    per-source Tukey fences in text/quality.py:source_outlier_flags.
+
+    All-integer end to end: the centroid is the TRUNCATING integer
+    division of quantized coordinate sums (matching DuckDB's ``//``,
+    which truncates toward zero — Python's ``//`` floors, so the driver
+    mirrors the SQL semantics explicitly), ``dist2`` is an int64 sum of
+    squared deviations (< 2^53, so the quantile descent over its float
+    view is exact), and the threshold is the exact lower order
+    statistic at rank floor((q_num/q_den)*(n-1)) from
+    ``exact_quantiles_distributed``. Two distributed passes + one
+    stateless flag pass; driver state is d + 2 scalars.
+
+    Returns ``(vec_id, dist2, outlier)`` for every vector.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..analysis.aggregates import exact_quantiles_distributed
+
+    def sums(b: pa.Table) -> pa.Table:
+        m = _matrix(b, col)
+        q = np.floor(QUANT * m).astype(np.int64)
+        d = q.shape[1]
+        return pa.table({
+            "idx": pa.array(np.concatenate([
+                np.arange(d, dtype=np.int64), np.array([-1])])),
+            "s": pa.array(np.concatenate([
+                q.sum(axis=0), np.array([len(m)])]).astype(np.int64)),
+        })
+
+    rows = ds.map_batches(sums, batch_format="pyarrow") \
+        .groupby("idx").aggregate(Sum("s", alias_name="s")).to_pandas() \
+        .sort_values("idx")
+    n = int(rows.loc[rows["idx"] == -1, "s"].iloc[0])
+    svec = rows.loc[rows["idx"] >= 0, "s"].to_numpy().astype(np.int64)
+    # truncating division (DuckDB // semantics; np int division floors)
+    mean_q = (np.abs(svec) // n) * np.sign(svec)
+
+    def dist(b: pa.Table, mean_q=mean_q) -> pa.Table:
+        m = _matrix(b, col)
+        q = np.floor(QUANT * m).astype(np.int64)
+        dv = q - mean_q
+        return pa.table({
+            id_col: b.column(id_col),
+            "dist2": pa.array((dv * dv).sum(axis=1).astype(np.int64)),
+        })
+
+    dd = ds.map_batches(dist, batch_format="pyarrow").materialize()
+    thr = exact_quantiles_distributed(dd, "dist2", [q_num / q_den],
+                                      max_collect=1_000_000)[0]
+    thr = int(thr)
+
+    def flag(b: pa.Table, thr=thr) -> pa.Table:
+        d2 = b.column("dist2").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "outlier", pa.array((d2 > thr).astype(np.int64)))
+
+    return dd.map_batches(flag, batch_format="pyarrow")

@@ -296,3 +296,82 @@ def source_token_hll_sql() -> str:
              "unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok "
              "FROM documents)) tt")
     return hll_sql(inner, "tt.code", "tt.source")
+
+
+# ---------------------------------------------------------------------------
+# Integer column histogram — the mergeable distribution sketch
+# (completes the sketch family: HLL distincts, CMS counts, histogram
+# distributions). All-integer bucket rule so merges are exact and the
+# SQL twin is bit-identical at any parallelism.
+# ---------------------------------------------------------------------------
+
+HIST_BINS = 64
+
+
+def int_histogram(ds, col: str, bins: int = HIST_BINS):
+    """Exact fixed-width integer histogram of an int64 column:
+    ``bin = (v - lo) * bins // (hi - lo + 1)`` over the observed
+    [lo, hi] — all-integer, so per-batch partial counts merge exactly
+    and the DuckDB twin reproduces every count bit-for-bit.
+
+    Two passes (min/max stats, then pre-combined per-batch bincounts →
+    one ``groupby(bin).sum`` of at most bins x blocks rows). Empty bins
+    are emitted with count 0 so the output shape is always ``bins``
+    rows: (bin, lo_edge, count) with lo_edge the smallest value
+    mapping into the bin (integer ceil of the inverse rule).
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Max, Min, Sum
+
+    def stats(b: pa.Table) -> pa.Table:
+        v = b.column(col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "lo": pa.array([int(v.min()) if len(v) else 2**62],
+                           type=pa.int64()),
+            "hi": pa.array([int(v.max()) if len(v) else -2**62],
+                           type=pa.int64()),
+        })
+
+    agg = ds.map_batches(stats, batch_format="pyarrow").aggregate(
+        Min("lo"), Max("hi"))
+    lo, hi = int(agg["min(lo)"]), int(agg["max(hi)"])
+    width = hi - lo + 1
+
+    def part(b: pa.Table, lo=lo, width=width) -> pa.Table:
+        v = b.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = (v - lo) * bins // width
+        return pa.table({
+            "bin": pa.array(np.arange(bins, dtype=np.int64)),
+            "count": pa.array(np.bincount(idx, minlength=bins)
+                              .astype(np.int64)),
+        })
+
+    got = ds.map_batches(part, batch_format="pyarrow") \
+        .groupby("bin").aggregate(Sum("count", alias_name="count")) \
+        .to_pandas().set_index("bin")["count"] \
+        .reindex(range(bins), fill_value=0)
+    # lo_edge: smallest v with (v - lo) * bins // width == b, i.e.
+    # lo + ceil(b * width / bins)
+    edges = [lo + -((-b * width) // bins) for b in range(bins)]
+    return pa.table({
+        "bin": pa.array(np.arange(bins, dtype=np.int64)),
+        "lo_edge": pa.array(np.asarray(edges, dtype=np.int64)),
+        "count": pa.array(got.to_numpy().astype(np.int64)),
+    })
+
+
+def int_histogram_sql(table: str, col: str, bins: int = HIST_BINS) -> str:
+    """DuckDB twin of :func:`int_histogram` (same integer bucket rule;
+    empty bins ride in via a generate_series scaffold)."""
+    return (
+        f"WITH st AS (SELECT min({col}) AS lo, max({col}) AS hi, "
+        f"max({col}) - min({col}) + 1 AS w FROM {table}), "
+        f"b AS (SELECT ({col} - (SELECT lo FROM st)) * {bins} "
+        f"// (SELECT w FROM st) AS bin, count(*) AS c FROM {table} "
+        "GROUP BY 1), "
+        f"g AS (SELECT unnest(generate_series(0, {bins - 1})) AS gbin) "
+        "SELECT g.gbin AS bin, (SELECT lo FROM st) "
+        f"+ (g.gbin * (SELECT w FROM st) + {bins - 1}) // {bins} "
+        "AS lo_edge, "
+        "CAST(COALESCE(b.c, 0) AS BIGINT) AS count "
+        "FROM g LEFT JOIN b ON g.gbin = b.bin")

@@ -1198,3 +1198,42 @@ def token_budget_cut(ds, budget_num: int = 1, budget_den: int = 2):
         })
 
     return nds.map_batches(flag, batch_format="pyarrow")
+
+
+SPLIT_STREAM = 918  # rng stream registry: train/val/test assignment
+SPLIT_BUCKETS = 1000
+
+
+def train_split(ds, test_permille: int = 10, val_permille: int = 10,
+                seed: int = 42):
+    """Deterministic hash-bucket train/val/test assignment: bucket =
+    ``substream(doc_id, seed, 918) % 1000``; test takes the lowest
+    ``test_permille`` buckets, val the next ``val_permille``, train the
+    rest — the standard hash-split that is stable under corpus growth
+    (a doc's split never changes when other docs arrive), partition and
+    retry independent, and needs no coordination.
+
+    All-integer (one 32-bit mix hash + one modulo), so the SQL twin is
+    bit-exact. Returns (doc_id, bucket, split) for every doc, split in
+    {'train','val','test'}.
+
+    Reference analog: none (graft addition; the mixing-rate sampler
+    is `stratified_sample_batch`, stream 910).
+    """
+    from ..rng import substream
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        bucket = (substream(ids, seed, SPLIT_STREAM)
+                  % SPLIT_BUCKETS).astype(np.int64)
+        split = np.where(
+            bucket < test_permille, "test",
+            np.where(bucket < test_permille + val_permille, "val",
+                     "train"))
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "bucket": pa.array(bucket),
+            "split": pa.array(split.astype(object), type=pa.string()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -76,3 +76,23 @@ def test_label_centroid_sim_diag_and_symmetry(ray_session, sf_dir):
     a = df.sort_values(["label_a", "label_b"]).reset_index(drop=True)
     b = df2.sort_values(["label_a", "label_b"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_embedding_outliers_exact_rate_and_partition_independence(
+        ray_session, sf_dir):
+    import ray.data
+
+    from maskmypy_ray.sim.pca import embedding_outliers
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"]) \
+        .repartition(4)
+    df = embedding_outliers(ds).to_pandas()
+    n = len(df)
+    # strictly-above-p95 rule flags at most 5% and at least one point
+    # unless the top is one big tie run
+    assert 0 < int(df["outlier"].sum()) <= n - (19 * (n - 1) // 20 + 1) + 1
+    df2 = embedding_outliers(ds.repartition(9)).to_pandas()
+    a = df.sort_values("vec_id").reset_index(drop=True)
+    b = df2.sort_values("vec_id").reset_index(drop=True)
+    assert a.equals(b)

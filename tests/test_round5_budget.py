@@ -161,3 +161,30 @@ def test_perplexity_buckets_terciles(ray_session, sf_dir):
     counts = df["bucket"].value_counts()
     assert int(counts.get(0, 0)) >= n // 3
     assert int(counts.get(0, 0)) + int(counts.get(1, 0)) >= 2 * n // 3
+
+
+def test_train_split_stability_and_rates(ray_session, sf_dir):
+    import ray.data
+
+    from maskmypy_ray.text.corpus import train_split
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id"])
+    df = train_split(ds, seed=42).to_pandas().sort_values("doc_id")
+    assert set(df["split"].unique()) <= {"train", "val", "test"}
+    assert (df["bucket"].to_numpy() >= 0).all()
+    assert (df["bucket"].to_numpy() < 1000).all()
+    # growth stability: the assignment of a doc is independent of which
+    # other docs are present (pure per-row hash)
+    import pyarrow.compute as pc
+
+    def even_only(b):
+        return b.filter(pc.equal(pc.bit_wise_and(b.column("doc_id"), 1), 0))
+
+    half = ds.map_batches(even_only, batch_format="pyarrow")
+    dh = train_split(half, seed=42).to_pandas().sort_values("doc_id")
+    sub = df[df["doc_id"] % 2 == 0].reset_index(drop=True)
+    assert sub.equals(dh.reset_index(drop=True))
+    # different seed reshuffles
+    d2 = train_split(ds, seed=43).to_pandas().sort_values("doc_id")
+    assert (d2["bucket"].to_numpy() != df["bucket"].to_numpy()).any()

@@ -105,3 +105,29 @@ def test_source_token_hll_parity_and_accuracy(ray_session, sf_dir):
     rel = (eng["estimate"].to_numpy() - true["d"].to_numpy()) \
         / true["d"].to_numpy()
     assert (abs(rel) < 0.15).all()  # HLL-256 ~ 6.5% standard error
+
+
+def test_int_histogram_partition_independent_and_total(ray_session, sf_dir):
+    import numpy as np
+    import ray.data
+
+    from maskmypy_ray.sketches import int_histogram
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["n_chars"])
+    a = int_histogram(ds.repartition(3), "n_chars").to_pandas()
+    b = int_histogram(ds.repartition(13), "n_chars").to_pandas()
+    assert a.equals(b)
+    assert int(a["count"].sum()) == ds.count()
+    # lo_edge is the smallest value mapping into each bin
+    lo = int(a["lo_edge"].iloc[0])
+    hi_edge = a["lo_edge"].to_numpy()
+    width = None
+    import pyarrow.parquet as pq
+    v = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["n_chars"]).column("n_chars").to_numpy()
+    w = int(v.max()) - int(v.min()) + 1
+    for bi in range(1, 64):
+        e = int(hi_edge[bi])
+        assert (e - int(v.min())) * 64 // w == bi
+        assert (e - 1 - int(v.min())) * 64 // w == bi - 1
