@@ -200,18 +200,11 @@ def bench_once(q0_only: bool = False) -> dict:
     # q4: embedding similarity join
     from maskmypy_ray.sim.ann import cosine_pairs
 
-    from maskmypy_ray.sim.pca import embedding_pca, label_centroid_sim
-
     def run_q4():
         emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
                               columns=["vec_id", "embedding"],
                               override_num_blocks=SMALL_NB)
         cosine_pairs(emb, threshold=0.4).count()
-        embedding_pca(emb, k=2).count()
-        embl = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
-                               columns=["embedding", "label"],
-                               override_num_blocks=SMALL_NB)
-        label_centroid_sim(embl).num_rows
 
     queries["q4_embedding_pairs"] = timed(run_q4)
 
@@ -358,6 +351,26 @@ def bench_once(q0_only: bool = False) -> dict:
         curate_corpus(docs).count()
 
     queries["q10_curation_composite"] = timed(run_q10)
+
+    # q11: embedding-column analysis (closing round-5 ops): distributed
+    # PCA (exact integer Gram -> driver eigensolve -> projection pass),
+    # per-label centroid cosine matrix, centroid-distance outliers.
+    # Additive query — earlier compositions unchanged.
+    from maskmypy_ray.sim.pca import (embedding_outliers, embedding_pca,
+                                      label_centroid_sim)
+
+    def run_q11():
+        emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                              columns=["vec_id", "embedding"],
+                              override_num_blocks=SMALL_NB)
+        embedding_pca(emb, k=2).count()
+        embedding_outliers(emb).count()
+        embl = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                               columns=["embedding", "label"],
+                               override_num_blocks=SMALL_NB)
+        label_centroid_sim(embl).num_rows
+
+    queries["q11_embedding_analysis"] = timed(run_q11)
 
     headline = queries["q0_fused_mask_k"]
     result = {

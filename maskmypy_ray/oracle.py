@@ -1037,3 +1037,25 @@ SELECT d.doc_id, coalesce(p.n_grams, 0) AS n_grams,
                   THEN CAST(p.n_dup AS DOUBLE) / p.n_grams
                   ELSE 0.0 END, 6) AS dup_frac
 FROM docs d LEFT JOIN per p ON p.doc_id = d.doc_id"""
+
+
+def novel_gram_fraction_sql(k: int = 8) -> str:
+    """Mirror of text.dedup.novel_gram_fraction (a gram is NOVEL for
+    the doc holding its global min doc_id)."""
+    return f"""WITH docs AS (SELECT doc_id, text FROM documents),
+tl AS (SELECT doc_id, regexp_extract_all(lower(text), '{_TOKEN_SQL}') AS l
+       FROM docs),
+tc AS (SELECT doc_id, {SQL_TOKEN_CODES} AS c FROM tl),
+sg AS (SELECT DISTINCT doc_id, unnest({sql_gram_list_expr(k, "skip")}) AS gh
+       FROM tc),
+mn AS (SELECT gh, min(doc_id) AS m FROM sg GROUP BY gh),
+per AS (
+  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(*) FILTER (WHERE mn.m = s.doc_id) AS BIGINT) AS n_new
+  FROM sg s JOIN mn USING (gh) GROUP BY 1)
+SELECT d.doc_id, coalesce(p.n_grams, 0) AS n_grams,
+       coalesce(p.n_new, 0) AS n_new,
+       round(CASE WHEN coalesce(p.n_grams, 0) > 0
+                  THEN CAST(p.n_new AS DOUBLE) / p.n_grams
+                  ELSE 0.0 END, 6) AS novel_frac
+FROM docs d LEFT JOIN per p ON p.doc_id = d.doc_id"""

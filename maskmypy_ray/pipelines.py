@@ -4755,3 +4755,136 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge hist part
         "lo_edge AS n1, count AS n2, 0.0 AS est FROM ("
         + base["column_histogram"] + ")")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Per-doc n-gram novelty fraction (round 5): the ordered complement of
+# dup_gram_fraction — the share of a doc's distinct k-grams it
+# introduced to the corpus. Merged into the registered `dedup_spans`
+# row as part `novelty`.
+# ---------------------------------------------------------------------------
+
+
+def q_novel_gram_fraction(sf_dir: str):
+    """(doc_id, n_grams, n_new, novel_frac) per doc
+    (`text/dedup.py:novel_gram_fraction`, k=8)."""
+    from .text.dedup import novel_gram_fraction
+
+    return novel_gram_fraction(_docs_ds(sf_dir), k=8)
+
+
+FULL_QUERIES["novel_gram_fraction"] = q_novel_gram_fraction
+
+_FULL_ORACLE_SNAPSHOT_NGF = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    out = _FULL_ORACLE_SNAPSHOT_NGF()
+    out["novel_gram_fraction"] = oracle.novel_gram_fraction_sql(k=8)
+    return out
+
+
+_Q_DEDUP_SPANS_PRE_NGF = q_dedup_spans_all
+
+
+def q_dedup_spans_all(sf_dir: str):  # noqa: F811
+    """spans + duplication fraction + novelty fraction (part `novelty`:
+    v carries novel_frac)."""
+    nov = _tag_ds(FULL_QUERIES["novel_gram_fraction"](sf_dir), "novelty",
+                  [("k", "doc_id", None), ("a", "n_grams", None),
+                   ("b", "n_new", None), ("v", "novel_frac", None)])
+    return _union([_Q_DEDUP_SPANS_PRE_NGF(sf_dir), nov])
+
+
+QUERIES["dedup_spans"] = q_dedup_spans_all
+
+_ORACLE_SNAPSHOT_NGF = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge novelty part
+    out = _ORACLE_SNAPSHOT_NGF()
+    base = full_oracle_queries()
+    out["dedup_spans"] = (
+        out["dedup_spans"] + "\nUNION ALL\n"
+        "SELECT 'novelty' AS part, doc_id AS k, n_grams AS a, n_new AS b, "
+        "novel_frac AS v FROM (" + base["novel_gram_fraction"] + ")")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware dedup survivors (round 5): keep the HIGHEST-quality
+# member of every near-dup cluster (ties: min doc_id) — production
+# dedup drops the worse copy, not the later one. Merged into the
+# registered `dup_clusters` row as part `best` (survivor slot carries
+# the winner's quality score; both sides IEEE-exact).
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_survivors_quality(sf_dir: str):
+    """(cluster_id, doc_id, quality_score) of each cluster's best
+    member (`text/clusters.py:cluster_best_survivors` over the shared
+    materialized clustering + the token-stat quality signals)."""
+    from .text.clusters import cluster_best_survivors
+    from .text.corpus import quality_signals_batch
+
+    cc = _dup_clusters_materialized(sf_dir)
+    quality = _docs_ds(sf_dir).map_batches(
+        lambda b: quality_signals_batch(b).select(
+            ["doc_id", "quality_score"]),
+        batch_format="pyarrow")
+    return cluster_best_survivors(cc, quality)
+
+
+FULL_QUERIES["dedup_survivors_quality"] = q_dedup_survivors_quality
+
+_FULL_ORACLE_SNAPSHOT_DSQ = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    out = _FULL_ORACLE_SNAPSHOT_DSQ()
+    out["dedup_survivors_quality"] = (
+        "WITH c AS (" + oracle.dup_clusters_sql(0.8, 5) + "), "
+        "q AS (SELECT doc_id, quality_score FROM ("
+        + out["token_budget_cut"] + ")), "
+        "r AS (SELECT c.cluster_id, c.node AS doc_id, q.quality_score, "
+        "row_number() OVER (PARTITION BY c.cluster_id "
+        "ORDER BY q.quality_score DESC, c.node) AS rn "
+        "FROM c JOIN q ON q.doc_id = c.node) "
+        "SELECT cluster_id, doc_id, quality_score FROM r WHERE rn = 1")
+    return out
+
+
+_Q_DUP_CLUSTERS_PRE_BEST = q_dup_clusters_full
+
+
+def q_dup_clusters_full(sf_dir: str):  # noqa: F811
+    """clusters + min-id survivors + the quality-argmax survivor per
+    cluster (part `best`: survivor slot carries the winner's quality
+    score as DOUBLE; the min-id parts cast their 0/1 flag to DOUBLE)."""
+    f64 = pa.float64()
+    base = _tag_ds(_Q_DUP_CLUSTERS_PRE_BEST(sf_dir), "clusters",
+                   [("node", "node", None), ("cluster_id", "cluster_id", None),
+                    ("survivor", "survivor", f64)])
+    best = _tag_ds(FULL_QUERIES["dedup_survivors_quality"](sf_dir), "best",
+                   [("node", "doc_id", None),
+                    ("cluster_id", "cluster_id", None),
+                    ("survivor", "quality_score", f64)])
+    return _union([base, best])
+
+
+QUERIES["dup_clusters"] = q_dup_clusters_full
+
+_ORACLE_SNAPSHOT_DSQ = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge best part
+    out = _ORACLE_SNAPSHOT_DSQ()
+    base = full_oracle_queries()
+    out["dup_clusters"] = _sql_union([
+        ("clusters", "SELECT node, cluster_id, "
+                     "CAST(survivor AS DOUBLE) AS survivor FROM ("
+                     + _ORACLE_SNAPSHOT_DSQ()["dup_clusters"] + ")"),
+        ("best", "SELECT doc_id AS node, cluster_id, "
+                 "quality_score AS survivor FROM ("
+                 + base["dedup_survivors_quality"] + ")")])
+    return out

@@ -230,3 +230,88 @@ def duplicate_clusters(ds, threshold: float = 0.8, ngram: int = 5,
 
     return connected_components(
         corpus.map_batches(nodes, batch_format="pyarrow"), edges)
+
+
+def cluster_best_survivors(clusters_ds, quality_ds,
+                           partitions: int = DEFAULT_PARTITIONS):
+    """Quality-aware near-dup survivor choice: for every duplicate
+    cluster keep the HIGHEST-quality member (ties: min doc_id) — the
+    production alternative to min-id survivorship when a quality score
+    exists (dedup should drop the worse copy, not the later one).
+
+    Inputs: ``clusters_ds`` = (node, cluster_id) from
+    :func:`duplicate_clusters`; ``quality_ds`` = (doc_id,
+    quality_score). Scale shape: one coarse ``doc_id % P`` partition
+    join attaches the score to each member (both sides shuffled ONCE on
+    the shared key), then one coarse ``cluster_id % P`` partition holds
+    every member of a cluster and picks the argmax with a single
+    vectorized lexsort per partition — no per-cluster Python, no
+    driver-side state.
+
+    Returns (cluster_id, doc_id, quality_score) — one row per cluster.
+    """
+
+    def nodes_pk(b: pa.Table) -> pa.Table:
+        n = b.column("node").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key": b.column("node"),
+            "cluster_id": b.column("cluster_id"),
+            "quality_score": pa.array(np.full(len(n), np.nan)),
+            "side": pa.array(np.zeros(len(n), dtype=np.int64)),
+            "pk": pa.array(n % partitions),
+        })
+
+    def quality_pk(b: pa.Table) -> pa.Table:
+        d = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "key": b.column("doc_id"),
+            "cluster_id": pa.array(np.zeros(len(d), dtype=np.int64)),
+            "quality_score": b.column("quality_score"),
+            "side": pa.array(np.ones(len(d), dtype=np.int64)),
+            "pk": pa.array(d % partitions),
+        })
+
+    def join_part(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0]
+        right = g[g["side"] == 1]
+        m = left.merge(
+            right[["key", "quality_score"]].rename(
+                columns={"quality_score": "q"}),
+            on="key", how="inner")
+        return pd.DataFrame({
+            "cluster_id": m["cluster_id"].to_numpy(dtype=np.int64),
+            "doc_id": m["key"].to_numpy(dtype=np.int64),
+            "quality_score": m["q"].to_numpy(dtype=np.float64),
+        })
+
+    joined = clusters_ds.map_batches(nodes_pk, batch_format="pyarrow") \
+        .union(quality_ds.map_batches(quality_pk, batch_format="pyarrow")) \
+        .repartition(32) \
+        .groupby("pk").map_groups(join_part, batch_format="pandas")
+
+    def ck(b: pa.Table) -> pa.Table:
+        c = b.column("cluster_id").to_numpy(zero_copy_only=False)
+        return b.append_column("ck", pa.array(c % partitions))
+
+    def best_part(g: pd.DataFrame) -> pa.Table:
+        # argmax quality, ties min doc_id: one lexsort, keep first row
+        # per cluster
+        order = np.lexsort((g["doc_id"].to_numpy(),
+                            -g["quality_score"].to_numpy()))
+        s = g.iloc[order]
+        keep = ~s["cluster_id"].duplicated().to_numpy()
+        k = s[keep]
+        return pa.table({
+            "cluster_id": pa.array(k["cluster_id"].to_numpy(np.int64)),
+            "doc_id": pa.array(k["doc_id"].to_numpy(np.int64)),
+            "quality_score": pa.array(
+                k["quality_score"].to_numpy(np.float64)),
+        })
+
+    def norm(b) -> pa.Table:
+        return b if isinstance(b, pa.Table) else pa.Table.from_pandas(
+            b, preserve_index=False)
+
+    return joined.map_batches(norm, batch_format="pyarrow") \
+        .map_batches(ck, batch_format="pyarrow") \
+        .groupby("ck").map_groups(best_part, batch_format="pandas")

@@ -1020,6 +1020,19 @@ def source_minhash_similarity(ds, ngram: int = 5, text_col: str = "text",
     })
 
 
+def novel_gram_fraction(ds, k: int = 8, text_col: str = "text",
+                        partitions: int = 64):
+    """Per-doc NOVELTY fraction: the share of a doc's distinct
+    word-``k``-grams that this doc INTRODUCED to the corpus (global
+    min doc_id over the gram's holders == this doc) ->
+    ``(doc_id, n_grams, n_new, novel_frac)``. The ordered complement of
+    :func:`dup_gram_fraction` — "how much new content does each doc
+    contribute" (dedup-priority / crawl-value signal). Same scale shape
+    (one gram-hash-partition shuffle, per-doc partials, coarse doc
+    partitions); same SQL-mirrored gram kernel."""
+    return _gram_fraction_impl(ds, k, text_col, partitions, "novel")
+
+
 def dup_gram_fraction(ds, k: int = 8, text_col: str = "text",
                       partitions: int = 64):
     """Per-doc CROSS-document duplication fraction: the share of a
@@ -1036,6 +1049,13 @@ def dup_gram_fraction(ds, k: int = 8, text_col: str = "text",
     (n_grams, n_dup) counts; one ``groupby(doc_id)`` over partials
     (docs x partitions rows, not gram rows); gram-less docs complete
     via zero partials emitted from the original scan."""
+    return _gram_fraction_impl(ds, k, text_col, partitions, "dup")
+
+
+def _gram_fraction_impl(ds, k: int, text_col: str, partitions: int,
+                        kind: str):
+    cnt_col = "n_dup" if kind == "dup" else "n_new"
+    frac_col = "dup_frac" if kind == "dup" else "novel_frac"
     grams = ds.map_batches(lambda b: span_hashes_batch(b, k, text_col),
                            batch_format="pyarrow")
 
@@ -1046,21 +1066,25 @@ def dup_gram_fraction(ds, k: int = 8, text_col: str = "text",
 
     def part_counts(g: pd.DataFrame) -> pd.DataFrame:
         # span_hashes_batch emits DISTINCT grams per doc, so group size
-        # == distinct-doc count per gram
-        nd = g.groupby("gram_hash", sort=False)["doc_id"] \
-            .transform("size")
-        dup = (nd >= 2).to_numpy()
+        # == distinct-doc count per gram (and min == first holder)
+        grp = g.groupby("gram_hash", sort=False)["doc_id"]
+        if kind == "dup":
+            flag = (grp.transform("size") >= 2).to_numpy()
+        else:  # novel: this doc introduced the gram
+            flag = (grp.transform("min").to_numpy()
+                    == g["doc_id"].to_numpy())
         out = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
-                            "dup": dup.astype(np.int64)})
+                            "f": flag.astype(np.int64)})
         agg = out.groupby("doc_id", sort=False).agg(
-            n_grams=("dup", "size"), n_dup=("dup", "sum")).reset_index()
+            n_grams=("f", "size"), **{cnt_col: ("f", "sum")}) \
+            .reset_index()
         return agg
 
     def to_arrow(d: pd.DataFrame) -> pa.Table:
         return pa.table({
             "doc_id": pa.array(d["doc_id"].to_numpy(), type=pa.int64()),
             "n_grams": pa.array(d["n_grams"].to_numpy(), type=pa.int64()),
-            "n_dup": pa.array(d["n_dup"].to_numpy(), type=pa.int64()),
+            cnt_col: pa.array(d[cnt_col].to_numpy(), type=pa.int64()),
         })
 
     def zero_partials(b: pa.Table) -> pa.Table:
@@ -1068,7 +1092,7 @@ def dup_gram_fraction(ds, k: int = 8, text_col: str = "text",
         return pa.table({
             "doc_id": b.column("doc_id"),
             "n_grams": pa.array(np.zeros(n, dtype=np.int64)),
-            "n_dup": pa.array(np.zeros(n, dtype=np.int64)),
+            cnt_col: pa.array(np.zeros(n, dtype=np.int64)),
         })
 
     partials = grams.map_batches(with_pq, batch_format="pyarrow") \
@@ -1088,15 +1112,15 @@ def dup_gram_fraction(ds, k: int = 8, text_col: str = "text",
 
     def sum_part(g: pd.DataFrame) -> pa.Table:
         s = g.groupby("doc_id", sort=False).agg(
-            n_grams=("n_grams", "sum"), n_dup=("n_dup", "sum")) \
+            n_grams=("n_grams", "sum"), **{cnt_col: (cnt_col, "sum")}) \
             .reset_index()
         n = s["n_grams"].to_numpy(dtype=np.int64)
-        d = s["n_dup"].to_numpy(dtype=np.int64)
+        d = s[cnt_col].to_numpy(dtype=np.int64)
         return pa.table({
             "doc_id": pa.array(s["doc_id"].to_numpy(dtype=np.int64)),
             "n_grams": pa.array(n),
-            "n_dup": pa.array(d),
-            "dup_frac": pa.array(
+            cnt_col: pa.array(d),
+            frac_col: pa.array(
                 np.round(np.where(n > 0, d / np.maximum(n, 1), 0.0), 6),
                 type=pa.float64()),
         })

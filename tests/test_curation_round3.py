@@ -892,3 +892,26 @@ def test_media_phash_pairs(ray_session, sf_dir):
     orc = con.execute(p.full_oracle_queries()["media_phash_pairs"]).df() \
         .sort_values(["url_a", "url_b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(eng, orc.astype(eng.dtypes.to_dict()))
+
+
+def test_cluster_best_survivors_argmax(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from maskmypy_ray.text.clusters import cluster_best_survivors
+
+    # 3 clusters; quality argmax differs from min-id in cluster 10
+    cc = ray.data.from_arrow(pa.table({
+        "node": [1, 2, 3, 10, 11, 20],
+        "cluster_id": [1, 1, 1, 10, 10, 20],
+    })).repartition(3)
+    q = ray.data.from_arrow(pa.table({
+        "doc_id": [1, 2, 3, 10, 11, 20, 99],
+        "quality_score": [0.5, 0.9, 0.9, 0.1, 0.8, 0.3, 1.0],
+    })).repartition(2)
+    got = cluster_best_survivors(cc, q).to_pandas() \
+        .sort_values("cluster_id").reset_index(drop=True)
+    assert got["cluster_id"].tolist() == [1, 10, 20]
+    assert got["doc_id"].tolist() == [2, 11, 20]  # tie 2 vs 3 -> min id
+    assert np.allclose(got["quality_score"].to_numpy(), [0.9, 0.8, 0.3])

@@ -976,3 +976,34 @@ def test_curate_corpus_oracle_parity(ray_session, sf_dir):
     assert counts.get("exact_dup", 0) > 0
     assert counts.get("near_dup", 0) > 0
     assert counts.get("kept", 0) > 0
+
+
+def test_novel_gram_fraction_vs_brute(ray_session, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from maskmypy_ray.text.dedup import novel_gram_fraction
+
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    got = novel_gram_fraction(docs, k=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # novelty sums: every gram is novel for exactly one doc, so
+    # sum(n_new) == number of distinct grams in the corpus
+    from maskmypy_ray.text.dedup import span_hashes_batch
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    g = span_hashes_batch(t, 8, "text").to_pandas()
+    assert int(got["n_new"].sum()) == g["gram_hash"].nunique()
+    # brute per-doc check
+    first = g.groupby("gram_hash")["doc_id"].min()
+    g["novel"] = g["gram_hash"].map(first) == g["doc_id"]
+    brute = g.groupby("doc_id")["novel"].agg(["size", "sum"])
+    merged = got.set_index("doc_id").join(brute, how="left")
+    nz = merged["size"].notna()
+    assert (merged.loc[nz, "n_grams"] == merged.loc[nz, "size"]).all()
+    assert (merged.loc[nz, "n_new"] == merged.loc[nz, "sum"]).all()
+    assert (merged.loc[~nz, "n_grams"] == 0).all()
