@@ -4888,3 +4888,79 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge best part
                  "quality_score AS survivor FROM ("
                  + base["dedup_survivors_quality"] + ")")])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level exact line dedup (round 5): the RefinedWeb/FineWeb
+# inter-document line stage — a line survives only at its globally
+# first occurrence; docs reassembled. Merged into the registered `pii`
+# row as part `linededup` (same hygiene-transform column shape as the
+# `lines` part; the deduped text is value-checked byte-for-byte).
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_lines(sf_dir: str):
+    """(doc_id, n_lines, n_kept, text) after corpus-level exact line
+    dedup over the derived multi-line corpus
+    (`text/lines.py:dedup_lines`)."""
+    from .text.lines import dedup_lines, with_lines
+
+    return dedup_lines(with_lines(_docs_ds(sf_dir), seed=SEED))
+
+
+FULL_QUERIES["dedup_lines"] = q_dedup_lines
+
+_FULL_ORACLE_SNAPSHOT_DLN = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    from .text.lines import dedup_lines_sql
+
+    out = _FULL_ORACLE_SNAPSHOT_DLN()
+    out["dedup_lines"] = dedup_lines_sql(seed=SEED)
+    return out
+
+
+_Q_PII_PRE_DLN = q_pii
+
+
+def q_pii(sf_dir: str):  # noqa: F811
+    """Text-hygiene transforms + curation verdicts + corpus-level line
+    dedup in one tagged union (part `linededup`: n_email := n_lines,
+    n_ipv4 := n_kept, n_redacted := n_dropped, text := deduped text)."""
+    import pyarrow.compute as pc
+
+    i64 = pa.int64()
+    dl = _as_ds(FULL_QUERIES["dedup_lines"](sf_dir)).map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_email": b.column("n_lines"),
+            "n_ipv4": b.column("n_kept"),
+            "n_phone": pa.array([0] * len(b), type=pa.int64()),
+            "text": b.column("text"),
+            "n_redacted": pc.subtract(b.column("n_lines"),
+                                      b.column("n_kept")),
+        }), batch_format="pyarrow")
+    part = _tag_ds(dl, "linededup",
+                   [("doc_id", "doc_id", None), ("n_email", "n_email", None),
+                    ("n_ipv4", "n_ipv4", None), ("n_phone", "n_phone", None),
+                    ("text", "text", None),
+                    ("n_redacted", "n_redacted", None)])
+    return _union([_Q_PII_PRE_DLN(sf_dir), part])
+
+
+QUERIES["pii"] = q_pii
+
+_ORACLE_SNAPSHOT_DLN = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge linededup part
+    out = _ORACLE_SNAPSHOT_DLN()
+    base = full_oracle_queries()
+    out["pii"] = (out["pii"] + "\nUNION ALL\n"
+                  "SELECT 'linededup' AS part, doc_id, "
+                  "n_lines AS n_email, n_kept AS n_ipv4, "
+                  "CAST(0 AS BIGINT) AS n_phone, text, "
+                  "n_lines - n_kept AS n_redacted FROM ("
+                  + base["dedup_lines"] + ")")
+    return out

@@ -1007,3 +1007,58 @@ def test_novel_gram_fraction_vs_brute(ray_session, sf_dir):
     assert (merged.loc[nz, "n_grams"] == merged.loc[nz, "size"]).all()
     assert (merged.loc[nz, "n_new"] == merged.loc[nz, "sum"]).all()
     assert (merged.loc[~nz, "n_grams"] == 0).all()
+
+
+def test_dedup_lines_oracle_parity(ray_session, sf_dir):
+    """dedup_lines(with_lines(.)) equals the DuckDB twin byte-for-byte,
+    including the reassembled deduped text."""
+    import duckdb
+    import ray.data
+
+    from maskmypy_ray.text.lines import dedup_lines, dedup_lines_sql, with_lines
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"],
+                               override_num_blocks=5)
+    eng = dedup_lines(with_lines(ds, seed=0)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    orc = con.execute(dedup_lines_sql(seed=0)).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for c in ("doc_id", "n_lines", "n_kept", "text"):
+        assert eng[c].tolist() == orc[c].tolist(), c
+    # real work: duplicate lines exist (boilerplate) and drop
+    assert 0 < eng["n_kept"].sum() < eng["n_lines"].sum()
+    # the boilerplate line survives in exactly ONE doc corpus-wide
+    n_boiler = eng["text"].str.count("please enable javascript").sum()
+    assert n_boiler == 1
+
+
+def test_dedup_lines_semantics(ray_session):
+    """First occurrence wins globally; within-doc repeats collapse;
+    empty docs reassemble to (0, 0, '')."""
+    import pyarrow as pa
+    import ray.data
+
+    from maskmypy_ray.text.lines import dedup_lines
+
+    t = pa.table({
+        "doc_id": pa.array([3, 1, 7], type=pa.int64()),
+        "text": pa.array([
+            "shared line.\nunique to three.",
+            "first line.\nshared line.\nshared line.\nfirst line.",
+            "",
+        ]),
+    })
+    out = dedup_lines(ray.data.from_arrow(t).repartition(3)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 3, 7]
+    assert out["n_lines"].tolist() == [4, 2, 0]
+    assert out["n_kept"].tolist() == [2, 1, 0]
+    # doc 1 keeps its first 'first line.' and 'shared line.' (min doc
+    # wins the cross-doc tie; within-doc repeats collapse)
+    assert out.loc[0, "text"] == "first line.\nshared line."
+    assert out.loc[1, "text"] == "unique to three."
+    assert out.loc[2, "text"] == ""
