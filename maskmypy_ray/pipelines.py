@@ -4964,3 +4964,93 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge linededup part
                   "n_lines - n_kept AS n_redacted FROM ("
                   + base["dedup_lines"] + ")")
     return out
+
+
+# ---------------------------------------------------------------------------
+# PMI top-k bigram collocations (round 5): rank bigrams by pointwise
+# mutual information instead of raw count — the collocation-mining
+# complement of ngram_topk. Merged into the registered `topk_terms`
+# row as part `pmi` (rank carries the bigram count, score the
+# quantized PMI — both value-checked).
+# ---------------------------------------------------------------------------
+
+
+def q_pmi_topk(sf_dir: str):
+    """(gram, n, pmi_micro) top-20 collocations
+    (`text/quality.py:pmi_topk`, min_count=5, top_v=4096)."""
+    from .text.quality import pmi_topk
+
+    return pmi_topk(_docs_ds(sf_dir), k=20, min_count=5)
+
+
+FULL_QUERIES["pmi_topk"] = q_pmi_topk
+
+
+def _pmi_topk_sql(k: int = 20, min_count: int = 5,
+                  top_v: int = 4096) -> str:
+    """HUGEINT-product twin of pmi_topk: identical single IEEE
+    division + ln + 1e-6 floor quantization."""
+    return (
+        f"WITH t AS (SELECT doc_id, {_TOKS_LIST_SQL} AS toks "
+        "FROM documents), "
+        "uni AS (SELECT unnest(toks) AS tok FROM t), "
+        "uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni "
+        "GROUP BY tok), "
+        "nu AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni), "
+        f"voc AS (SELECT tok, c FROM uc ORDER BY c DESC, tok ASC "
+        f"LIMIT {top_v}), "
+        "zz AS (SELECT unnest(list_zip(toks, toks[2:])) AS z FROM t), "
+        "bg AS (SELECT struct_extract(z,1) AS a, struct_extract(z,2) AS b "
+        "FROM zz WHERE struct_extract(z,2) IS NOT NULL), "
+        "nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bg), "
+        "bc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM bg "
+        "GROUP BY a, b), "
+        "cand AS (SELECT bc.a, bc.b, bc.cab, va.c AS ca, vb.c AS cb "
+        "FROM bc JOIN voc va ON va.tok = bc.a "
+        "JOIN voc vb ON vb.tok = bc.b "
+        f"WHERE bc.cab >= {min_count}) "
+        "SELECT a || ' ' || b AS gram, cab AS n, "
+        "CAST(floor(1000000.0 * ln("
+        "CAST(CAST(cab AS HUGEINT) * nu.n * nu.n AS DOUBLE) "
+        "/ CAST(CAST(nb.n AS HUGEINT) * ca * cb AS DOUBLE))) AS BIGINT) "
+        "AS pmi_micro "
+        "FROM cand, nu, nb "
+        f"ORDER BY pmi_micro DESC, gram ASC LIMIT {k}")
+
+
+_FULL_ORACLE_SNAPSHOT_PMI = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    out = _FULL_ORACLE_SNAPSHOT_PMI()
+    out["pmi_topk"] = _pmi_topk_sql(k=20, min_count=5)
+    return out
+
+
+_Q_TOPK_TERMS_PRE_PMI = q_topk_terms
+
+
+def q_topk_terms(sf_dir: str):  # noqa: F811
+    """Term rankings + BM25 + PMI collocations in one tagged union
+    (part `pmi`: rank := bigram count, score := quantized PMI)."""
+    i64 = pa.int64()
+    pmi = _tag_ds(FULL_QUERIES["pmi_topk"](sf_dir), "pmi",
+                  [("doc_id", ("const", -1), i64), ("rank", "n", None),
+                   ("term", "gram", None), ("score", "pmi_micro", None)])
+    return _union([_Q_TOPK_TERMS_PRE_PMI(sf_dir), pmi])
+
+
+QUERIES["topk_terms"] = q_topk_terms
+
+_ORACLE_SNAPSHOT_PMI = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge pmi part
+    out = _ORACLE_SNAPSHOT_PMI()
+    base = full_oracle_queries()
+    out["topk_terms"] = (
+        out["topk_terms"] + "\nUNION ALL\n"
+        "SELECT 'pmi' AS part, CAST(-1 AS BIGINT) AS doc_id, "
+        "n AS rank, gram AS term, pmi_micro AS score FROM ("
+        + base["pmi_topk"] + ")")
+    return out

@@ -412,6 +412,110 @@ def ngram_topk(ds, k: int = 20, partitions: int = 64):
     return cand.sort(["n", "gram"], descending=[True, False]).limit(k)
 
 
+def pmi_topk(ds, k: int = 20, min_count: int = 5, top_v: int = 4096,
+             partitions: int = 64):
+    """Top-k bigram COLLOCATIONS by pointwise mutual information —
+    PMI(a,b) = ln( c_ab * N_uni^2 / (N_bi * c_a * c_b) ) — restricted
+    to bigrams seen >= ``min_count`` times whose both tokens sit in the
+    top-``top_v`` unigram vocabulary (the classic collocation-mining
+    job; raw count ranking surfaces "of the", PMI surfaces the pairs
+    that co-occur far above chance).
+
+    Scale shape: the unigram vocab is a bounded broadcast (``top_v``
+    rows via distributed sort+limit, the ``lm.py`` pattern); bigram
+    partials pre-combine per batch; each candidate's whole mass lands
+    in one coarse ``hash(gram) % P`` partition where the count gate,
+    the quantized PMI and a head-k run vectorized; the final sort sees
+    <= P*k rows. N_uni / N_bi are two driver scalars (N_bi summed from
+    per-batch sentinel rows riding the same partials — no extra corpus
+    pass).
+
+    Exactness: ``pmi_micro = floor(1e6 * ln(num/den))`` with num/den
+    exact int64 products (< 2^62 asserted; the int->double conversions
+    and the single IEEE division are correctly rounded on both sides)
+    — the DuckDB twin computes the identical expression with HUGEINT
+    products. Returns (gram, n, pmi_micro) by (pmi_micro desc, gram).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .lm import token_counts
+
+    counts = token_counts(ds).materialize()
+    n_uni = int(counts.aggregate(Sum("c"))["sum(c)"] or 0)
+    vocab_rows = counts.sort(["c", "tok"], descending=[True, False]) \
+        .limit(top_v).take_all()
+    vocab = {r["tok"]: int(r["c"]) for r in vocab_rows}
+    vocab_ref = ray.put(vocab)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = bigram_counts_partial_batch(b)
+        g = t.column("gram").to_numpy(zero_copy_only=False)
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        pb = ((pd.util.hash_array(g.astype(object)) % partitions)
+              .astype(np.int64)) if len(g) else np.zeros(0, np.int64)
+        out = pa.table({"gram": t.column("gram"), "n": t.column("n"),
+                        "pb": pa.array(pb)})
+        # sentinel row (pb = -1): this batch's TOTAL bigram mass, summed
+        # on the driver into the N_bi scalar — no second corpus pass
+        sent = pa.table({"gram": pa.array(["\t"], type=pa.string()),
+                         "n": pa.array([int(n.sum())], type=pa.int64()),
+                         "pb": pa.array([-1], type=pa.int64())})
+        return pa.concat_tables([out, sent])
+
+    # combiner output (distinct bigrams per block + 1 sentinel/block):
+    # materialized because two consumers need it (the N_bi scalar and
+    # the candidate shuffle) — far smaller than the corpus
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    n_bi = int(partials.filter(expr="pb == -1")
+               .aggregate(Sum("n"))["sum(n)"] or 0)
+    nb = max(n_bi, 1)
+    nu = max(n_uni, 1)
+
+    def score_part(g: pd.DataFrame) -> pd.DataFrame:
+        v: dict = ray.get(vocab_ref)
+        s = g.groupby("gram", sort=False)["n"].sum().reset_index()
+        s = s[s["n"].to_numpy() >= min_count]
+        empty = pd.DataFrame({
+            "gram": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype=np.int64),
+            "pmi_micro": pd.Series([], dtype=np.int64)})
+        if not len(s):
+            return empty
+        # vocab lookups once per DISTINCT token (unigram_logprob idiom)
+        sp = s["gram"].str.split(" ", n=1, expand=True)
+        ca = np.empty(len(s), dtype=np.int64)
+        cb = np.empty(len(s), dtype=np.int64)
+        ok = np.ones(len(s), dtype=bool)
+        for col, arr in ((0, ca), (1, cb)):
+            codes, uniq = pd.factorize(sp[col].to_numpy())
+            cu = np.array([v.get(u, -1) for u in uniq], dtype=np.int64)
+            arr[:] = cu[codes]
+            ok &= arr > 0
+        s, ca, cb = s[ok], ca[ok], cb[ok]
+        if not len(s):
+            return empty
+        cab = s["n"].to_numpy(np.int64)
+        assert int(cab.max()) * nu * nu < (1 << 62), "pmi int64 overflow"
+        assert nb * int(ca.max()) * int(cb.max()) < (1 << 62), \
+            "pmi int64 overflow"
+        num = cab * (nu * nu)
+        den = (ca * nb) * cb
+        micro = np.floor(1e6 * np.log(num.astype(np.float64)
+                                      / den.astype(np.float64))) \
+            .astype(np.int64)
+        out = pd.DataFrame({"gram": s["gram"].to_numpy(), "n": cab,
+                            "pmi_micro": micro})
+        return out.sort_values(["pmi_micro", "gram"],
+                               ascending=[False, True],
+                               kind="mergesort").head(k)
+
+    cand = partials.filter(expr="pb >= 0") \
+        .groupby("pb").map_groups(score_part, batch_format="pandas")
+    return cand.sort(["pmi_micro", "gram"], descending=[True, False]) \
+        .limit(k)
+
+
 def quality_filter_batch(batch: pa.Table, min_tokens: int = 10,
                          max_top_word_frac: float = 0.5,
                          min_stop_ratio: float = 0.05) -> pa.Table:

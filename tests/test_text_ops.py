@@ -1062,3 +1062,48 @@ def test_dedup_lines_semantics(ray_session):
     assert out.loc[0, "text"] == "first line.\nshared line."
     assert out.loc[1, "text"] == "unique to three."
     assert out.loc[2, "text"] == ""
+
+
+def test_pmi_topk_oracle_parity(ray_session, sf_dir):
+    """pmi_topk equals the HUGEINT-product DuckDB twin exactly,
+    including the quantized PMI values and the (pmi desc, gram) order."""
+    import duckdb
+    import ray.data
+
+    from maskmypy_ray import pipelines as p
+
+    eng = p.FULL_QUERIES["pmi_topk"](sf_dir).to_pandas() \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    orc = con.execute(p.full_oracle_queries()["pmi_topk"]).df()
+    assert len(eng) == 20
+    for c in ("gram", "n", "pmi_micro"):
+        assert eng[c].tolist() == orc[c].tolist(), c
+    # PMI does real reranking: the top PMI pair is NOT the top count
+    # pair on this corpus, and every candidate clears the count floor
+    assert (eng["n"] >= 5).all()
+
+
+def test_pmi_topk_known_corpus(ray_session):
+    """Hand-checkable PMI: a pair that always co-occurs beats a pair
+    of frequent-but-independent tokens."""
+    import pyarrow as pa
+    import ray.data
+
+    from maskmypy_ray.text.quality import pmi_topk
+
+    # 'zig zag' appears 5x and its tokens appear nowhere else;
+    # 'the cat' appears 5x but 'the' is everywhere
+    docs = ["zig zag . the cat sat", "zig zag . the cat ran",
+            "zig zag . the dog sat", "zig zag . the cow ran",
+            "zig zag . the cat hid the bone the end"]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), type=pa.int64()),
+                  "text": pa.array(docs)})
+    out = pmi_topk(ray.data.from_arrow(t).repartition(2),
+                   k=5, min_count=3).to_pandas()
+    assert out.loc[0, "gram"] == "zig zag"
+    assert out.loc[0, "n"] == 5
+    ranks = {g: i for i, g in enumerate(out["gram"])}
+    assert ranks["zig zag"] < ranks.get("the cat", 99)
