@@ -5054,3 +5054,64 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge pmi part
         "n AS rank, gram AS term, pmi_micro AS score FROM ("
         + base["pmi_topk"] + ")")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Distributed integer-exact k-means (round 5): Lloyd's iterations with
+# deterministic init, truncating-division centroids and int64
+# distances — the clustering primitive under SemDeDup / cluster-
+# balanced selection, here driver-checked bit-for-bit against an
+# unrolled relational SQL twin. Merged into the registered
+# `outlier_flags` row as part `kmeans` (dist2 in the n_chars slot,
+# the cluster id in the flag slot).
+# ---------------------------------------------------------------------------
+
+
+def q_kmeans_clusters(sf_dir: str):
+    """(vec_id, cluster, dist2) after 3 Lloyd's rounds, k=8
+    (`sim/kmeans.py:kmeans`)."""
+    from .sim.kmeans import kmeans
+
+    return kmeans(_emb_ds(sf_dir), k=8, iters=3)
+
+
+FULL_QUERIES["kmeans_clusters"] = q_kmeans_clusters
+
+_FULL_ORACLE_SNAPSHOT_KM = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    from .sim.kmeans import kmeans_sql
+
+    out = _FULL_ORACLE_SNAPSHOT_KM()
+    out["kmeans_clusters"] = kmeans_sql(k=8, iters=3)
+    return out
+
+
+_Q_OUTLIER_FLAGS_PRE_KM = q_outlier_flags
+
+
+def q_outlier_flags(sf_dir: str):  # noqa: F811
+    """Integer-exact outlier rules + the k-means clustering on one
+    checked row (part `kmeans`: n_chars := dist2, flag := cluster)."""
+    km = _tag_ds(FULL_QUERIES["kmeans_clusters"](sf_dir), "kmeans",
+                 [("doc_id", "vec_id", None),
+                  ("source", ("const", "kmeans"), pa.string()),
+                  ("n_chars", "dist2", None), ("flag", "cluster", None)])
+    return _union([_Q_OUTLIER_FLAGS_PRE_KM(sf_dir), km])
+
+
+QUERIES["outlier_flags"] = q_outlier_flags
+
+_ORACLE_SNAPSHOT_KM = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge kmeans part
+    out = _ORACLE_SNAPSHOT_KM()
+    base = full_oracle_queries()
+    out["outlier_flags"] = (
+        out["outlier_flags"] + "\nUNION ALL\n"
+        "SELECT 'kmeans' AS part, vec_id AS doc_id, 'kmeans' AS source, "
+        "dist2 AS n_chars, cluster AS flag FROM ("
+        + base["kmeans_clusters"] + ")")
+    return out

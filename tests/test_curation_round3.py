@@ -915,3 +915,51 @@ def test_cluster_best_survivors_argmax(ray_session):
     assert got["cluster_id"].tolist() == [1, 10, 20]
     assert got["doc_id"].tolist() == [2, 11, 20]  # tie 2 vs 3 -> min id
     assert np.allclose(got["quality_score"].to_numpy(), [0.9, 0.8, 0.3])
+
+
+def test_kmeans_oracle_parity(ray_session, sf_dir):
+    """Distributed k-means equals the unrolled relational DuckDB twin
+    bit-for-bit (assignments, clusters and integer distances)."""
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from maskmypy_ray.sim.kmeans import kmeans, kmeans_sql
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding"],
+                               override_num_blocks=7)
+    eng = kmeans(ds, k=5, iters=2).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/embeddings.parquet')")
+    orc = con.execute(kmeans_sql(k=5, iters=2)).df() \
+        .sort_values("vec_id").reset_index(drop=True)[
+        ["vec_id", "cluster", "dist2"]]
+    pd.testing.assert_frame_equal(eng, orc.astype(eng.dtypes.to_dict()))
+    # all k clusters are populated on the fixture
+    assert eng["cluster"].nunique() == 5
+
+
+def test_kmeans_converges_and_partition_invariant(ray_session, sf_dir):
+    """More iterations never increase total inertia, and the result is
+    invariant to the input block layout."""
+    import numpy as np
+    import ray.data
+
+    from maskmypy_ray.sim.kmeans import kmeans
+
+    def run(nb, iters):
+        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                   columns=["vec_id", "embedding"],
+                                   override_num_blocks=nb)
+        return kmeans(ds, k=4, iters=iters).to_pandas() \
+            .sort_values("vec_id").reset_index(drop=True)
+
+    a = run(3, 2)
+    b = run(11, 2)
+    assert a.equals(b)
+    inertia1 = run(5, 1)["dist2"].sum()
+    inertia3 = run(5, 3)["dist2"].sum()
+    assert inertia3 <= inertia1
