@@ -62,9 +62,12 @@ def test_ivf_topk_recall(ray_session, sf_dir):
 def test_embedding_pairs_symmetric_and_thresholded(ray_session, sf_dir):
     import pyarrow.parquet as pq
 
-    from maskmypy_ray.pipelines import q_embedding_pairs
+    # The registered query is a tagged union (pairs + gram + centroid,
+    # the gram part carries the i == j diagonal); the pairwise invariant
+    # applies to the per-operator surface.
+    from maskmypy_ray.pipelines import FULL_QUERIES
 
-    pairs = q_embedding_pairs(sf_dir).to_pandas()
+    pairs = FULL_QUERIES["embedding_pairs"](sf_dir).to_pandas()
     assert (pairs["vec_a"] < pairs["vec_b"]).all()
     emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
     E = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
