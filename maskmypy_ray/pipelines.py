@@ -5115,3 +5115,142 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge kmeans part
         "dist2 AS n_chars, cluster AS flag FROM ("
         + base["kmeans_clusters"] + ")")
     return out
+
+
+# ---------------------------------------------------------------------------
+# HTML extraction (round 5): the html:binary column stops being a
+# passthrough. Rich pages (head/title/script, nav anchor links reusing
+# the host-graph's closed-form dst arithmetic, entity-encoded body) are
+# synthesized per batch and the REAL extraction kernels run over them:
+# block removal + tag strip + entity decode must recover the source
+# text byte-for-byte (north_rule invariant), and href recovery must
+# reproduce the closed-form link table. Merged into the registered
+# `webpages` row as parts `extract` and `links`.
+# ---------------------------------------------------------------------------
+
+
+def _n_docs(sf_dir: str) -> int:
+    import pyarrow.parquet as _pq
+
+    return max(int(_pq.read_metadata(
+        f"{sf_dir}/documents.parquet").num_rows), 1)
+
+
+def q_html_extract(sf_dir: str):
+    """(doc_id, text, identical) — text re-extracted from the rich
+    html; identical == 1 everywhere (`text/html.py:html_extract`)."""
+    from .text.html import html_extract
+
+    return html_extract(read_webpages(sf_dir, seed=SEED,
+                                      include_html=False), _n_docs(sf_dir))
+
+
+def q_extract_links(sf_dir: str):
+    """(doc_id, slot, dst_doc) — hrefs recovered from the nav anchors
+    (`text/html.py:extract_links`)."""
+    from .text.html import extract_links
+
+    return extract_links(read_webpages(sf_dir, seed=SEED,
+                                       include_html=False), _n_docs(sf_dir))
+
+
+FULL_QUERIES["html_extract"] = q_html_extract
+FULL_QUERIES["extract_links"] = q_extract_links
+
+_FULL_ORACLE_SNAPSHOT_HTML = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    from .text.rank import LINKS_PER_DOC
+
+    out = _FULL_ORACLE_SNAPSHOT_HTML()
+    # Round-trip identity: the extraction output IS the pages text.
+    out["html_extract"] = (
+        f"WITH {oracle.pages_cte(SEED)} SELECT doc_id, text, "
+        "CAST(1 AS TINYINT) AS identical FROM pages")
+    slots = ", ".join(str(j) for j in range(LINKS_PER_DOC))
+    out["extract_links"] = (
+        "WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents) "
+        "SELECT d.doc_id, CAST(j.j AS BIGINT) AS slot, "
+        "((((d.doc_id % nn.n) * (d.doc_id % nn.n)) % nn.n) * 7 "
+        " + d.doc_id * 31 + 97 * j.j + 1) % nn.n AS dst_doc "
+        "FROM documents d CROSS JOIN nn "
+        f"CROSS JOIN (SELECT unnest([{slots}]) AS j) j")
+    return out
+
+
+_Q_WEBPAGES_PLAIN = QUERIES["webpages"]
+
+
+def q_webpages(sf_dir: str):  # noqa: F811
+    """The input_hint derivation + both html-column extraction passes
+    in one tagged union (parts `pages` / `extract` / `links`): the
+    extract part value-checks byte-identical text recovery from the
+    rich html, the links part value-checks href recovery against the
+    closed-form host-graph arithmetic."""
+    i64 = pa.int64()
+    s = pa.string()
+    ts0 = pa.timestamp("us")
+    pages = _tag_ds(_Q_WEBPAGES_PLAIN(sf_dir), "pages",
+                    [("url", "url", None), ("warc_ts", "warc_ts", None),
+                     ("text", "text", None), ("lang", "lang", None),
+                     ("a", ("const", 0), i64), ("b", ("const", 0), i64)])
+    ext = FULL_QUERIES["html_extract"](sf_dir)
+
+    def ext_proj(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = len(b)
+        return pa.table({
+            "part": pa.array(["extract"] * n, type=s),
+            "url": pa.array([""] * n, type=s),
+            "warc_ts": pa.array([0] * n, type=ts0),
+            "text": b.column("text"),
+            "lang": pa.array([""] * n, type=s),
+            "a": b.column("doc_id"),
+            "b": pc.cast(b.column("identical"), i64),
+        })
+
+    lnk = FULL_QUERIES["extract_links"](sf_dir)
+
+    def lnk_proj(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = len(b)
+        a = pc.add(pc.multiply(b.column("doc_id"), pa.scalar(4, type=i64)),
+                   b.column("slot"))
+        return pa.table({
+            "part": pa.array(["links"] * n, type=s),
+            "url": pa.array([""] * n, type=s),
+            "warc_ts": pa.array([0] * n, type=ts0),
+            "text": pa.array([""] * n, type=s),
+            "lang": pa.array([""] * n, type=s),
+            "a": a,
+            "b": b.column("dst_doc"),
+        })
+
+    return _union([
+        pages,
+        ext.map_batches(ext_proj, batch_format="pyarrow"),
+        lnk.map_batches(lnk_proj, batch_format="pyarrow")])
+
+
+QUERIES["webpages"] = q_webpages
+
+_ORACLE_SNAPSHOT_HTML = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge html parts
+    out = _ORACLE_SNAPSHOT_HTML()
+    base = full_oracle_queries()
+    out["webpages"] = _sql_union([
+        ("pages", "SELECT url, warc_ts, text, lang, "
+                  "CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b FROM ("
+                  + out["webpages"] + ")"),
+        ("extract", "SELECT '' AS url, "
+                    "TIMESTAMP '1970-01-01 00:00:00' AS warc_ts, text, "
+                    "'' AS lang, doc_id AS a, CAST(identical AS BIGINT) "
+                    "AS b FROM (" + base["html_extract"] + ")"),
+        ("links", "SELECT '' AS url, "
+                  "TIMESTAMP '1970-01-01 00:00:00' AS warc_ts, "
+                  "'' AS text, '' AS lang, doc_id * 4 + slot AS a, "
+                  "dst_doc AS b FROM (" + base["extract_links"] + ")")])
+    return out
