@@ -5254,3 +5254,138 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge html parts
                   "'' AS text, '' AS lang, doc_id * 4 + slot AS a, "
                   "dst_doc AS b FROM (" + base["extract_links"] + ")")])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Late-event watermark accounting + host-graph degree profile (round
+# 5): the streaming-taxonomy gap (allowed-lateness rule over arrival
+# order) and the crawl-graph profile over the edge table that
+# extract_links recovers from the html column. Merged into `sessions`
+# (part `late`) and `webpages` (part `degrees`).
+# ---------------------------------------------------------------------------
+
+
+def q_late_events(sf_dir: str):
+    """(event_id, user_id, is_late, lateness_us) — Beam/Flink
+    allowed-lateness accounting, arrival order = event_id
+    (`stages/events.py:late_events`)."""
+    import ray.data
+
+    from .stages.events import late_events
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+    return late_events(ev, seed=SEED)
+
+
+def q_host_degrees(sf_dir: str):
+    """(host, metric, v) long-form degree profile
+    (`text/rank.py:host_degrees`)."""
+    from .text.rank import host_degrees
+
+    return host_degrees(read_webpages(sf_dir, seed=SEED,
+                                      include_html=False))
+
+
+FULL_QUERIES["late_events"] = q_late_events
+FULL_QUERIES["host_degrees"] = q_host_degrees
+
+_FULL_ORACLE_SNAPSHOT_LATE = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    from .stages.events import LATE_ARRIVAL_STREAM, LATE_DELAY_US
+
+    out = _FULL_ORACLE_SNAPSHOT_LATE()
+    from .rng import sql_uniform01
+
+    arr = sql_uniform01("event_id", SEED, LATE_ARRIVAL_STREAM)
+    out["late_events"] = (
+        "WITH w AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
+        "max(epoch_us(ts)) OVER (PARTITION BY user_id "
+        f"ORDER BY {arr}, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+        f"- {LATE_DELAY_US} AS wm FROM events) "
+        "SELECT event_id, user_id, "
+        "CAST(CASE WHEN wm IS NOT NULL AND ts_us < wm THEN 1 ELSE 0 END "
+        "AS BIGINT) AS is_late, "
+        "CAST(CASE WHEN wm IS NULL THEN 0 ELSE greatest(wm - ts_us, 0) "
+        "END AS BIGINT) AS lateness_us FROM w")
+    out["host_degrees"] = (
+        "WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n "
+        "FROM documents), "
+        "hh AS (SELECT doc_id, source || '.example.org' AS host "
+        "FROM documents), "
+        "l AS (SELECT d.doc_id AS s, "
+        "((((d.doc_id % nn.n) * (d.doc_id % nn.n)) % nn.n) * 7 "
+        " + d.doc_id * 31 + 97 * j.j + 1) % nn.n AS t "
+        "FROM documents d CROSS JOIN nn "
+        "CROSS JOIN (SELECT unnest([0,1,2]) AS j) j), "
+        "lf AS (SELECT * FROM l WHERE t <> s), "
+        "e AS (SELECT a.host AS src, b.host AS dst, "
+        "CAST(count(*) AS BIGINT) AS w FROM lf "
+        "JOIN hh a ON a.doc_id = lf.s JOIN hh b ON b.doc_id = lf.t "
+        "GROUP BY 1, 2) "
+        "SELECT src AS host, 'out_d' AS metric, "
+        "CAST(count(*) AS BIGINT) AS v FROM e GROUP BY 1 "
+        "UNION ALL SELECT src, 'out_w', CAST(sum(w) AS BIGINT) FROM e GROUP BY 1 "
+        "UNION ALL SELECT dst, 'in_d', CAST(count(*) AS BIGINT) "
+        "FROM e GROUP BY 1 "
+        "UNION ALL SELECT dst, 'in_w', CAST(sum(w) AS BIGINT) FROM e GROUP BY 1 "
+        "UNION ALL SELECT e.src, 'recip', CAST(count(*) AS BIGINT) "
+        "FROM e JOIN e m ON m.src = e.dst AND m.dst = e.src GROUP BY 1")
+    return out
+
+
+_Q_SESSIONS_PRE_LATE = q_sessions
+
+
+def q_sessions(sf_dir: str):  # noqa: F811
+    """sessions + the late-event watermark accounting (part `late`:
+    n := is_late, v := lateness_us)."""
+    f64 = pa.float64()
+    late = _tag_ds(FULL_QUERIES["late_events"](sf_dir), "late",
+                   [("k1", "event_id", None), ("k2", "user_id", None),
+                    ("n", "is_late", None), ("v", "lateness_us", f64),
+                    ("v2", ("const", 0.0), f64)])
+    return _union([_Q_SESSIONS_PRE_LATE(sf_dir), late])
+
+
+QUERIES["sessions"] = q_sessions
+
+_Q_WEBPAGES_PRE_DEG = q_webpages
+
+
+def q_webpages(sf_dir: str):  # noqa: F811
+    """webpages + the host-graph degree profile (part `degrees`:
+    url := host, text := metric, a := v)."""
+    i64 = pa.int64()
+    deg = _tag_ds(FULL_QUERIES["host_degrees"](sf_dir), "degrees",
+                  [("url", "host", None),
+                   ("warc_ts", ("const", 0), pa.timestamp("us")),
+                   ("text", "metric", None),
+                   ("lang", ("const", ""), pa.string()),
+                   ("a", "v", None), ("b", ("const", 0), i64)])
+    return _union([_Q_WEBPAGES_PRE_DEG(sf_dir), deg])
+
+
+QUERIES["webpages"] = q_webpages
+
+_ORACLE_SNAPSHOT_LATE = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge late+degrees
+    out = _ORACLE_SNAPSHOT_LATE()
+    base = full_oracle_queries()
+    out["sessions"] = (
+        out["sessions"] + "\nUNION ALL\n"
+        "SELECT 'late' AS part, event_id AS k1, user_id AS k2, "
+        "is_late AS n, CAST(lateness_us AS DOUBLE) AS v, 0.0 AS v2 "
+        "FROM (" + base["late_events"] + ")")
+    out["webpages"] = (
+        out["webpages"] + "\nUNION ALL\n"
+        "SELECT 'degrees' AS part, host AS url, "
+        "TIMESTAMP '1970-01-01 00:00:00' AS warc_ts, metric AS text, "
+        "'' AS lang, v AS a, CAST(0 AS BIGINT) AS b FROM ("
+        + base["host_degrees"] + ")")
+    return out

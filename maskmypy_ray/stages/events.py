@@ -636,3 +636,71 @@ SELECT event_type, window_id, n_events, z,
        CAST(CASE WHEN abs(z) > {z_thresh} THEN 1 ELSE 0 END AS BIGINT)
          AS is_anomaly
 FROM z"""
+
+
+# ---------------------------------------------------------------------------
+# Event-time watermark / late-data accounting (round 5): the one
+# streaming-taxonomy concern (SURVEY §2.5 "streaming-only concerns")
+# the engine did not yet expose. Arrival order is a deterministic
+# counter-RNG jitter of the append sequence (the fixture's events are
+# perfectly time-ordered, so without simulated network reordering the
+# rule is vacuous); the watermark after each arrival is the running
+# max event time minus the allowed delay, and an event is LATE if it
+# arrives after the watermark already passed its timestamp — exactly
+# the Beam/Flink allowed-lateness rule, evaluated deterministically in
+# batch. No reference counterpart (pure-batch reference).
+# ---------------------------------------------------------------------------
+
+LATE_DELAY_US = 2 * 3_600_000_000  # 2 hours allowed lateness
+LATE_ARRIVAL_STREAM = 919  # counter-RNG stream for the arrival jitter
+
+
+def late_events(events_ds, delay_us: int = LATE_DELAY_US, seed: int = 42,
+                partitions: int = 64):
+    """Dataset[(event_id, user_id, is_late, lateness_us)] — per-user
+    watermark accounting over a JITTERED arrival order (ascending
+    ``(uniform01(event_id, seed, 919), event_id)`` within each user):
+    ``wm = cummax(ts over earlier arrivals) - delay_us``;
+    ``is_late = ts < wm``; ``lateness_us = max(0, wm - ts)``.
+
+    ONE coarse ``user_id % P`` shuffle (same plan as sessionize); the
+    per-partition kernel is one lexsort + two C-level pandas groupby
+    scans (cummax, shift) over all of the partition's users at once.
+    First arrival per user is never late (no watermark yet). The
+    jitter key mirrors into SQL bit-for-bit (rng.sql_uniform01).
+    """
+    from .. import rng
+
+    def add_pu(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        return b.append_column("pu", pa.array(u % partitions))
+
+    def late_part(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        u = g["user_id"].to_numpy()
+        e = g["event_id"].to_numpy()
+        arr = rng.uniform01(e & 0xFFFFFFFF, seed, LATE_ARRIVAL_STREAM)
+        order = np.lexsort((e, arr, u))  # arrival order within each user
+        u, ts, e = u[order], ts[order], e[order]
+        if not len(u):
+            return _empty_frame(event_id=np.int64, user_id=np.int64,
+                                is_late=np.int64, lateness_us=np.int64)
+        s = pd.DataFrame({"u": u, "ts": ts})
+        prev_max = s.groupby("u", sort=False)["ts"].cummax() \
+            .groupby(s["u"], sort=False).shift(1)
+        # all-integer watermark: epoch-us values (~1.7e15) round-trip
+        # the NaN-bearing float64 exactly (< 2^53); first arrivals get
+        # a -2^62 sentinel so their lateness clamps to 0
+        wm = prev_max.fillna(float(-(1 << 62))).to_numpy() \
+            .astype(np.int64) - delay_us
+        lateness = np.maximum(wm - ts, 0)
+        return pd.DataFrame({
+            "event_id": e,
+            "user_id": u,
+            "is_late": (lateness > 0).astype(np.int64),
+            "lateness_us": lateness,
+        })
+
+    return events_ds.select_columns(["event_id", "user_id", "ts"]) \
+        .map_batches(add_pu, batch_format="pyarrow") \
+        .groupby("pu").map_groups(late_part, batch_format="pandas")

@@ -332,3 +332,83 @@ def host_components(pages_ds, links: int = LINKS_PER_DOC,
     return side_m.union(side_c).groupby("p") \
         .map_groups(attach, batch_format="pandas") \
         .map_batches(to_arrow, batch_format="pandas")
+
+
+def host_degrees(pages_ds, links: int = LINKS_PER_DOC,
+                 partitions: int = 64):
+    """Dataset[(host, metric, v)] — per-host link-graph degree profile
+    over the SAME synthesized edge table host_rank streams (and that
+    :mod:`maskmypy_ray.text.html`'s extract_links recovers from the
+    html column): metrics ``out_d``/``in_d`` (distinct out/in
+    neighbors), ``out_w``/``in_w`` (link counts), ``recip`` (edges
+    whose reverse edge exists).
+
+    Long form so consumers (and the merged panel row) need one value
+    slot. Reciprocity pairs (a,b)/(b,a) inside ONE partition via a
+    symmetric routing key; degree partials stream off the bounded
+    aggregated edge table; the final sum is a fused-key groupby over
+    hosts x 5 rows (few distinct keys — plain aggregate is right)."""
+    from ray.data.aggregate import Sum
+
+    n_docs = max(int(pages_ds.count()), 1)
+    ew = _host_edges(pages_ds, n_docs, links, partitions)
+
+    def add_sym(b: pa.Table) -> pa.Table:
+        src = b.column("src").to_numpy(zero_copy_only=False)
+        dst = b.column("dst").to_numpy(zero_copy_only=False)
+        lo = np.minimum(src, dst).astype("U")
+        hi = np.maximum(src, dst).astype("U")
+        code = pd.util.hash_array(np.char.add(np.char.add(lo, "\t"), hi))
+        return b.append_column(
+            "sp", pa.array((code % np.uint64(partitions)).astype(np.int64)))
+
+    def recip_part(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, left_on=["src", "dst"], right_on=["dst", "src"],
+                    suffixes=("", "_r"))
+        if not len(m):
+            return pd.DataFrame({"key": pd.Series([], dtype=object),
+                                 "v": pd.Series([], dtype=np.int64)})
+        c = m.groupby("src", sort=True).size()
+        return pd.DataFrame({"key": "recip\t" + c.index.astype(object),
+                             "v": c.to_numpy(dtype=np.int64)})
+
+    recip = ew.map_batches(add_sym, batch_format="pyarrow") \
+        .groupby("sp").map_groups(recip_part, batch_format="pandas")
+
+    def deg_partials(b: pa.Table) -> pa.Table:
+        src = b.column("src").to_numpy(zero_copy_only=False)
+        dst = b.column("dst").to_numpy(zero_copy_only=False)
+        w = b.column("w").to_numpy(zero_copy_only=False)
+        one = np.ones(len(src), dtype=np.int64)
+        key = np.concatenate([
+            np.char.add("out_d\t", src.astype("U")),
+            np.char.add("out_w\t", src.astype("U")),
+            np.char.add("in_d\t", dst.astype("U")),
+            np.char.add("in_w\t", dst.astype("U"))])
+        v = np.concatenate([one, w, one, w])
+        return pa.table({"key": pa.array(key.astype(object),
+                                         type=pa.string()),
+                         "v": pa.array(v, type=pa.int64())})
+
+    def to_arrow(d: pd.DataFrame) -> pa.Table:
+        return pa.table({
+            "key": pa.array(d["key"].to_numpy(dtype=object),
+                            type=pa.string()),
+            "v": pa.array(d["v"].to_numpy(dtype=np.int64)),
+        })
+
+    longrows = ew.map_batches(deg_partials, batch_format="pyarrow") \
+        .union(recip.map_batches(to_arrow, batch_format="pandas"))
+
+    def split(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        parts = pc.split_pattern(b.column("key"), "\t", max_splits=1)
+        return pa.table({
+            "host": pc.list_element(parts, 1),
+            "metric": pc.list_element(parts, 0),
+            "v": b.column("sum(v)"),
+        })
+
+    return longrows.groupby("key").aggregate(Sum("v")) \
+        .map_batches(split, batch_format="pyarrow")

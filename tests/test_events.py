@@ -311,3 +311,48 @@ def test_window_anomaly_constant_type(ray_session):
     assert (flat["z"] == 0.0).all() and (flat["is_anomaly"] == 0).all()
     spike = out[(out.event_type == "spiky") & (out.window_id == 7)]
     assert (spike["is_anomaly"] == 1).all()
+
+
+def test_late_events_brute_force_and_partition_independence(ray_session, sf_dir):
+    """late_events matches a per-user brute force (arrival order =
+    event_id; wm = cummax(earlier ts) - delay) and is independent of
+    the partition count."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from maskmypy_ray import rng
+    from maskmypy_ray.pipelines import SEED, q_late_events
+    from maskmypy_ray.stages.events import (
+        LATE_ARRIVAL_STREAM,
+        LATE_DELAY_US,
+        late_events,
+    )
+
+    got = q_late_events(sf_dir).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["event_id", "user_id", "ts"]).to_pandas()
+    ev["ts_us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    ev["arr"] = rng.uniform01(
+        ev["event_id"].to_numpy() & 0xFFFFFFFF, SEED, LATE_ARRIVAL_STREAM)
+    exp = {}
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["arr", "event_id"])
+        ts = g["ts_us"].to_numpy()
+        cm = np.maximum.accumulate(ts)
+        wm = np.empty(len(ts), dtype=np.int64)
+        wm[0] = -(1 << 62)
+        wm[1:] = cm[:-1] - LATE_DELAY_US
+        for e_id, t, w in zip(g["event_id"], ts, wm):
+            exp[e_id] = max(int(w) - int(t), 0)
+    lateness = got.set_index("event_id")["lateness_us"].to_dict()
+    assert lateness == exp
+    assert ((got["lateness_us"] > 0) == (got["is_late"] == 1)).all()
+    assert got["is_late"].sum() > 0  # fixture actually has late events
+
+    import ray.data
+    ev3 = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                columns=["event_id", "user_id", "ts"])
+    alt = late_events(ev3, seed=SEED, partitions=3).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert alt.equals(got)

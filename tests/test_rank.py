@@ -116,3 +116,41 @@ def test_connected_components_labels_above_2_53(ray_session):
     # chain 0-1-2-3 collapses to min = ids[0]; pair 10-11 to ids[4]
     assert out["cluster_id"].tolist() == [ids[0]] * 4 + [ids[4]] * 2
     assert out["node"].tolist() == ids
+
+
+def test_host_degrees_brute_force(ray_session):
+    """host_degrees matches a python brute force on a tiny two-host
+    page set (incl. reciprocal self-host edges)."""
+    import collections
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from maskmypy_ray.text.rank import LINKS_PER_DOC, host_degrees
+
+    n = 8
+    hosts = ["a.example.org" if i % 2 == 0 else "b.example.org"
+             for i in range(n)]
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "url": pa.array([f"https://{h}/page/{i}"
+                         for i, h in enumerate(hosts)]),
+    })
+    got = host_degrees(ray.data.from_arrow(t), partitions=4).to_pandas()
+    edges = collections.Counter()
+    for i in range(n):
+        for j in range(LINKS_PER_DOC):
+            dst = ((i * i) % n * 7 + i * 31 + 97 * j + 1) % n
+            if dst != i:
+                edges[(hosts[i], hosts[dst])] += 1
+    exp = collections.Counter()
+    for (s, d), w in edges.items():
+        exp[(s, "out_d")] += 1
+        exp[(s, "out_w")] += w
+        exp[(d, "in_d")] += 1
+        exp[(d, "in_w")] += w
+        if (d, s) in edges:
+            exp[(s, "recip")] += 1
+    gotd = {(r.host, r.metric): r.v for r in got.itertuples()}
+    assert gotd == dict(exp)
