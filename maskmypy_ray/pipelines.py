@@ -5389,3 +5389,123 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge late+degrees
         "'' AS lang, v AS a, CAST(0 AS BIGINT) AS b FROM ("
         + base["host_degrees"] + ")")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Raster <-> vector (round 5): the north_rule's fourth spatial axis.
+# Vector->raster = masked-point density grid (bounded-key histogram
+# partials); raster->vector = zonal stats onto the census polygons,
+# engine-side via the general crossing-number PIP kernel, SQL-side via
+# the grid's closed-form floor arithmetic — two independent PIP
+# implementations checked cell-for-cell. Merged into the registered
+# `k_anonymity` row (parts `raster` and `zonal`).
+# ---------------------------------------------------------------------------
+
+
+def q_rasterize_points(sf_dir: str):
+    """(cell_row, cell_col, n) density raster of the uniform-donut
+    masked points (`stages/raster.py:rasterize_points`)."""
+    from .stages.raster import rasterize_points
+
+    return rasterize_points(masked_ds(sf_dir, "uniform"))
+
+
+def q_zonal_stats(sf_dir: str):
+    """(poly_id, n_cells, n_points) — the masked-point raster
+    aggregated onto the census polygons
+    (`stages/raster.py:zonal_stats`)."""
+    from .stages.raster import rasterize_points, zonal_stats
+
+    return zonal_stats(rasterize_points(masked_ds(sf_dir, "uniform")),
+                       seed=42)
+
+
+FULL_QUERIES["rasterize_points"] = q_rasterize_points
+FULL_QUERIES["zonal_stats"] = q_zonal_stats
+
+_FULL_ORACLE_SNAPSHOT_RASTER = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    from .constants import X_MAX, X_MIN, Y_MAX, Y_MIN
+    from .stages.raster import RASTER_H, RASTER_W
+
+    out = _FULL_ORACLE_SNAPSHOT_RASTER()
+    rw = (X_MAX - X_MIN) / RASTER_W
+    rh = (Y_MAX - Y_MIN) / RASTER_H
+    raster = (
+        f"WITH {oracle.donut_cte(SEED, LOW, HIGH, 'uniform')}, "
+        "rr AS (SELECT "
+        f"least(greatest(CAST(floor((my - {Y_MIN!r}::DOUBLE) / "
+        f"{rh!r}::DOUBLE) AS BIGINT), 0), {RASTER_H - 1}) AS cell_row, "
+        f"least(greatest(CAST(floor((mx - {X_MIN!r}::DOUBLE) / "
+        f"{rw!r}::DOUBLE) AS BIGINT), 0), {RASTER_W - 1}) AS cell_col "
+        "FROM masked) "
+        "SELECT cell_row, cell_col, CAST(count(*) AS BIGINT) AS n "
+        "FROM rr GROUP BY 1, 2")
+    out["rasterize_points"] = raster
+    cx = f"({X_MIN!r}::DOUBLE + (cell_col + 0.5) * {rw!r}::DOUBLE)"
+    cy = f"({Y_MIN!r}::DOUBLE + (cell_row + 0.5) * {rh!r}::DOUBLE)"
+    out["zonal_stats"] = (
+        "SELECT pid AS poly_id, CAST(count(*) AS BIGINT) AS n_cells, "
+        "CAST(sum(n) AS BIGINT) AS n_points FROM ("
+        f"SELECT {oracle.grid_pid(cx, cy)} AS pid, n FROM ({raster})"
+        ") GROUP BY 1")
+    return out
+
+
+_Q_K_ANON_PRE_RASTER = q_k_anonymity_all
+
+
+def q_k_anonymity_all(sf_dir: str):  # noqa: F811
+    """k-anonymity plans + the raster<->vector pair on one checked row
+    (part `raster`: doc_id := cell_row*10^6 + cell_col, k := n; part
+    `zonal`: doc_id := poly_id, k := n_cells*10^9 + n_points — exact
+    int64 packings, mirrored in the SQL)."""
+    i64 = pa.int64()
+
+    def raster_proj(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = len(b)
+        did = pc.add(pc.multiply(b.column("cell_row"),
+                                 pa.scalar(1_000_000, type=i64)),
+                     b.column("cell_col"))
+        return pa.table({
+            "part": pa.array(["raster"] * n, type=pa.string()),
+            "doc_id": did, "k_anonymity": b.column("n")})
+
+    def zonal_proj(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = len(b)
+        k = pc.add(pc.multiply(b.column("n_cells"),
+                               pa.scalar(1_000_000_000, type=i64)),
+                   b.column("n_points"))
+        return pa.table({
+            "part": pa.array(["zonal"] * n, type=pa.string()),
+            "doc_id": b.column("poly_id"), "k_anonymity": k})
+
+    return _union([
+        _Q_K_ANON_PRE_RASTER(sf_dir),
+        FULL_QUERIES["rasterize_points"](sf_dir)
+        .map_batches(raster_proj, batch_format="pyarrow"),
+        FULL_QUERIES["zonal_stats"](sf_dir)
+        .map_batches(zonal_proj, batch_format="pyarrow")])
+
+
+QUERIES["k_anonymity"] = q_k_anonymity_all
+
+_ORACLE_SNAPSHOT_RASTER = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge raster parts
+    out = _ORACLE_SNAPSHOT_RASTER()
+    base = full_oracle_queries()
+    out["k_anonymity"] = (
+        out["k_anonymity"] + "\nUNION ALL\n"
+        "SELECT 'raster' AS part, cell_row * 1000000 + cell_col AS doc_id, "
+        "n AS k_anonymity FROM (" + base["rasterize_points"] + ")"
+        + "\nUNION ALL\n"
+        "SELECT 'zonal' AS part, poly_id AS doc_id, "
+        "n_cells * 1000000000 + n_points AS k_anonymity FROM ("
+        + base["zonal_stats"] + ")")
+    return out
