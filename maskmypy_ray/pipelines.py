@@ -5509,3 +5509,75 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge raster parts
         "n_cells * 1000000000 + n_points AS k_anonymity FROM ("
         + base["zonal_stats"] + ")")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Spatial kNN join (round 5): the k nearest addresses per masked point
+# — the general kNN JOIN from the north_rule's operator list (the
+# engine had kNN(1) and radius counts; this is rank 1..k with
+# bit-exact distances). Merged into the registered `addresses` row as
+# part `knn`.
+# ---------------------------------------------------------------------------
+
+
+def q_knn_join(sf_dir: str):
+    """(doc_id, rank, addr_id, dist2) — 3 nearest addresses per
+    uniform-donut-masked point (`analysis/knn.py:knn_join`)."""
+    from .analysis.knn import knn_join
+
+    return knn_join(masked_ds(sf_dir, "uniform"),
+                    read_addresses(sf_dir, seed=SEED), k=3)
+
+
+FULL_QUERIES["knn_join"] = q_knn_join
+
+_FULL_ORACLE_SNAPSHOT_KNN = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    out = _FULL_ORACLE_SNAPSHOT_KNN()
+    out["knn_join"] = (
+        f"WITH {oracle.donut_cte(SEED, LOW, HIGH, 'uniform')}, "
+        f"{oracle.addresses_cte(SEED)}, "
+        "dd AS (SELECT m.doc_id, a.addr_id, "
+        "(m.mx - a.ax) * (m.mx - a.ax) + (m.my - a.ay) * (m.my - a.ay) "
+        "AS dist2 FROM masked m CROSS JOIN addr_xy a), "
+        "rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY dist2, addr_id) AS rank FROM dd) "
+        "SELECT doc_id, CAST(rank AS BIGINT) AS rank, addr_id, dist2 "
+        "FROM rk WHERE rank <= 3")
+    return out
+
+
+_Q_ADDRESSES_PLAIN = QUERIES["addresses"]
+
+
+def q_addresses(sf_dir: str):  # noqa: F811
+    """The address side-table derivation + the spatial kNN join on one
+    checked row (part `knn`: lat := dist2, lon := rank, a := doc_id —
+    distances value-checked bit-for-bit)."""
+    i64 = pa.int64()
+    f64 = pa.float64()
+    tbl = _tag_ds(_Q_ADDRESSES_PLAIN(sf_dir), "table",
+                  [("addr_id", "addr_id", None), ("lat", "lat", None),
+                   ("lon", "lon", None), ("a", ("const", 0), i64)])
+    knn = _tag_ds(FULL_QUERIES["knn_join"](sf_dir), "knn",
+                  [("addr_id", "addr_id", None), ("lat", "dist2", None),
+                   ("lon", "rank", f64), ("a", "doc_id", None)])
+    return _union([tbl, knn])
+
+
+QUERIES["addresses"] = q_addresses
+
+_ORACLE_SNAPSHOT_KNN = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge knn part
+    out = _ORACLE_SNAPSHOT_KNN()
+    base = full_oracle_queries()
+    out["addresses"] = _sql_union([
+        ("table", "SELECT addr_id, lat, lon, CAST(0 AS BIGINT) AS a "
+                  "FROM (" + out["addresses"] + ")"),
+        ("knn", "SELECT addr_id, dist2 AS lat, CAST(rank AS DOUBLE) "
+                "AS lon, doc_id AS a FROM (" + base["knn_join"] + ")")])
+    return out

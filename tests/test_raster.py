@@ -63,3 +63,33 @@ def test_zonal_conserves_and_pip_agrees(ray_session, sf_dir):
     exp = (np.floor((cy - Y_MIN) / ph).astype(np.int64) * GRID_NX
            + np.floor((cx - X_MIN) / pw).astype(np.int64))
     assert np.array_equal(pid, exp)
+
+
+def test_knn_join_matches_brute_force(ray_session, sf_dir):
+    """knn_join (ring-expansion broadcast kernel) equals the O(P*A)
+    brute force on ids AND exact float distances."""
+    import pandas as pd
+
+    from maskmypy_ray.analysis.knn import knn_join
+    from maskmypy_ray.geokernels.geometry import latlon_to_xy
+    from maskmypy_ray.pipelines import SEED, masked_ds
+    from maskmypy_ray.sources.webpages import read_addresses
+
+    got = knn_join(masked_ds(sf_dir, "uniform"),
+                   read_addresses(sf_dir, seed=SEED), k=3).to_pandas() \
+        .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    pts = masked_ds(sf_dir, "uniform") \
+        .select_columns(["doc_id", "mx", "my"]).to_pandas()
+    ad = read_addresses(sf_dir, seed=SEED).to_pandas()
+    ax, ay = latlon_to_xy(ad["lat"].to_numpy(), ad["lon"].to_numpy())
+    aid = ad["addr_id"].to_numpy()
+    rows = []
+    for did, mx, my in zip(pts["doc_id"], pts["mx"], pts["my"]):
+        dx, dy = mx - ax, my - ay
+        d2 = dx * dx + dy * dy
+        for r, i in enumerate(np.lexsort((aid, d2))[:3]):
+            rows.append((did, r + 1, aid[i], d2[i]))
+    exp = pd.DataFrame(rows, columns=["doc_id", "rank", "addr_id",
+                                      "dist2"]) \
+        .sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp)
