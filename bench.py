@@ -372,6 +372,39 @@ def bench_once(q0_only: bool = False) -> dict:
 
     queries["q11_embedding_analysis"] = timed(run_q11)
 
+    # q12: spatial products over the materialized masked points (final
+    # round-5 ops): kNN join (3 nearest addresses per point, exact ring
+    # expansion; index cell 100 m — at bench address density the 500 m
+    # default gathers ~25x more candidates per point), vector->raster
+    # density grid, raster->vector zonal stats. Additive query.
+    from maskmypy_ray.analysis.knn import knn_join
+    from maskmypy_ray.stages.raster import rasterize_points, zonal_stats
+
+    def run_q12():
+        knn_join(masked, addr, k=3, cell_m=100.0).count()
+        zonal_stats(rasterize_points(masked)).count()
+
+    queries["q12_spatial_products"] = timed(run_q12)
+
+    # q13: html-column extraction throughput over the physical corpus:
+    # rich-page synthesis + block removal + tag strip + entity decode
+    # (byte-identity), href recovery, and the host-graph degree profile.
+    # Additive query.
+    from maskmypy_ray.text.html import extract_links, html_extract
+    from maskmypy_ray.text.rank import host_degrees
+
+    def run_q13():
+        pages = rd.read_parquet(corpus, columns=["doc_id", "text"],
+                                override_num_blocks=32)
+        n = pages.count()
+        html_extract(pages, n).count()
+        extract_links(pages, n).count()
+        purl = rd.read_parquet(corpus, columns=["doc_id", "url"],
+                               override_num_blocks=32)
+        host_degrees(purl).count()
+
+    queries["q13_html_extraction"] = timed(run_q13)
+
     headline = queries["q0_fused_mask_k"]
     result = {
         "metric": "flagship_mask_verify_sec",

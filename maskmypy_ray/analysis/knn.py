@@ -136,6 +136,8 @@ def knn_join(points_ds, addresses_ds, k: int = 3,
     addresses per point, rank 1..k by (dist2, addr_id)."""
     import ray
 
+    if isinstance(addresses_ds, pa.Table):
+        addresses_ds = _TableDS(addresses_ds)
     if not isinstance(addresses_ds, _TableDS):
         n_addr = addresses_ds.count()
         assert n_addr <= BROADCAST_ADDR_LIMIT, (
