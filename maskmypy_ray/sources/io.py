@@ -106,3 +106,20 @@ def read_points_csv(path: str, lat_col: str = "lat", lon_col: str = "lon",
         })
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def read_documents_jsonl(path: str):
+    """Ray Dataset of documents from JSON-Lines (one object per line,
+    keys = the documents schema) — the interchange format most text
+    corpora ship in (Common Crawl derivatives, HF dumps). Uses Ray's
+    arrow-native JSON reader (pyarrow.json under the hood), so the
+    parse is vectorized and streams per block like the parquet path."""
+    import ray.data
+
+    return ray.data.read_json(path)
+
+
+def write_documents_jsonl(ds, out_dir: str):
+    """Write a Dataset as partitioned JSON-Lines (one file per block —
+    the resumable-output layout, same rule as the parquet sinks)."""
+    ds.write_json(out_dir)

@@ -48,3 +48,25 @@ def test_csv_points(ray_session, tmp_path):
     assert len(df) == 2
     assert set(df.columns) == {"doc_id", "lat", "lon", "x", "y"}
     assert df["lat"].tolist() == [49.25, 49.22]
+
+
+def test_jsonl_roundtrip_byte_identical(ray_session, sf_dir, tmp_path):
+    """documents -> JSONL -> Dataset round trip preserves text bytes
+    and row count (source-format breadth: SURVEY §2.5 sources/sinks)."""
+    import ray.data
+
+    from maskmypy_ray.sources.io import (
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "lang"])
+    out = str(tmp_path / "docs_jsonl")
+    write_documents_jsonl(docs, out)
+    back = read_documents_jsonl(out).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    orig = docs.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(back) == len(orig)
+    assert back["text"].tolist() == orig["text"].tolist()
+    assert back["lang"].tolist() == orig["lang"].tolist()
