@@ -5581,3 +5581,116 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge knn part
         ("knn", "SELECT addr_id, dist2 AS lat, CAST(rank AS DOUBLE) "
                 "AS lon, doc_id AS a FROM (" + base["knn_join"] + ")")])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Distributed DBSCAN (round 5): grid-cell + halo density clustering
+# over the geoparsed points — the density-clustering member of the
+# north_rule's spatial operator family (cells, PIP, kNN, raster<->
+# vector, now clusters). Merged into the registered `graph_masks` row
+# as part `dbscan` (v1 := cluster label, v2 := is_core).
+# ---------------------------------------------------------------------------
+
+DBSCAN_EPS_M = 300.0
+DBSCAN_MIN_PTS = 4
+
+
+def q_dbscan_clusters(sf_dir: str):
+    """(url, cluster, is_core) — DBSCAN over the geoparsed points at
+    eps=300 m / min_pts=4 (`analysis/dbscan.py:dbscan`; cluster = min
+    core doc_id in the eps-connected core component, border points take
+    the min neighbor-core label, noise = -1)."""
+    from .analysis.dbscan import dbscan
+
+    return dbscan(points_ds(sf_dir), eps=DBSCAN_EPS_M,
+                  min_pts=DBSCAN_MIN_PTS).select_columns(
+        ["url", "cluster", "is_core"])
+
+
+FULL_QUERIES["dbscan_clusters"] = q_dbscan_clusters
+
+
+def _dbscan_sql(eps: float, min_pts: int) -> str:
+    """Mirror of analysis.dbscan.dbscan over the geoparsed points:
+    grid-bucketed eps-neighbor join (cell = floor(coord/eps), 3x3 ring
+    via BETWEEN, exact squared-distance filter — the identical IEEE
+    (dx*dx + dy*dy) <= eps^2 predicate the engine kernel evaluates), a
+    recursive-CTE min-label closure over core-core edges, and the min
+    border rule."""
+    return f"""WITH RECURSIVE {oracle.points_cte(SEED)},
+pt AS (
+  SELECT doc_id, url, x, y,
+    CAST(floor(x / {eps!r}) AS BIGINT) AS cx,
+    CAST(floor(y / {eps!r}) AS BIGINT) AS cy
+  FROM points),
+nb AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM pt a JOIN pt b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       <= {eps * eps!r}),
+deg AS (SELECT a AS doc_id, count(*) AS deg FROM nb GROUP BY a),
+core AS (SELECT doc_id FROM deg WHERE deg >= {min_pts}),
+ce AS (
+  SELECT n.a, n.b FROM nb n
+  JOIN core ca ON ca.doc_id = n.a
+  JOIN core cb ON cb.doc_id = n.b
+  WHERE n.a <> n.b),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM core
+  UNION
+  SELECT ce.b, r.label FROM reach r JOIN ce ON ce.a = r.node),
+lab AS (SELECT node AS doc_id, min(label) AS cluster FROM reach
+        GROUP BY node),
+bor AS (
+  SELECT n.a AS doc_id, min(l.cluster) AS cluster
+  FROM nb n JOIN lab l ON l.doc_id = n.b
+  WHERE n.a NOT IN (SELECT doc_id FROM core)
+  GROUP BY n.a)
+SELECT p.url,
+  CAST(coalesce(l.cluster, bor.cluster, -1) AS BIGINT) AS cluster,
+  CAST(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+    AS is_core
+FROM pt p
+LEFT JOIN lab l ON l.doc_id = p.doc_id
+LEFT JOIN bor ON bor.doc_id = p.doc_id"""
+
+
+_FULL_ORACLE_SNAPSHOT_DBSCAN = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    out = _FULL_ORACLE_SNAPSHOT_DBSCAN()
+    out["dbscan_clusters"] = _dbscan_sql(DBSCAN_EPS_M, DBSCAN_MIN_PTS)
+    return out
+
+
+_Q_GRAPH_MASKS_PLAIN = QUERIES["graph_masks"]
+
+
+def q_graph_masks_with_dbscan(sf_dir: str):
+    """graph_masks + the DBSCAN part on one checked row (part `dbscan`:
+    v1 := cluster label, v2 := is_core — labels are doc_ids < 2^53, so
+    the float64 projection is exact)."""
+    f64 = pa.float64()
+    db = _tag_ds(FULL_QUERIES["dbscan_clusters"](sf_dir), "dbscan",
+                 [("url", "url", None), ("v1", "cluster", f64),
+                  ("v2", "is_core", f64)])
+    return _union([_Q_GRAPH_MASKS_PLAIN(sf_dir), db])
+
+
+QUERIES["graph_masks"] = q_graph_masks_with_dbscan
+
+_ORACLE_SNAPSHOT_DBSCAN = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge dbscan part
+    out = _ORACLE_SNAPSHOT_DBSCAN()
+    base = full_oracle_queries()
+    out["graph_masks"] = (
+        out["graph_masks"] + "\nUNION ALL\n"
+        "SELECT 'dbscan' AS part, url, CAST(cluster AS DOUBLE) AS v1, "
+        "CAST(is_core AS DOUBLE) AS v2 FROM ("
+        + base["dbscan_clusters"] + ")")
+    return out
