@@ -5694,3 +5694,109 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge dbscan part
         "CAST(is_core AS DOUBLE) AS v2 FROM ("
         + base["dbscan_clusters"] + ")")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Getis-Ord Gi* hotspot detection (round 5): spatial-statistics layer
+# over the density raster — "which tiles are significantly denser than
+# chance", the publishable companion of rasterize_points. Merged into
+# the registered `k_anonymity` row as part `hotspot`.
+# ---------------------------------------------------------------------------
+
+
+def q_hotspot_cells(sf_dir: str):
+    """(cell_row, cell_col, nbr_sum, w_nbrs, gi_micro) — Gi* z-scores
+    (floor(1e6*z), 3x3 self-inclusive binary weights) over the
+    uniform-donut masked-point raster
+    (`stages/raster.py:hotspot_cells`)."""
+    from .stages.raster import hotspot_cells, rasterize_points
+
+    return hotspot_cells(rasterize_points(masked_ds(sf_dir, "uniform")))
+
+
+FULL_QUERIES["hotspot_cells"] = q_hotspot_cells
+
+_FULL_ORACLE_SNAPSHOT_HOTSPOT = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    from .stages.raster import RASTER_H, RASTER_W
+
+    out = _FULL_ORACLE_SNAPSHOT_HOTSPOT()
+    n_cells = RASTER_W * RASTER_H
+    nm1 = float(n_cells - 1)
+    # identical IEEE op order as the engine kernel: mean = double(T)/N,
+    # S = sqrt(double(S2)/N - mean*mean), var = int(N*w - w*w)/(N-1),
+    # z = (double(nbr) - mean*double(w)) / (S * sqrt(var))
+    out["hotspot_cells"] = (
+        "WITH x AS ("
+        "SELECT g1.r AS cell_row, g2.c AS cell_col, coalesce(b.n, 0) AS v "
+        f"FROM generate_series(0, {RASTER_H - 1}) g1(r) "
+        f"CROSS JOIN generate_series(0, {RASTER_W - 1}) g2(c) "
+        "LEFT JOIN (" + out["rasterize_points"] + ") b "
+        "ON b.cell_row = g1.r AND b.cell_col = g2.c), "
+        "tot AS (SELECT CAST(sum(v) AS BIGINT) AS t, "
+        "CAST(sum(v * v) AS BIGINT) AS s2 FROM x), "
+        "nb AS (SELECT a.cell_row, a.cell_col, "
+        "CAST(sum(bb.v) AS BIGINT) AS nbr_sum, "
+        "CAST(count(*) AS BIGINT) AS w_nbrs "
+        "FROM x a JOIN x bb "
+        "ON bb.cell_row BETWEEN a.cell_row - 1 AND a.cell_row + 1 "
+        "AND bb.cell_col BETWEEN a.cell_col - 1 AND a.cell_col + 1 "
+        "GROUP BY 1, 2), "
+        "st AS (SELECT "
+        f"CAST(t AS DOUBLE) / {n_cells} AS mean, "
+        f"sqrt(CAST(s2 AS DOUBLE) / {n_cells} "
+        f"- (CAST(t AS DOUBLE) / {n_cells}) "
+        f"* (CAST(t AS DOUBLE) / {n_cells})) AS s FROM tot) "
+        "SELECT nb.cell_row, nb.cell_col, nb.nbr_sum, nb.w_nbrs, "
+        "CAST(CASE WHEN st.s * sqrt("
+        f"CAST({n_cells} * nb.w_nbrs - nb.w_nbrs * nb.w_nbrs AS BIGINT) "
+        f"/ {nm1!r}) = 0 THEN 0 ELSE floor(1000000.0 * "
+        "((CAST(nb.nbr_sum AS DOUBLE) - st.mean "
+        "* CAST(nb.w_nbrs AS DOUBLE)) / (st.s * sqrt("
+        f"CAST({n_cells} * nb.w_nbrs - nb.w_nbrs * nb.w_nbrs AS BIGINT) "
+        f"/ {nm1!r})))) END AS BIGINT) AS gi_micro "
+        "FROM nb, st")
+    return out
+
+
+_Q_K_ANON_PRE_HOTSPOT = QUERIES["k_anonymity"]
+
+
+def q_k_anonymity_with_hotspot(sf_dir: str):
+    """k_anonymity row + the Gi* part (part `hotspot`: doc_id :=
+    cell_row*10^6 + cell_col, k := gi_micro — the quantized z-score;
+    nbr_sum/w_nbrs are value-checked by the full-surface pair and
+    pytest)."""
+    i64 = pa.int64()
+
+    def proj(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        did = pc.add(pc.multiply(b.column("cell_row"),
+                                 pa.scalar(1_000_000, type=i64)),
+                     b.column("cell_col"))
+        return pa.table({
+            "part": pa.array(["hotspot"] * len(b), type=pa.string()),
+            "doc_id": did, "k_anonymity": b.column("gi_micro")})
+
+    return _union([
+        _Q_K_ANON_PRE_HOTSPOT(sf_dir),
+        FULL_QUERIES["hotspot_cells"](sf_dir)
+        .map_batches(proj, batch_format="pyarrow")])
+
+
+QUERIES["k_anonymity"] = q_k_anonymity_with_hotspot
+
+_ORACLE_SNAPSHOT_HOTSPOT = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge hotspot part
+    out = _ORACLE_SNAPSHOT_HOTSPOT()
+    base = full_oracle_queries()
+    out["k_anonymity"] = (
+        out["k_anonymity"] + "\nUNION ALL\n"
+        "SELECT 'hotspot' AS part, cell_row * 1000000 + cell_col AS doc_id, "
+        "gi_micro AS k_anonymity FROM ("
+        + base["hotspot_cells"] + ")")
+    return out

@@ -115,3 +115,94 @@ def zonal_stats(raster_ds, w: int = RASTER_W, h: int = RASTER_H,
             "n_cells": b.column("sum(n_cells)"),
             "n_points": b.column("sum(n_points)"),
         }), batch_format="pyarrow")
+
+
+def hotspot_cells(raster_ds, w: int = RASTER_W, h: int = RASTER_H):
+    """Dataset[(cell_row, cell_col, nbr_sum, w_nbrs, gi_micro)] —
+    Getis-Ord Gi* hotspot z-scores over the density raster (Getis &
+    Ord 1992/1995, binary 3x3 contiguity weights INCLUDING self,
+    clipped at the grid edge), quantized to ``floor(1e6 * z)``.
+
+    The spatial-statistics layer over :func:`rasterize_points`: a
+    masked-point density raster's publishable companion is "which
+    tiles are significantly denser than chance" — Gi* > ~1.96e6 micro
+    flags the hot tiles.
+
+    Scale shape: the raster is BOUNDED (w*h cells) by construction,
+    so the dense grid compiles in ONE Ray task from the raster's
+    arrow refs (never the driver) and broadcasts; the z computation
+    is a stateless vectorized map over row strips. Nothing grows with
+    the corpus — only the upstream histogram pass streams.
+
+    Float parity: every IEEE op (two exact-integer->double divisions,
+    one sqrt each for S and the weight variance, one multiply/subtract
+    chain) is emitted in the identical order by the SQL twin, and the
+    1e-6 quantization absorbs sub-ulp drift; all inputs (nbr_sum,
+    w_nbrs, T, S2) are exact int64 sums. S == 0 (constant raster)
+    yields gi_micro = 0 on both sides."""
+    import ray
+
+    @ray.remote
+    def compile_grid(*blocks) -> np.ndarray:
+        grid = np.zeros(h * w, dtype=np.int64)
+        for b in blocks:
+            if isinstance(b, list):  # block of arrow tables
+                tabs = b
+            else:
+                tabs = [b]
+            for t in tabs:
+                r = t.column("cell_row").to_numpy(zero_copy_only=False)
+                c = t.column("cell_col").to_numpy(zero_copy_only=False)
+                n = t.column("n").to_numpy(zero_copy_only=False)
+                grid[r * w + c] += n
+        return grid
+
+    ref = compile_grid.remote(*raster_ds.to_arrow_refs())
+
+    def strip(batch) -> pa.Table:
+        rows = batch.column("id").to_numpy(zero_copy_only=False)
+        grid = ray.get(ref).reshape(h, w)
+        N = w * h
+        T = int(grid.sum())
+        S2 = int((grid.astype(object) * grid.astype(object)).sum())
+        mean = np.float64(T) / N
+        S = np.sqrt(np.float64(S2) / N - mean * mean)
+        # padded 3x3 sums (values and valid-neighbor counts)
+        pv = np.zeros((h + 2, w + 2), dtype=np.int64)
+        pv[1:-1, 1:-1] = grid
+        pc_ = np.zeros((h + 2, w + 2), dtype=np.int64)
+        pc_[1:-1, 1:-1] = 1
+        nbr = np.zeros((h, w), dtype=np.int64)
+        cnt = np.zeros((h, w), dtype=np.int64)
+        for dr in (0, 1, 2):
+            for dc in (0, 1, 2):
+                nbr += pv[dr:dr + h, dc:dc + w]
+                cnt += pc_[dr:dr + h, dc:dc + w]
+        out_r, out_c, out_s, out_w, out_g = [], [], [], [], []
+        for r in rows:
+            ns = nbr[r]
+            wn = cnt[r]
+            num = ns.astype(np.float64) - mean * wn.astype(np.float64)
+            var = (N * wn - wn * wn).astype(np.float64) / np.float64(N - 1)
+            den = S * np.sqrt(var)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                z = num / den
+            gi = np.where(den == 0.0, 0,
+                          np.floor(1e6 * z)).astype(np.int64)
+            out_r.append(np.full(w, r, dtype=np.int64))
+            out_c.append(np.arange(w, dtype=np.int64))
+            out_s.append(ns)
+            out_w.append(wn)
+            out_g.append(gi)
+        return pa.table({
+            "cell_row": pa.array(np.concatenate(out_r), type=pa.int64()),
+            "cell_col": pa.array(np.concatenate(out_c), type=pa.int64()),
+            "nbr_sum": pa.array(np.concatenate(out_s), type=pa.int64()),
+            "w_nbrs": pa.array(np.concatenate(out_w), type=pa.int64()),
+            "gi_micro": pa.array(np.concatenate(out_g), type=pa.int64()),
+        })
+
+    import ray.data
+
+    return ray.data.range(h, override_num_blocks=4).map_batches(
+        strip, batch_format="pyarrow")
