@@ -5800,3 +5800,135 @@ def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge hotspot part
         "gi_micro AS k_anonymity FROM ("
         + base["hotspot_cells"] + ")")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Host triangle counts + clustering coefficients (round 5): the
+# web-graph structure statistic over the same synthesized host link
+# graph as host_rank / host_components — degree-ordered node-iterator
+# triangle counting (each triangle counted once on its lowest-(deg,id)
+# vertex). Merged into the registered `host_filters` row as part
+# `triangles`.
+# ---------------------------------------------------------------------------
+
+
+def q_host_triangles(sf_dir: str):
+    """(host, deg, n_tri, clust_micro) — per-host triangle counts and
+    all-integer local clustering coefficients
+    (`text/rank.py:host_triangles`)."""
+    from .text.rank import host_triangles
+
+    return host_triangles(read_webpages(sf_dir, seed=SEED,
+                                        include_html=False))
+
+
+FULL_QUERIES["host_triangles"] = q_host_triangles
+
+
+def _host_triangles_sql(links: int = 3) -> str:
+    """Mirror of text.rank.host_triangles: same link rule as
+    host_components_sql, canonical simple edges, (deg, id)-ordered
+    orientation, wedge join for triangles, and the bit-exact integer
+    clustering coefficient (2e6 * n_tri) // (deg * (deg - 1))."""
+    return f"""WITH {oracle.pages_cte(SEED)},
+hosts AS (SELECT doc_id,
+          regexp_extract(url, '^https?://([^/]+)', 1) AS host FROM pages),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pages),
+links AS (
+  SELECT p.doc_id AS src_doc,
+         (((p.doc_id % nn.n) * (p.doc_id % nn.n)) % nn.n * 7
+          + p.doc_id * 31 + 97 * j.i + 1) % nn.n AS dst_doc
+  FROM pages p, n nn, unnest(generate_series(0, {links - 1})) AS j(i)
+  WHERE (((p.doc_id % nn.n) * (p.doc_id % nn.n)) % nn.n * 7
+         + p.doc_id * 31 + 97 * j.i + 1) % nn.n <> p.doc_id),
+e AS (
+  SELECT hs.host AS src, hd.host AS dst
+  FROM links l JOIN hosts hs ON hs.doc_id = l.src_doc
+               JOIN hosts hd ON hd.doc_id = l.dst_doc),
+hh AS (SELECT DISTINCT host FROM hosts),
+hid AS (SELECT host,
+        CAST(md5_number_upper(host) & 9223372036854775807 AS BIGINT)
+          AS node FROM hh),
+ed AS (SELECT DISTINCT least(s.node, d.node) AS a,
+              greatest(s.node, d.node) AS b
+       FROM e JOIN hid s ON s.host = e.src
+              JOIN hid d ON d.host = e.dst
+       WHERE s.node <> d.node),
+dg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+         SELECT a AS node FROM ed UNION ALL SELECT b AS node FROM ed)
+       GROUP BY node),
+o AS (
+  SELECT CASE WHEN (da.deg, ed.a) < (db.deg, ed.b)
+              THEN ed.a ELSE ed.b END AS u,
+         CASE WHEN (da.deg, ed.a) < (db.deg, ed.b)
+              THEN ed.b ELSE ed.a END AS v,
+         CASE WHEN (da.deg, ed.a) < (db.deg, ed.b)
+              THEN db.deg ELSE da.deg END AS dv
+  FROM ed JOIN dg da ON da.node = ed.a
+          JOIN dg db ON db.node = ed.b),
+tri AS (
+  SELECT w1.u AS x, w1.v AS y, w2.v AS z
+  FROM o w1 JOIN o w2 ON w2.u = w1.u
+                     AND (w1.dv, w1.v) < (w2.dv, w2.v)
+            JOIN o c ON c.u = w1.v AND c.v = w2.v),
+tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+         SELECT x AS node FROM tri UNION ALL
+         SELECT y AS node FROM tri UNION ALL
+         SELECT z AS node FROM tri) GROUP BY node)
+SELECT h.host, d.deg, coalesce(tc.n_tri, 0) AS n_tri,
+  CASE WHEN d.deg >= 2
+       THEN (2000000 * coalesce(tc.n_tri, 0)) // (d.deg * (d.deg - 1))
+       ELSE 0 END AS clust_micro
+FROM dg d JOIN hid h ON h.node = d.node
+LEFT JOIN tc ON tc.node = d.node"""
+
+
+_FULL_ORACLE_SNAPSHOT_TRI = full_oracle_queries
+
+
+def full_oracle_queries():  # noqa: F811 — extends the per-op surface
+    out = _FULL_ORACLE_SNAPSHOT_TRI()
+    out["host_triangles"] = _host_triangles_sql()
+    return out
+
+
+_Q_HOST_FILTERS_PLAIN = QUERIES["host_filters"]
+
+
+def q_host_filters_with_triangles(sf_dir: str):
+    """host_filters row + the triangle part (part `triangles`:
+    doc_id := -1, v := n_tri * 10^7 + clust_micro — an exact int64
+    packing since clust_micro < 10^7; deg is value-checked by the
+    full-surface pair and pytest)."""
+    i64 = pa.int64()
+
+    def proj(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        v = pc.add(pc.multiply(b.column("n_tri"),
+                               pa.scalar(10_000_000, type=i64)),
+                   b.column("clust_micro"))
+        return pa.table({
+            "part": pa.array(["triangles"] * len(b), type=pa.string()),
+            "doc_id": pa.array([-1] * len(b), type=i64),
+            "host": b.column("host"), "v": v})
+
+    return _union([
+        _Q_HOST_FILTERS_PLAIN(sf_dir),
+        FULL_QUERIES["host_triangles"](sf_dir)
+        .map_batches(proj, batch_format="pyarrow")])
+
+
+QUERIES["host_filters"] = q_host_filters_with_triangles
+
+_ORACLE_SNAPSHOT_TRI = oracle_queries
+
+
+def oracle_queries() -> dict[str, str]:  # noqa: F811 — merge triangles
+    out = _ORACLE_SNAPSHOT_TRI()
+    base = full_oracle_queries()
+    out["host_filters"] = (
+        out["host_filters"] + "\nUNION ALL\n"
+        "SELECT 'triangles' AS part, CAST(-1 AS BIGINT) AS doc_id, host, "
+        "n_tri * 10000000 + clust_micro AS v FROM ("
+        + base["host_triangles"] + ")")
+    return out

@@ -412,3 +412,297 @@ def host_degrees(pages_ds, links: int = LINKS_PER_DOC,
 
     return longrows.groupby("key").aggregate(Sum("v")) \
         .map_batches(split, batch_format="pyarrow")
+
+
+def host_triangles(pages_ds, links: int = LINKS_PER_DOC,
+                   partitions: int = 64):
+    """Dataset[(host, deg, n_tri, clust_micro)] — per-host triangle
+    counts and local clustering coefficients over the simple undirected
+    host graph (same synthesized link rule as :func:`host_rank` /
+    :func:`host_components`): ``n_tri`` = triangles containing the
+    host, ``deg`` = simple-graph degree, ``clust_micro`` = the
+    all-integer ``(2_000_000 * n_tri) // (deg * (deg - 1))`` (0 for
+    deg < 2) — no floats anywhere, so the SQL twin is bit-exact.
+
+    Scale shape — the standard degree-ordered node-iterator plan
+    (Schank & Wagner 2005; each triangle is counted exactly once on
+    its lowest-(deg, id) vertex, which bounds wedge fan-out by graph
+    arboricity instead of max degree, taming hub skew):
+
+    1. canonical simple edges: one coarse pair-hash partition dedup;
+    2. degrees: endpoint explode + per-node-partition counts;
+    3. orientation: two coarse partition merges attach (deg_a, deg_b),
+       each edge points from the lexicographically smaller (deg, id);
+    4. wedges: out-neighbor pairs per source, emitted ordered by the
+       same total order, routed by the (v XOR w) pair hash;
+    5. closing probe: one partition merge of wedges against oriented
+       edges — a match is a triangle, counted on all 3 members;
+    6. final: host map + degree + triangle counts meet in one fused
+       node-partition merge. Nothing visits the driver at any size.
+    """
+    n_docs = pages_ds.count()
+    edges = _host_edges(pages_ds, n_docs, links, partitions)
+
+    # Adaptive coarseness (same rule as connected_components): every
+    # stage below shuffles in-blocks x P objects, so a tiny host graph
+    # at the caller's full P pays hundreds of near-empty-object fixed
+    # costs per stage. The result is partition-count independent
+    # (pytest-pinned); the count is free (edges just materialized).
+    partitions = min(partitions, max(4, edges.count() // 2048 + 1))
+
+    # -- 1. canonical undirected simple edges + host/node map rows --------
+    def canon(b: pa.Table) -> pa.Table:
+        hs = _hash63(b.column("src").to_pylist())
+        hd = _hash63(b.column("dst").to_pylist())
+        a = np.minimum(hs, hd)
+        bb = np.maximum(hs, hd)
+        keep = a != bb
+        a, bb = a[keep], bb[keep]
+        return pa.table({
+            "a": pa.array(a), "b": pa.array(bb),
+            "pp": pa.array((a ^ bb) % partitions),
+        })
+
+    def node_map(b: pa.Table) -> pa.Table:
+        hosts = sorted(set(b.column("src").to_pylist())
+                       | set(b.column("dst").to_pylist()))
+        h = _hash63(hosts)
+        return pa.table({
+            "host": pa.array(hosts, type=pa.string()),
+            "node": pa.array(h),
+            "p": pa.array(h % partitions),
+        })
+
+    def dedup_edges(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["a", "b"], kind="mergesort") \
+            .drop_duplicates(["a", "b"])[["a", "b"]]
+
+    # bounded checkpoint (distinct host pairs); 3 consumers: degrees,
+    # orientation, and the host map below reuses the raw edge table
+    uedges = edges.map_batches(canon, batch_format="pyarrow") \
+        .groupby("pp").map_groups(dedup_edges, batch_format="pandas") \
+        .map_batches(lambda d: pa.table({
+            "a": pa.array(d["a"].to_numpy(dtype="int64")),
+            "b": pa.array(d["b"].to_numpy(dtype="int64"))}),
+            batch_format="pandas").materialize()
+
+    nmap = edges.map_batches(node_map, batch_format="pyarrow")
+
+    # -- 2. degrees ---------------------------------------------------------
+    def endpoints(b: pa.Table) -> pa.Table:
+        a = b.column("a").to_numpy(zero_copy_only=False)
+        bb = b.column("b").to_numpy(zero_copy_only=False)
+        n = np.concatenate([a, bb])
+        return pa.table({"node": pa.array(n),
+                         "p": pa.array(n % partitions)})
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby("node", sort=True).size().rename("deg").reset_index()
+        return c
+
+    deg = uedges.map_batches(endpoints, batch_format="pyarrow") \
+        .groupby("p").map_groups(count_part, batch_format="pandas") \
+        .map_batches(lambda d: pa.table({
+            "node": pa.array(d["node"].to_numpy(dtype="int64")),
+            "deg": pa.array(d["deg"].to_numpy(dtype="int64"))}),
+            batch_format="pandas").materialize()
+
+    # -- 3. orientation: attach deg to both ends (two partition merges) ----
+    def side(ds_in, cols, route_col):
+        def fn(b: pa.Table) -> pa.Table:
+            k = b.column(route_col).to_numpy(zero_copy_only=False)
+            out = {c: b.column(src) for c, src in cols.items()}
+            out["mp"] = pa.array(k % partitions, type=pa.int64())
+            return pa.table(out)
+        return ds_in.map_batches(fn, batch_format="pyarrow")
+
+    dside = side(deg, {"node": "node", "deg": "deg"}, "node")
+
+    e1 = side(uedges, {"a": "a", "b": "b"}, "a")
+
+    def attach_da(g: pd.DataFrame) -> pd.DataFrame:
+        dd = g.loc[g["tag"] == 1, ["node", "deg"]]
+        ee = g.loc[g["tag"] == 0, ["a", "b"]]
+        j = ee.merge(dd, left_on="a", right_on="node", how="inner")
+        return pd.DataFrame({"a": j["a"].to_numpy(dtype="int64"),
+                             "b": j["b"].to_numpy(dtype="int64"),
+                             "da": j["deg"].to_numpy(dtype="int64")})
+
+    # union trick: -1 SENTINELS for the absent columns, never nulls —
+    # a nullable int64 forces pandas to float64 and silently rounds
+    # the 63-bit node hashes (same rule as host_components' attach).
+    # Fixed column order so the two union sides share one schema.
+    def pad(b: pa.Table, order: list, tag: int) -> pa.Table:
+        n = len(b)
+        cols = {}
+        for c in order:
+            cols[c] = (b.column(c) if c in b.column_names
+                       else pa.array(np.full(n, -1, dtype=np.int64)))
+        cols["tag"] = pa.array(np.full(n, tag, dtype=np.int64))
+        return pa.table(cols)
+
+    _ORD1 = ["a", "b", "node", "deg", "mp"]
+    e1p = e1.map_batches(lambda b: pad(b, _ORD1, 0),
+                         batch_format="pyarrow")
+    d1p = dside.map_batches(lambda b: pad(b, _ORD1, 1),
+                            batch_format="pyarrow")
+    ed_a = e1p.union(d1p).groupby("mp") \
+        .map_groups(attach_da, batch_format="pandas") \
+        .map_batches(lambda d: pa.table({
+            c: pa.array(d[c].to_numpy(dtype="int64"))
+            for c in ("a", "b", "da")}), batch_format="pandas")
+
+    e2 = side(ed_a, {"a": "a", "b": "b", "da": "da"}, "b")
+
+    def attach_db_orient(g: pd.DataFrame) -> pd.DataFrame:
+        dd = g.loc[g["tag"] == 1, ["node", "deg"]]
+        ee = g.loc[g["tag"] == 0, ["a", "b", "da"]]
+        j = ee.merge(dd, left_on="b", right_on="node", how="inner")
+        a = j["a"].to_numpy(dtype="int64")
+        b = j["b"].to_numpy(dtype="int64")
+        da = j["da"].to_numpy(dtype="int64")
+        db = j["deg"].to_numpy(dtype="int64")
+        fwd = (da < db) | ((da == db) & (a < b))  # (deg, id) lex order
+        return pd.DataFrame({
+            "u": np.where(fwd, a, b), "v": np.where(fwd, b, a),
+            "du": np.where(fwd, da, db), "dv": np.where(fwd, db, da)})
+
+    _ORD2 = ["a", "b", "da", "node", "deg", "mp"]
+    e2p = e2.map_batches(lambda b: pad(b, _ORD2, 0),
+                         batch_format="pyarrow")
+    d2p = dside.map_batches(lambda b: pad(b, _ORD2, 1),
+                            batch_format="pyarrow")
+    # bounded checkpoint (|E| rows); 2 consumers: wedges + closing probe
+    oriented = e2p.union(d2p).groupby("mp") \
+        .map_groups(attach_db_orient, batch_format="pandas") \
+        .map_batches(lambda d: pa.table({
+            c: pa.array(d[c].to_numpy(dtype="int64"))
+            for c in ("u", "v", "du", "dv")}),
+            batch_format="pandas").materialize()
+
+    # -- 4. wedges per source, ordered by the same (deg, id) total order ---
+    def route_u(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        return b.append_column("wp", pa.array(u % partitions,
+                                              type=pa.int64()))
+
+    def wedge_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["u", "dv", "v"], kind="mergesort")
+        u = g["u"].to_numpy(dtype="int64")
+        v = g["v"].to_numpy(dtype="int64")
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        xs, ys, zs = [], [], []
+        for s, e in zip(starts, ends):
+            d = e - s
+            if d < 2:
+                continue
+            i, j = np.triu_indices(d, k=1)
+            xs.append(np.full(len(i), u[s], dtype=np.int64))
+            ys.append(v[s + i])  # (dv, v)-sorted => wedge is ordered
+            zs.append(v[s + j])
+        if not xs:
+            return pd.DataFrame({c: pd.array([], dtype="int64")
+                                 for c in ("x", "y", "z")})
+        return pd.DataFrame({"x": np.concatenate(xs),
+                             "y": np.concatenate(ys),
+                             "z": np.concatenate(zs)})
+
+    wedges = oriented.map_batches(route_u, batch_format="pyarrow") \
+        .groupby("wp").map_groups(wedge_part, batch_format="pandas") \
+        .map_batches(lambda d: pa.table({
+            c: pa.array(d[c].to_numpy(dtype="int64"))
+            for c in ("x", "y", "z")}), batch_format="pandas")
+
+    # -- 5. closing-edge probe: triangles ----------------------------------
+    def wedge_rows(b: pa.Table) -> pa.Table:
+        y = b.column("y").to_numpy(zero_copy_only=False)
+        z = b.column("z").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "x": b.column("x"), "y": b.column("y"), "z": b.column("z"),
+            "is_edge": pa.array(np.zeros(len(b), dtype=np.int64)),
+            "cp": pa.array((y ^ z) % partitions, type=pa.int64())})
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "x": pa.array(np.zeros(len(b), dtype=np.int64)),
+            "y": b.column("u"), "z": b.column("v"),
+            "is_edge": pa.array(np.ones(len(b), dtype=np.int64)),
+            "cp": pa.array((u ^ v) % partitions, type=pa.int64())})
+
+    def close_part(g: pd.DataFrame) -> pd.DataFrame:
+        ee = g.loc[g["is_edge"] == 1, ["y", "z"]]
+        ww = g.loc[g["is_edge"] == 0, ["x", "y", "z"]]
+        j = ww.merge(ee, on=["y", "z"], how="inner")
+        n = np.concatenate([j["x"].to_numpy(dtype="int64"),
+                            j["y"].to_numpy(dtype="int64"),
+                            j["z"].to_numpy(dtype="int64")])
+        return pd.DataFrame({"node": n})
+
+    members = wedges.map_batches(wedge_rows, batch_format="pyarrow") \
+        .union(oriented.map_batches(edge_rows, batch_format="pyarrow")) \
+        .groupby("cp").map_groups(close_part, batch_format="pandas") \
+        .map_batches(lambda d: pa.table({
+            "node": pa.array(d["node"].to_numpy(dtype="int64"))}),
+            batch_format="pandas")
+
+    # -- 6. final fused merge: host map + deg + triangle counts ------------
+    def tri_rows(b: pa.Table) -> pa.Table:
+        n = b.column("node").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": b.column("node"),
+            "host": pa.array([""] * len(b), type=pa.string()),
+            "kind": pa.array(np.full(len(b), 2, dtype=np.int64)),
+            "val": pa.array(np.ones(len(b), dtype=np.int64)),
+            "fp": pa.array(n % partitions, type=pa.int64())})
+
+    def deg_rows(b: pa.Table) -> pa.Table:
+        n = b.column("node").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": b.column("node"),
+            "host": pa.array([""] * len(b), type=pa.string()),
+            "kind": pa.array(np.ones(len(b), dtype=np.int64)),
+            "val": b.column("deg"),
+            "fp": pa.array(n % partitions, type=pa.int64())})
+
+    def map_rows(b: pa.Table) -> pa.Table:
+        n = b.column("node").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": b.column("node"),
+            "host": b.column("host"),
+            "kind": pa.array(np.zeros(len(b), dtype=np.int64)),
+            "val": pa.array(np.zeros(len(b), dtype=np.int64)),
+            "fp": pa.array(n % partitions, type=pa.int64())})
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.loc[g["kind"] == 0, ["node", "host"]] \
+            .sort_values(["node", "host"], kind="mergesort") \
+            .drop_duplicates("node")
+        dd = g.loc[g["kind"] == 1, ["node", "val"]] \
+            .rename(columns={"val": "deg"})
+        tc = g.loc[g["kind"] == 2].groupby("node", as_index=False)["val"] \
+            .sum().rename(columns={"val": "n_tri"})
+        j = dd.merge(m, on="node", how="inner") \
+            .merge(tc, on="node", how="left")
+        degv = j["deg"].to_numpy(dtype="int64")
+        ntri = j["n_tri"].fillna(0.0).to_numpy(dtype="float64") \
+            .astype(np.int64)  # counts < 2^53: exact round-trip
+        cm = np.zeros(len(j), dtype=np.int64)
+        ok = degv >= 2
+        cm[ok] = (2_000_000 * ntri[ok]) // (degv[ok] * (degv[ok] - 1))
+        return pd.DataFrame({"host": j["host"], "deg": degv,
+                             "n_tri": ntri, "clust_micro": cm})
+
+    return nmap.map_batches(map_rows, batch_format="pyarrow") \
+        .union(deg.map_batches(deg_rows, batch_format="pyarrow")) \
+        .union(members.map_batches(tri_rows, batch_format="pyarrow")) \
+        .groupby("fp").map_groups(finalize, batch_format="pandas") \
+        .map_batches(lambda d: pa.table({
+            "host": pa.array(d["host"].to_numpy(dtype=object),
+                             type=pa.string()),
+            "deg": pa.array(d["deg"].to_numpy(dtype="int64")),
+            "n_tri": pa.array(d["n_tri"].to_numpy(dtype="int64")),
+            "clust_micro": pa.array(d["clust_micro"].to_numpy(
+                dtype="int64"))}), batch_format="pandas")

@@ -154,3 +154,78 @@ def test_host_degrees_brute_force(ray_session):
             exp[(s, "recip")] += 1
     gotd = {(r.host, r.metric): r.v for r in got.itertuples()}
     assert gotd == dict(exp)
+
+
+def _brute_triangles(edges):
+    """O(n^3)-ish reference: adjacency sets over the simple graph."""
+    import itertools
+
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {n: 0 for n in adj}
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            tri[x] += 1
+            tri[y] += 1
+            tri[z] += 1
+    out = {}
+    for n in adj:
+        d = len(adj[n])
+        cm = (2_000_000 * tri[n]) // (d * (d - 1)) if d >= 2 else 0
+        out[n] = (d, tri[n], cm)
+    return out
+
+
+def test_host_triangles_oracle_parity(ray_session, sf_dir):
+    import duckdb
+
+    from maskmypy_ray import pipelines
+
+    res = pipelines.FULL_QUERIES["host_triangles"](sf_dir).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    ora = con.execute(
+        pipelines.full_oracle_queries()["host_triangles"]).fetchdf()
+    a = res.sort_values("host").reset_index(drop=True)
+    b = ora.sort_values("host").reset_index(drop=True)[list(a.columns)]
+    assert len(a) == len(b) and (a.values == b.values).all()
+    assert a["n_tri"].sum() % 3 == 0 and a["n_tri"].sum() > 0
+
+
+def test_host_triangles_brute_force_parity(ray_session, sf_dir):
+    """The distributed wedge plan vs an independent adjacency-set
+    counter over the SAME host edge list."""
+    from maskmypy_ray.sources.webpages import read_webpages
+    from maskmypy_ray.text.rank import (_hash63, _host_edges,
+                                        host_triangles)
+
+    pages = read_webpages(sf_dir, seed=42, include_html=False)
+    raw = _host_edges(pages, pages.count(), 3, 64).to_pandas()
+    hs = _hash63(raw["src"].tolist())
+    hd = _hash63(raw["dst"].tolist())
+    h2n = dict(zip(raw["src"], hs))
+    h2n.update(zip(raw["dst"], hd))
+    exp = _brute_triangles(zip(hs.tolist(), hd.tolist()))
+
+    got = host_triangles(pages).to_pandas()
+    assert len(got) == len(exp)
+    for _, r in got.iterrows():
+        d, t, cm = exp[h2n[r["host"]]]
+        assert (r["deg"], r["n_tri"], r["clust_micro"]) == (d, t, cm)
+
+
+def test_host_triangles_partition_independent(ray_session, sf_dir):
+    from maskmypy_ray.sources.webpages import read_webpages
+    from maskmypy_ray.text.rank import host_triangles
+
+    pages = read_webpages(sf_dir, seed=42, include_html=False)
+    a = host_triangles(pages, partitions=64).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    b = host_triangles(pages, partitions=7).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    assert (a.values == b.values).all()
