@@ -229,3 +229,23 @@ def test_host_triangles_partition_independent(ray_session, sf_dir):
     b = host_triangles(pages, partitions=7).to_pandas() \
         .sort_values("host").reset_index(drop=True)
     assert (a.values == b.values).all()
+
+
+def test_connected_components_long_path_pointer_jumping(ray_session):
+    """A 600-node path graph has diameter 599: plain min-label BSP
+    needs ~600 rounds (far beyond max_rounds), so convergence inside
+    64 rounds both pins correctness on the worst-diameter shape AND
+    proves the pointer-jumping accelerator is doing the work."""
+    import pyarrow as pa
+
+    from maskmypy_ray.text.clusters import connected_components
+
+    n = 600
+    ids = (np.arange(n, dtype=np.int64) * 2_654_435_761) % (1 << 40)
+    ids[0] = 3  # make the chain's min sit at one END (worst case)
+    nodes = ray_session.data.from_arrow(pa.table({"node": pa.array(ids)}))
+    edges = ray_session.data.from_arrow(pa.table({
+        "doc_a": pa.array(ids[:-1]), "doc_b": pa.array(ids[1:])}))
+    cc = connected_components(nodes, edges, max_rounds=64).to_pandas()
+    assert len(cc) == n
+    assert (cc["cluster_id"] == ids.min()).all()
